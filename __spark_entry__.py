@@ -1,38 +1,51 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship query: pages -> geo point derivation ->
+               broadcast point-in-polygon join vs admin polygons ->
+               z8 tile assignment -> per (polygon, tile) rollup.
+queries()    — one entry per implemented operator (gdal_spark.queries).
+oracle_sql() — DuckDB-equivalent SQL per query (bit-exact by design;
+               see gdal_spark/queries.py docstring for the rules).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gdal_spark import queries as Q  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: spatial join + tile assignment on sf0.001 pages."""
+    from pyspark.sql import functions as F
+
+    from gdal_spark.geo import mercator
+    from gdal_spark.operators import pip_join
+    from gdal_spark.sources import admin, pages
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    sf_dir = "/root/testdata/sf0.001"
+    pts = pages.page_points(spark, sf_dir).select("doc_id", "url", "lon", "lat")
+    polys = admin.admin_df(spark)
+    joined = pip_join.pip_join_broadcast(pts, polys, how="inner")
+    return (
+        joined.withColumn("tile_x", mercator.tile_x_col(F.col("lon"), 8))
+        .withColumn("tile_y", mercator.tile_y_col(F.col("lat"), 8))
+        .groupBy("poly_id", "tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("n_pages"), F.min("url").alias("first_url"))
+        .orderBy("poly_id", "tile_x", "tile_y")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(Q.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(Q.ORACLES)

@@ -1,0 +1,215 @@
+"""Vectorized computational-geometry kernels in pure numpy.
+
+From-scratch replacements for the GEOS predicates/ops the reference uses
+(ogr/ogr_geometry.h:547-622; spatial filter ladder
+ogr/ogrsf_frmts/generic/ogrlayer.cpp:3994-4075). No shapely in this
+environment, and batch numpy beats per-geometry GEOS calls inside Arrow
+UDFs anyway.
+
+Conventions:
+ - a polygon ring is an (N,2) float64 array, closed (first == last) or
+   not (both accepted); exterior + holes = list of rings.
+ - point-on-edge semantics: `points_in_polygon` counts boundary points
+   as inside (>= / <= comparisons), matching GEOS `Intersects` (which the
+   reference's spatial filter uses — ogrlayer.cpp:4064) rather than
+   `Within`. Fixtures avoid exactly-on-edge points so the Spark and SQL
+   oracle sides agree bit-for-bit regardless.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+# ------------------------------------------------------------ predicates
+
+def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Ray-cast (even-odd) test of many points vs one ring.
+
+    Vectorized over points AND edges: O(P*E) bool math, no Python loop
+    over points. Horizontal ray to +x; edges at the ray endpoint handled
+    by the (y1 > py) != (y2 > py) half-open rule (standard, consistent).
+    """
+    px = np.asarray(px, np.float64)
+    py = np.asarray(py, np.float64)
+    r = np.asarray(ring, np.float64)
+    if len(r) and (r[0] != r[-1]).any():
+        r = np.vstack([r, r[:1]])
+    x1, y1 = r[:-1, 0], r[:-1, 1]
+    x2, y2 = r[1:, 0], r[1:, 1]
+    # (P, E) crossing matrix
+    pyc = py[:, None]
+    pxc = px[:, None]
+    cond = (y1[None, :] > pyc) != (y2[None, :] > pyc)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x1[None, :] + (pyc - y1[None, :]) / (y2[None, :] - y1[None, :]) * (
+            x2[None, :] - x1[None, :]
+        )
+    crossings = cond & (pxc < xint)
+    return (crossings.sum(axis=1) % 2).astype(bool)
+
+
+def points_in_polygon(px, py, rings: list[np.ndarray]) -> np.ndarray:
+    """Even-odd over exterior + holes (rings[0]=shell, rest=holes)."""
+    inside = points_in_ring(px, py, rings[0])
+    for hole in rings[1:]:
+        inside &= ~points_in_ring(px, py, hole)
+    return inside
+
+
+def points_in_convex(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Half-plane AND for a convex CCW ring — the form whose SQL
+    translation the oracle uses (pure *,-,>= — IEEE-exact both engines)."""
+    px = np.asarray(px, np.float64)
+    py = np.asarray(py, np.float64)
+    r = np.asarray(ring, np.float64)
+    if (r[0] == r[-1]).all():
+        r = r[:-1]
+    ok = np.ones(len(px), dtype=bool)
+    for i in range(len(r)):
+        x1, y1 = r[i]
+        x2, y2 = r[(i + 1) % len(r)]
+        ok &= (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1) >= 0.0
+    return ok
+
+
+def convex_halfplane_sql(ring: np.ndarray, x_expr: str, y_expr: str) -> str:
+    """Generate the DuckDB oracle predicate matching points_in_convex."""
+    r = np.asarray(ring, np.float64)
+    if (r[0] == r[-1]).all():
+        r = r[:-1]
+    terms = []
+    for i in range(len(r)):
+        x1, y1 = r[i]
+        x2, y2 = r[(i + 1) % len(r)]
+        terms.append(
+            f"(({x2!r} - {x1!r}) * (({y_expr}) - {y1!r})"
+            f" - ({y2!r} - {y1!r}) * (({x_expr}) - {x1!r}) >= 0.0)"
+        )
+    return "(" + " AND ".join(terms) + ")"
+
+
+def bbox_of_ring(ring: np.ndarray):
+    r = np.asarray(ring, np.float64)
+    return r[:, 0].min(), r[:, 1].min(), r[:, 0].max(), r[:, 1].max()
+
+
+def bbox_intersects(a, b) -> bool:
+    return not (a[2] < b[0] or b[2] < a[0] or a[3] < b[1] or b[3] < a[1])
+
+
+# ---------------------------------------------------------------- metrics
+
+def ring_area(ring: np.ndarray) -> float:
+    """Signed shoelace area (CCW positive)."""
+    r = np.asarray(ring, np.float64)
+    if (r[0] != r[-1]).any():
+        r = np.vstack([r, r[:1]])
+    x, y = r[:, 0], r[:, 1]
+    return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+
+
+def polygon_area(rings: list[np.ndarray]) -> float:
+    """Unsigned area, holes subtracted (OGR_GEOM_AREA analog)."""
+    return abs(ring_area(rings[0])) - sum(abs(ring_area(h)) for h in rings[1:])
+
+
+def line_length(coords: np.ndarray) -> float:
+    c = np.asarray(coords, np.float64)
+    return float(np.sqrt(np.sum(np.diff(c, axis=0) ** 2, axis=1)).sum())
+
+
+def ring_centroid(ring: np.ndarray):
+    """Area-weighted centroid of a ring (shoelace centroid)."""
+    r = np.asarray(ring, np.float64)
+    if (r[0] != r[-1]).any():
+        r = np.vstack([r, r[:1]])
+    x, y = r[:, 0], r[:, 1]
+    cross = x[:-1] * y[1:] - x[1:] * y[:-1]
+    a = cross.sum() / 2.0
+    if a == 0.0:
+        return float(x[:-1].mean()), float(y[:-1].mean())
+    cx = float(np.sum((x[:-1] + x[1:]) * cross) / (6.0 * a))
+    cy = float(np.sum((y[:-1] + y[1:]) * cross) / (6.0 * a))
+    return cx, cy
+
+
+# -------------------------------------------------------------- builders
+
+def convex_hull(px: np.ndarray, py: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain; returns CCW ring (closed)."""
+    pts = np.unique(np.column_stack([px, py]).astype(np.float64), axis=0)
+    if len(pts) <= 2:
+        return np.vstack([pts, pts[:1]]) if len(pts) else pts
+
+    def half(points):
+        out = []
+        for p in points:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    hull = np.array(lower[:-1] + upper[:-1])
+    return np.vstack([hull, hull[:1]])
+
+
+def simplify_dp(coords: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas-Peucker (OGRGeometry::Simplify analog, ogr_geometry.h:593)."""
+    c = np.asarray(coords, np.float64)
+    if len(c) < 3:
+        return c
+    keep = np.zeros(len(c), dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, len(c) - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        seg = c[j] - c[i]
+        L = np.hypot(*seg)
+        if L == 0.0:
+            d = np.hypot(c[i + 1 : j, 0] - c[i, 0], c[i + 1 : j, 1] - c[i, 1])
+        else:
+            d = np.abs(np.cross(seg, c[i + 1 : j] - c[i])) / L
+        k = int(np.argmax(d))
+        if d[k] > tol:
+            m = i + 1 + k
+            keep[m] = True
+            stack.append((i, m))
+            stack.append((m, j))
+    return c[keep]
+
+
+def buffer_point(x: float, y: float, dist: float, quadsegs: int = 8) -> np.ndarray:
+    """Circle approximation ring (OGRGeometry::Buffer for points;
+    quadsegs matches GEOS's default 8 segments per quadrant)."""
+    th = np.linspace(0.0, 2.0 * np.pi, 4 * quadsegs, endpoint=False)
+    ring = np.column_stack([x + dist * np.cos(th), y + dist * np.sin(th)])
+    return np.vstack([ring, ring[:1]])
+
+
+def segments_intersect(p1, p2, p3, p4) -> bool:
+    """Exact orientation-based segment intersection (incl. collinear)."""
+    def orient(a, b, c):
+        v = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        return 0 if v == 0 else (1 if v > 0 else -1)
+
+    def on_seg(a, b, c):
+        return (
+            min(a[0], b[0]) <= c[0] <= max(a[0], b[0])
+            and min(a[1], b[1]) <= c[1] <= max(a[1], b[1])
+        )
+
+    o1, o2 = orient(p1, p2, p3), orient(p1, p2, p4)
+    o3, o4 = orient(p3, p4, p1), orient(p3, p4, p2)
+    if o1 != o2 and o3 != o4:
+        return True
+    return (
+        (o1 == 0 and on_seg(p1, p2, p3))
+        or (o2 == 0 and on_seg(p1, p2, p4))
+        or (o3 == 0 and on_seg(p3, p4, p1))
+        or (o4 == 0 and on_seg(p3, p4, p2))
+    )

@@ -1,0 +1,148 @@
+"""Minimal ISO WKB codec (pure struct/numpy — no GEOS/OGR).
+
+Geometry columns in the engine are `BinaryType` WKB, mirroring the
+reference's data model (OGRFeature geometry fields, SURVEY §1.2). Type
+codes follow ISO WKB (ogr/ogr_core.h:421-460): 1=Point, 2=LineString,
+3=Polygon, 4=MultiPoint, 5=MultiLineString, 6=MultiPolygon,
+7=GeometryCollection. Little-endian only on encode; both endians on
+decode. Z/M variants are rejected in v1 (2-D engine, like the tile
+path of the reference).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+POINT, LINESTRING, POLYGON = 1, 2, 3
+MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION = 4, 5, 6, 7
+
+_NAMES = {
+    POINT: "POINT", LINESTRING: "LINESTRING", POLYGON: "POLYGON",
+    MULTIPOINT: "MULTIPOINT", MULTILINESTRING: "MULTILINESTRING",
+    MULTIPOLYGON: "MULTIPOLYGON", GEOMETRYCOLLECTION: "GEOMETRYCOLLECTION",
+}
+
+
+def point(x: float, y: float) -> bytes:
+    return struct.pack("<BIdd", 1, POINT, x, y)
+
+
+def linestring(coords) -> bytes:
+    c = np.asarray(coords, np.float64)
+    return struct.pack("<BII", 1, LINESTRING, len(c)) + c.tobytes()
+
+
+def polygon(rings) -> bytes:
+    """rings: list of (N,2) arrays; each ring closed on encode."""
+    out = [struct.pack("<BII", 1, POLYGON, len(rings))]
+    for r in rings:
+        r = np.asarray(r, np.float64)
+        if len(r) and (r[0] != r[-1]).any():
+            r = np.vstack([r, r[:1]])
+        out.append(struct.pack("<I", len(r)) + r.tobytes())
+    return b"".join(out)
+
+
+def multipolygon(polys) -> bytes:
+    """polys: list of ring-lists."""
+    out = [struct.pack("<BII", 1, MULTIPOLYGON, len(polys))]
+    out += [polygon(p) for p in polys]
+    return b"".join(out)
+
+
+class _Reader:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def header(self):
+        (endian,) = struct.unpack_from("B", self.buf, self.pos)
+        self.pos += 1
+        bo = "<" if endian == 1 else ">"
+        (gtype,) = struct.unpack_from(bo + "I", self.buf, self.pos)
+        self.pos += 4
+        base = gtype % 1000
+        if gtype != base:
+            raise ValueError(f"Z/M WKB variant {gtype} not supported in v1")
+        return bo, base
+
+    def u32(self, bo):
+        (v,) = struct.unpack_from(bo + "I", self.buf, self.pos)
+        self.pos += 4
+        return v
+
+    def coords(self, bo, n):
+        arr = np.frombuffer(self.buf, dtype=bo + "f8", count=2 * n, offset=self.pos)
+        self.pos += 16 * n
+        return arr.reshape(n, 2).astype(np.float64, copy=True)
+
+
+def decode(buf: bytes):
+    """-> (type_code, payload).
+
+    Point -> (x, y); LineString -> (N,2); Polygon -> [rings];
+    Multi* / collection -> list of child payloads (typed tuples for
+    collections).
+    """
+    return _decode(_Reader(bytes(buf)))
+
+
+def _decode(r: _Reader):
+    bo, t = r.header()
+    if t == POINT:
+        x, y = struct.unpack_from(bo + "dd", r.buf, r.pos)
+        r.pos += 16
+        return t, (x, y)
+    if t == LINESTRING:
+        return t, r.coords(bo, r.u32(bo))
+    if t == POLYGON:
+        nrings = r.u32(bo)
+        return t, [r.coords(bo, r.u32(bo)) for _ in range(nrings)]
+    if t in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION):
+        n = r.u32(bo)
+        kids = [_decode(r) for _ in range(n)]
+        if t == GEOMETRYCOLLECTION:
+            return t, kids
+        return t, [payload for _, payload in kids]
+    raise ValueError(f"unsupported WKB type {t}")
+
+
+def geometry_type_name(buf: bytes) -> str:
+    """ST_GeometryType analog (returns OGC name)."""
+    _, t = _Reader(bytes(buf)).header()
+    return _NAMES[t]
+
+
+def polygon_rings(buf: bytes) -> list[np.ndarray]:
+    """Decode Polygon or MultiPolygon into a flat ring list where each
+    entry is (rings_of_one_polygon) — convenience for PIP kernels."""
+    t, payload = decode(buf)
+    if t == POLYGON:
+        return [payload]
+    if t == MULTIPOLYGON:
+        return payload
+    raise ValueError(f"expected (Multi)Polygon, got {_NAMES.get(t, t)}")
+
+
+def as_text(buf: bytes) -> str:
+    """ST_AsText analog (minimal WKT writer)."""
+    t, payload = decode(buf)
+
+    def fmt_pt(xy):
+        return f"{xy[0]:.10g} {xy[1]:.10g}"
+
+    def fmt_ring(c):
+        return "(" + ", ".join(fmt_pt(p) for p in np.asarray(c)) + ")"
+
+    if t == POINT:
+        return f"POINT ({fmt_pt(payload)})"
+    if t == LINESTRING:
+        return f"LINESTRING {fmt_ring(payload)}"
+    if t == POLYGON:
+        return "POLYGON (" + ", ".join(fmt_ring(r) for r in payload) + ")"
+    if t == MULTIPOLYGON:
+        polys = ["(" + ", ".join(fmt_ring(r) for r in p) + ")" for p in payload]
+        return "MULTIPOLYGON (" + ", ".join(polys) + ")"
+    raise ValueError(f"as_text unsupported for type {t}")

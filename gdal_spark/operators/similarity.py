@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (array<float>).
+
+ - topk_cosine:        brute-force top-k, query side broadcast. Two
+   implementations: `hof` (sequential-fold JVM higher-order functions —
+   bit-reproducible vs the DuckDB oracle) and `numpy` (Arrow batches ×
+   query matrix via BLAS matmul — the 100 TB throughput path).
+ - lsh_bucketed_topk:  random-hyperplane LSH pre-bucketing so each
+   candidate only scores against queries sharing a bucket (approximate;
+   the IVF/LSH 'scale path' of SURVEY's training-data ops).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _norm_col(vec):
+    return F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _dot_col(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+                       lambda acc, x: acc + x)
+
+
+def topk_cosine(data: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                method: str = "hof") -> DataFrame:
+    """-> (q_id, rank, neighbor_id): k nearest by cosine, self excluded,
+    ties broken by neighbor id. Query side must be broadcast-small."""
+    if method == "numpy":
+        return _topk_cosine_numpy(data, queries, k, id_col, vec_col)
+    d = data.select(F.col(id_col).alias("neighbor_id"),
+                    F.col(vec_col).cast("array<double>").alias("dvec"))
+    q = queries.select(F.col(id_col).alias("q_id"),
+                       F.col(vec_col).cast("array<double>").alias("qvec"))
+    j = d.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("q_id"))
+    cos = _dot_col(F.col("dvec"), F.col("qvec")) / (
+        _norm_col(F.col("dvec")) * _norm_col(F.col("qvec")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (j.withColumn("cos", cos)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "rank", "neighbor_id"))
+
+
+def _topk_cosine_numpy(data: DataFrame, queries: DataFrame, k: int,
+                       id_col: str, vec_col: str) -> DataFrame:
+    """Arrow-batch matmul path: per batch of N data rows and Q queries,
+    one (N,dim)x(dim,Q) BLAS call, then per-partition partial top-k;
+    final exact top-k by a tiny shuffle of N_partitions*k rows."""
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    sc = data.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, q_mat))
+
+    schema = T.StructType([
+        T.StructField("q_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("cos", T.DoubleType()),
+    ])
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qi, qm = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+            sims = mat @ qm.T  # (N, Q)
+            # partial top-k per query within this batch
+            kk = min(k + 1, len(ids))  # +1: self may be in batch
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, Q)
+            out_q, out_n, out_c = [], [], []
+            for col in range(len(qi)):
+                rows = top[:, col]
+                out_q.extend([qi[col]] * len(rows))
+                out_n.extend(ids[rows])
+                out_c.extend(sims[rows, col])
+            yield pd.DataFrame({"q_id": out_q, "neighbor_id": out_n, "cos": out_c})
+
+    partial = data.select(id_col, vec_col).mapInPandas(score, schema=schema)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (partial.filter(F.col("neighbor_id") != F.col("q_id"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "rank", "neighbor_id"))
+
+
+def hyperplane_bucket_col(vec, n_planes: int, dim: int, seed: int = 7):
+    """Random-hyperplane LSH bucket id as a JVM expression: sign bits of
+    dot products with `n_planes` deterministic pseudo-random planes."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        coeffs = F.array(*[F.lit(float(c)) for c in planes[p]])
+        dot = _dot_col(vec.cast("array<double>"), coeffs)
+        bucket = bucket.bitwiseOR(
+            F.shiftleft(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), p))
+    return bucket
+
+
+def lsh_bucketed_topk(data: DataFrame, queries: DataFrame, k: int = 10,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      n_planes: int = 8, dim: int = 64) -> DataFrame:
+    """Approximate top-k: score only pairs sharing an LSH bucket.
+    Recall < 1 by design; pair generation is an equi-join on bucket id,
+    so the work scales with bucket occupancy, not |data| x |queries|."""
+    b = lambda df, alias: df.select(  # noqa: E731
+        F.col(id_col).alias(alias),
+        F.col(vec_col).cast("array<double>").alias(f"{alias}_vec"),
+        hyperplane_bucket_col(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    d, q = b(data, "neighbor_id"), b(queries, "q_id")
+    j = d.join(F.broadcast(q), "bucket").filter(F.col("neighbor_id") != F.col("q_id"))
+    cos = _dot_col(F.col("neighbor_id_vec"), F.col("q_id_vec")) / (
+        _norm_col(F.col("neighbor_id_vec")) * _norm_col(F.col("q_id_vec")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (j.withColumn("cos", cos).withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k).select("q_id", "rank", "neighbor_id"))

@@ -1,0 +1,492 @@
+"""Query registry: every implemented operator exposed as a (Spark
+builder, DuckDB oracle SQL) pair for the driver's correctness gate.
+
+Cross-engine exactness rules used throughout (so the driver's
+value-hash comparison passes bit-for-bit):
+
+ - float SUMs go through exact decimal arithmetic: cast the (identical)
+   double input to DECIMAL — both engines round the same double to the
+   same decimal — sum exactly, cast the result back to double. AVG is
+   expressed as exact-sum / count in double (IEEE division is exactly
+   rounded => identical). The reference has the same concern — it uses
+   Kahan summation (ogr/ogr_swq.h:372-377); we use decimals because
+   they make the result *reproducible*, not just accurate.
+ - timestamps: session timezone pinned to UTC (DuckDB is UTC-naive).
+ - geometry predicates use only +,-,*, >= of literals (IEEE-exact);
+   coordinates derive from integer arithmetic (sources.pages).
+ - every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .geo import cells, geom, mercator
+from .operators import pip_join
+from .sources import admin, pages
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def dsum(col, prec=28, scale=6):
+    """Exact reproducible float sum (see module docstring)."""
+    return F.sum(col.cast(f"decimal({prec},{scale})")).cast("double")
+
+
+def dsum_sql(expr, prec=28, scale=6):
+    return f"CAST(sum(CAST({expr} AS DECIMAL({prec},{scale}))) AS DOUBLE)"
+
+
+# =====================================================================
+# Relational core (OGR SQL surface, SURVEY §2.2-2.8) on TPC-H tables
+# =====================================================================
+
+@register(
+    "tpch_q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity', 18, 2)} AS sum_qty,
+           {dsum_sql('l_extendedprice', 18, 2)} AS sum_base_price,
+           {dsum_sql('l_extendedprice * (1.0 - l_discount)')} AS sum_disc_price,
+           {dsum_sql('l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)')} AS sum_charge,
+           {dsum_sql('l_quantity', 18, 2)} / count(*) AS avg_qty,
+           {dsum_sql('l_extendedprice', 18, 2)} / count(*) AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1(spark, sf_dir):
+    """TPC-H Q1 shape: scan-filter-agg. Catalyst: filter+projection
+    pushed to parquet, partial hash agg map-side (3x2 groups)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), 18, 2).alias("sum_qty"),
+            dsum(F.col("l_extendedprice"), 18, 2).alias("sum_base_price"),
+            dsum(disc).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            (dsum(F.col("l_quantity"), 18, 2) / F.count(F.lit(1))).alias("avg_qty"),
+            (dsum(F.col("l_extendedprice"), 18, 2) / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "tpch_q3_shipping",
+    oracle=f"""
+    SELECT o.o_orderkey AS o_orderkey,
+           {dsum_sql('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o.o_orderkey
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3(spark, sf_dir):
+    """TPC-H Q3 shape: dim-filter join + top-k. customer is dim-sized →
+    broadcast; top-k collapses to TakeOrderedAndProject. Tie-broken by
+    orderkey so the LIMIT row set is deterministic cross-engine."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_local_supplier",
+    oracle=f"""
+    SELECT n.n_name AS n_name,
+           {dsum_sql('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue
+    FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA' AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name ORDER BY revenue DESC, n_name
+    """,
+)
+def q5(spark, sf_dir):
+    """TPC-H Q5 shape: star join. nation/region/supplier broadcast."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+    SELECT {dsum_sql('l_extendedprice * l_discount')} AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0
+    """,
+)
+def q6(spark, sf_dir):
+    """TPC-H Q6: pure filter+agg — every predicate pushed to parquet."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@register(
+    "ogr_distinct_list",
+    oracle="SELECT DISTINCT c_mktsegment AS value FROM customer ORDER BY value",
+)
+def distinct_list(spark, sf_dir):
+    """OGR SWQM_DISTINCT_LIST semantics: sorted distinct values
+    (ogr/ogr_swq.h:380-381 keeps a sorted set)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_mktsegment").alias("value"))
+        .distinct()
+        .orderBy("value")
+    )
+
+
+@register(
+    "ogr_summary_record",
+    oracle=f"""
+    SELECT count(*) AS cnt,
+           count(DISTINCT l_returnflag) AS cnt_distinct_rf,
+           min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+           {dsum_sql('l_quantity', 18, 2)} AS sum_qty,
+           {dsum_sql('l_quantity', 18, 2)} / count(l_quantity) AS avg_qty,
+           sqrt(({dsum_sql('l_quantity * l_quantity', 24, 4)}
+                 - {dsum_sql('l_quantity', 18, 2)} * {dsum_sql('l_quantity', 18, 2)} / count(*))
+                / (count(*) - 1)) AS stddev_qty,
+           strftime(min(l_shipdate), '%Y-%m-%d') AS min_ship,
+           strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship
+    FROM lineitem
+    """,
+)
+def summary_record(spark, sf_dir):
+    """OGR whole-relation summary (SWQM_SUMMARY_RECORD, SURVEY §2.4):
+    AVG/MIN/MAX/COUNT/SUM/STDDEV + COUNT DISTINCT, no GROUP BY. STDDEV
+    computed from exact decimal moments so it is bit-reproducible
+    (reference uses Welford, ogr/ogr_swq.h:391 — same accuracy goal)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s1 = dsum(F.col("l_quantity"), 18, 2)
+    s2 = dsum(F.col("l_quantity") * F.col("l_quantity"), 24, 4)
+    n = F.count(F.lit(1)).cast("double")
+    return li.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("l_returnflag").alias("cnt_distinct_rf"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        s1.alias("sum_qty"),
+        (s1 / F.count("l_quantity")).alias("avg_qty"),
+        F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1.0))).alias("stddev_qty"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("min_ship"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("max_ship"),
+    )
+
+
+@register(
+    "window_latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def latest_event(spark, sf_dir):
+    """Window/ranking (SQLite-dialect surface, SURVEY §2.5) + JSON
+    field extraction (OFSTJSON subtype analog)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "event_id", "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        )
+    )
+
+
+# =====================================================================
+# Spatial core (north star): cell encode, tile assign, PIP joins
+# =====================================================================
+
+_PTS_SQL = f"SELECT doc_id, {pages.LON_SQL} AS lon, {pages.LAT_SQL} AS lat FROM documents"
+
+
+@register(
+    "geo_cell_encode",
+    oracle=f"""
+    WITH pts AS ({_PTS_SQL}),
+    txy AS (SELECT doc_id,
+                   {mercator.tile_x_sql('lon', cells.DEFAULT_RES)} AS tx,
+                   {mercator.tile_y_sql('lat', cells.DEFAULT_RES)} AS ty
+            FROM pts)
+    SELECT {cells.cell_from_tile_sql('tx', 'ty', cells.DEFAULT_RES)} AS cell_id,
+           count(*) AS n_pages, CAST(sum(doc_id) AS BIGINT) AS sum_doc
+    FROM txy GROUP BY cell_id ORDER BY cell_id
+    """,
+)
+def cell_encode(spark, sf_dir):
+    """Vectorized H3/S2-analog cell encoding — pure JVM column math
+    (geo.cells Morton quadkey; SURVEY §1 decision), aggregated per cell."""
+    p = pages.page_points(spark, sf_dir)
+    return (
+        p.groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_pages"), F.sum("doc_id").alias("sum_doc"))
+        .orderBy("cell_id")
+    )
+
+
+@register(
+    "geo_tile_assign_z8",
+    oracle=f"""
+    WITH pts AS ({_PTS_SQL})
+    SELECT {mercator.tile_x_sql('lon', 8)} AS tile_x,
+           {mercator.tile_y_sql('lat', 8)} AS tile_y,
+           count(*) AS n_pages, CAST(sum(doc_id) AS BIGINT) AS sum_doc
+    FROM pts GROUP BY tile_x, tile_y ORDER BY tile_x, tile_y
+    """,
+)
+def tile_assign(spark, sf_dir):
+    """Web-mercator XYZ tile assignment at z8 (gdal2tiles math,
+    SURVEY §2.9 'gdal raster tile') as column expressions."""
+    p = pages.page_points(spark, sf_dir)
+    return (
+        p.withColumn("tile_x", mercator.tile_x_col(F.col("lon"), 8))
+        .withColumn("tile_y", mercator.tile_y_col(F.col("lat"), 8))
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("n_pages"), F.sum("doc_id").alias("sum_doc"))
+        .orderBy("tile_x", "tile_y")
+    )
+
+
+def _pip_oracle() -> str:
+    subqs = []
+    for pid, _name, ring in admin.admin_rings():
+        pred = geom.convex_halfplane_sql(ring, "lon", "lat")
+        subqs.append(
+            f"SELECT {pid} AS poly_id, count(*) AS n_pages,"
+            f" min(doc_id) AS min_doc, max(doc_id) AS max_doc,"
+            f" CAST(sum(doc_id) AS BIGINT) AS sum_doc"
+            f" FROM pts WHERE {pred} HAVING count(*) > 0"
+        )
+    return f"WITH pts AS ({_PTS_SQL})\n" + "\nUNION ALL\n".join(subqs)
+
+
+@register("geo_pip_join_broadcast", oracle=_pip_oracle())
+def pip_broadcast(spark, sf_dir):
+    """Broadcast point-in-polygon join vs the admin polygon fixture
+    (ladder semantics of ogrlayer.cpp:3994; broadcast physical plan)."""
+    pts = pages.page_points(spark, sf_dir).select("doc_id", "lon", "lat")
+    polys = admin.admin_df(spark)
+    j = pip_join.pip_join_broadcast(pts, polys, how="inner")
+    return (
+        j.groupBy("poly_id")
+        .agg(F.count(F.lit(1)).alias("n_pages"), F.min("doc_id").alias("min_doc"),
+             F.max("doc_id").alias("max_doc"), F.sum("doc_id").alias("sum_doc"))
+        .orderBy("poly_id")
+        .select("poly_id", "n_pages", "min_doc", "max_doc", "sum_doc")
+    )
+
+
+@register("geo_pip_join_shuffle", oracle=_pip_oracle())
+def pip_shuffle(spark, sf_dir):
+    """Same join via the cell-partitioned shuffle path with forced
+    salting of the busiest cells — must produce the identical result
+    (plan equivalence + salting correctness evidence)."""
+    pts = pages.page_points(spark, sf_dir).select("doc_id", "lon", "lat", "cell_id")
+    polys = admin.admin_df(spark)
+    salt_map = pip_join.hot_cells(pts, threshold=50)  # force salting at test scale
+    j = pip_join.pip_join_shuffle(pts, polys, salt_map=salt_map)
+    return (
+        j.groupBy("poly_id")
+        .agg(F.count(F.lit(1)).alias("n_pages"), F.min("doc_id").alias("min_doc"),
+             F.max("doc_id").alias("max_doc"), F.sum("doc_id").alias("sum_doc"))
+        .orderBy("poly_id")
+        .select("poly_id", "n_pages", "min_doc", "max_doc", "sum_doc")
+    )
+
+
+# =====================================================================
+# Web-text pipeline ops: dedup, similarity, text stats
+# =====================================================================
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash, count(*) AS n_dups,
+           CAST(min(doc_id) AS BIGINT) AS keeper
+    FROM documents GROUP BY md5(text) ORDER BY text_hash
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash (hash-groupBy; map-side combine)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.encode(F.col("text"), "utf-8")).alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keeper"))
+        .orderBy("text_hash")
+    )
+
+
+def _minhash_oracle(n_hashes: int = 16, bands: int = 4) -> str:
+    rows = bands and n_hashes // bands
+    sig_cols = ", ".join(
+        f"min(md5(tok || '#{i}')) AS s{i}" for i in range(n_hashes)
+    )
+    band_cols = ", ".join(
+        "md5(" + " || ".join(f"s{b * rows + r}" for r in range(rows)) + f") AS b{b}"
+        for b in range(bands)
+    )
+    band_eq = " OR ".join(f"a.b{b} = b.b{b}" for b in range(bands))
+    return f"""
+    WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+    sigs AS (SELECT doc_id, {sig_cols} FROM toks GROUP BY doc_id),
+    bandt AS (SELECT doc_id, {band_cols} FROM sigs)
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM bandt a JOIN bandt b ON a.doc_id < b.doc_id AND ({band_eq})
+    ORDER BY a_id, b_id
+    """
+
+
+@register("dedup_minhash_pairs", oracle=_minhash_oracle())
+def minhash_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs: shingle(word tokens) →
+    16 min-hashes → 4 bands → equi-join per band → distinct pairs.
+    Scale path: each band join is a plain hash join on the band key
+    (no cross product); the oracle's OR-join is only for the oracle."""
+    from .operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, id_col="doc_id", text_col="text",
+                                   n_hashes=16, bands=4).orderBy("a_id", "b_id")
+
+
+@register(
+    "text_stats_by_lang",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+           CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)
+             AS ws_tokens
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def text_stats(spark, sf_dir):
+    """Text analysis aggregates: doc counts, char sums, whitespace
+    token counts — all JVM string functions, no UDF."""
+    d = _t(spark, sf_dir, "documents")
+    tok = F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + F.lit(1)
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+            F.sum(tok).alias("ws_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "similarity_topk_cosine",
+    oracle="""
+    SELECT q_id, rank, neighbor_id FROM (
+      SELECT q.vec_id AS q_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                               CAST(q.embedding AS DOUBLE[])) DESC,
+                        e.vec_id) AS rank,
+             e.vec_id AS neighbor_id
+      FROM embeddings e JOIN embeddings q ON q.vec_id % 100 = 0
+      WHERE e.vec_id <> q.vec_id
+    ) WHERE rank <= 10 ORDER BY q_id, rank
+    """,
+)
+def topk_cosine(spark, sf_dir):
+    """Brute-force cosine top-k similarity search over the embedding
+    column (baseline ANN; SURVEY training-data ops). Query side is a
+    broadcast; scores stay internal (float-noise-free output)."""
+    from .operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return similarity.topk_cosine(e, q, k=10).orderBy("q_id", "rank")
