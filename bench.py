@@ -1,0 +1,104 @@
+"""Benchmark harness — prints ONE JSON line the driver records.
+
+Headline: spatial-join + tile-assignment throughput (pages/sec) on a
+deterministic synthetic pages table (north rule metric), plus wall
+times for representative relational / dedup / similarity queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Scaling-efficiency evidence (local[8] vs local[32]) lives in
+tools/scaling_bench.py — it needs two separate JVMs, so it is not part
+of the per-round single-JSON-line contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "2000000"))
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from gdal_spark import queries as Q
+    from gdal_spark.geo import mercator
+    from gdal_spark.operators import pip_join, similarity
+    from gdal_spark.session import get_spark
+    from gdal_spark.sources import admin, pages
+
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=2 * CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    times: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        times[name] = round(time.time() - t0, 3)
+        return out
+
+    # ---- headline: spatial join + tile assignment over synthetic pages
+    pts = pages.synth_pages(spark, PAGES_N, skew_hot_fraction=0.2).select(
+        "doc_id", "lon", "lat", "cell_id")
+    pts.persist()
+    n_pages = timed("materialize_pages", lambda: pts.count())
+    polys = admin.admin_df(spark)
+
+    def pip_tile_broadcast():
+        j = pip_join.pip_join_broadcast(pts, polys, how="inner")
+        j = (j.withColumn("tile_x", mercator.tile_x_col(F.col("lon"), 12))
+             .withColumn("tile_y", mercator.tile_y_col(F.col("lat"), 12))
+             .groupBy("poly_id", "tile_x", "tile_y").count())
+        return j.count()
+
+    def pip_shuffle_salted():
+        salt = pip_join.hot_cells(pts, threshold=max(50_000, n_pages // 200))
+        j = pip_join.pip_join_shuffle(pts, polys, salt_map=salt)
+        return j.groupBy("poly_id").count().count()
+
+    timed("pip_tile_broadcast", pip_tile_broadcast)
+    timed("pip_shuffle_salted", pip_shuffle_salted)
+    pages_per_sec = round(n_pages / times["pip_tile_broadcast"], 1)
+    pts.unpersist()
+
+    # ---- pure-JVM cell encode throughput
+    timed("cell_encode_10m", lambda: pages.synth_pages(spark, 10_000_000)
+          .agg(F.sum("cell_id")).collect())
+
+    # ---- representative operator queries at SF_DIR
+    for qname in ["tpch_q1_pricing_summary", "tpch_q3_shipping",
+                  "tpch_q5_local_supplier", "geo_pip_join_broadcast",
+                  "geo_pip_join_shuffle", "dedup_minhash_pairs",
+                  "text_stats_by_lang"]:
+        fn = Q.QUERIES[qname]
+        timed(qname, lambda f=fn: f(spark, SF_DIR).count())
+
+    # numpy matmul similarity path
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") % 100 == 0)
+    timed("similarity_topk_numpy",
+          lambda: similarity.topk_cosine(emb, qv, k=10, method="numpy").count())
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "spatial-join+tile-assign throughput and operator wall times",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "pages_per_sec": pages_per_sec,
+        "bench_pages": n_pages,
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
