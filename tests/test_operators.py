@@ -1,0 +1,126 @@
+"""Operator-level tests: PIP join paths agree with each other and with
+a numpy oracle; dedup/similarity behave per spec; the byte-identical
+text invariant holds end-to-end."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from gdal_spark.geo import geom, wkb
+from gdal_spark.operators import dedup, pip_join, similarity
+from gdal_spark.sources import admin, pages
+
+
+def test_pip_broadcast_matches_numpy_oracle(spark, sf_dir):
+    pts = pages.page_points(spark, sf_dir).select("doc_id", "lon", "lat")
+    polys = admin.admin_df(spark)
+    got = {(r["doc_id"], r["poly_id"])
+           for r in pip_join.pip_join_broadcast(pts, polys).collect()}
+    pdf = pts.toPandas()
+    want = set()
+    for pid, _, ring in admin.admin_rings():
+        m = geom.points_in_ring(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), ring)
+        want |= {(int(d), pid) for d in pdf["doc_id"].to_numpy()[m]}
+    assert got == want
+
+
+def test_pip_shuffle_equals_broadcast(spark, sf_dir):
+    pts = pages.page_points(spark, sf_dir).select("doc_id", "lon", "lat", "cell_id")
+    polys = admin.admin_df(spark)
+    b = {(r["doc_id"], r["poly_id"])
+         for r in pip_join.pip_join_broadcast(pts, polys).collect()}
+    s = {(r["doc_id"], r["poly_id"])
+         for r in pip_join.pip_join_shuffle(pts, polys).collect()}
+    assert b == s
+    # salted path identical too
+    salt = pip_join.hot_cells(pts, threshold=1)
+    assert salt, "test fixture should produce hot cells at threshold=1"
+    s2 = {(r["doc_id"], r["poly_id"])
+          for r in pip_join.pip_join_shuffle(pts, polys, salt_map=salt).collect()}
+    assert b == s2
+
+
+def test_pip_left_semi_anti(spark, sf_dir):
+    pts = pages.page_points(spark, sf_dir).select("doc_id", "lon", "lat")
+    polys = admin.admin_df(spark)
+    inner = pip_join.pip_join_broadcast(pts, polys, how="inner")
+    left = pip_join.pip_join_broadcast(pts, polys, how="left")
+    semi = pip_join.pip_join_broadcast(pts, polys, how="semi")
+    anti = pip_join.pip_join_broadcast(pts, polys, how="anti")
+    n_pts = pts.count()
+    matched = semi.count()
+    assert anti.count() == n_pts - matched
+    assert left.filter(F.col("poly_id").isNull()).count() == n_pts - matched
+    assert left.count() == inner.count() + (n_pts - matched)
+    # semi/anti emit each point at most once
+    assert semi.select("doc_id").distinct().count() == matched
+
+
+def test_minhash_contains_exact_dups(spark, sf_dir):
+    """Documents with identical text must always be candidate pairs
+    (identical token sets -> identical signatures -> every band
+    collides). Fixture has no exact dups, so synthesize them by
+    cloning 30 docs under shifted ids."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    clones = (d.filter(F.col("doc_id") % 3 == 0)
+              .withColumn("doc_id", F.col("doc_id") + 1000000))
+    both = d.unionByName(clones)
+    pairs = {(r["a_id"], r["b_id"])
+             for r in dedup.minhash_lsh_pairs(both, "doc_id", "text").collect()}
+    want = {(r["doc_id"], r["doc_id"] + 1000000)
+            for r in d.filter(F.col("doc_id") % 3 == 0).collect()}
+    assert want, "fixture subset should be non-empty"
+    assert want <= pairs
+
+
+def test_simhash_identical_and_hamming(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    sh = dedup.simhash64(d, "doc_id", "text")
+    assert sh.count() == sh.select("doc_id").distinct().count()
+    pairs = dedup.simhash_pairs(d, "doc_id", "text", max_hamming=3)
+    for r in pairs.collect():
+        assert 0 <= r["hamming"] <= 3
+
+
+def test_ngram_jaccard_bounds_and_self(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    ids = [r["doc_id"] for r in d.select("doc_id").collect()][:6]
+    pairs = spark.createDataFrame(
+        [(a, b) for a in ids for b in ids if a < b], "a_id long, b_id long")
+    out = dedup.ngram_jaccard(d, pairs, "doc_id", "text", n=3).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 0.0 <= r["jaccard"] <= 1.0
+
+
+def test_similarity_hof_equals_numpy(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    a = {(r["q_id"], r["rank"]): r["neighbor_id"]
+         for r in similarity.topk_cosine(e, q, k=5, method="hof").collect()}
+    b = {(r["q_id"], r["rank"]): r["neighbor_id"]
+         for r in similarity.topk_cosine(e, q, k=5, method="numpy").collect()}
+    assert a == b
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    exact = {(r["q_id"], r["neighbor_id"])
+             for r in similarity.topk_cosine(e, q, k=5).collect()}
+    approx = {(r["q_id"], r["neighbor_id"])
+              for r in similarity.lsh_bucketed_topk(e, q, k=5, n_planes=2).collect()}
+    recall = len(exact & approx) / len(exact)
+    # fixture embeddings are near-random => recall floor is the random
+    # bucket-collision rate (~1/4 at 2 planes); similar vectors do better
+    assert recall > 0.15
+
+
+def test_text_byte_identity_invariant(spark, sf_dir):
+    """North-rule invariant: extracted text per url is byte-identical
+    to the source text (html wraps text; decode(html) strips back)."""
+    p = pages.pages_from_documents(spark, sf_dir)
+    extracted = F.regexp_replace(
+        F.decode(F.col("html"), "utf-8"), r"^<html><body>|</body></html>$", "")
+    bad = p.withColumn("t2", extracted).filter(
+        F.md5(F.encode(F.col("t2"), "utf-8")) != F.md5(F.encode(F.col("text"), "utf-8")))
+    assert bad.count() == 0
