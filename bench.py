@@ -72,11 +72,36 @@ def main():
     timed("cell_encode_10m", lambda: pages.synth_pages(spark, 10_000_000)
           .agg(F.sum("cell_id")).collect())
 
+    # ---- raster surface: density -> pyramid -> warp over synthetic pages
+    from gdal_spark.raster import density as D
+    from gdal_spark.raster import grid as G
+    from gdal_spark.raster import pyramid as P
+    from gdal_spark.raster import rasterize as RZ
+    from gdal_spark.raster import warp as W
+
+    rpts = pages.synth_pages(spark, 2_000_000).select("lon", "lat").persist()
+    rpts.count()
+    src_spec = G.world_3857(8, 256)
+
+    def raster_pipeline():
+        base = D.density_tiles(rpts, 8, 256).persist()
+        n_tiles = base.count()
+        levels = P.build_pyramid(base, 8, 5, kernel="sum", tile=256)
+        n5 = levels[5].count()
+        dst = G.world_4326(2048, 1024, tile=256)
+        nw = W.warp(base, src_spec, dst, kernel="near").count()
+        base.unpersist()
+        return (n_tiles, n5, nw)
+
+    timed("raster_density_pyramid_warp_2m", raster_pipeline)
+    rpts.unpersist()
+
     # ---- representative operator queries at SF_DIR
     for qname in ["tpch_q1_pricing_summary", "tpch_q3_shipping",
                   "tpch_q5_local_supplier", "geo_pip_join_broadcast",
-                  "geo_pip_join_shuffle", "dedup_minhash_pairs",
-                  "text_stats_by_lang"]:
+                  "geo_pip_join_shuffle", "geo_knn_ring",
+                  "dedup_minhash_pairs", "text_stats_by_lang",
+                  "raster_density_checksum_z5", "raster_warp_checksum"]:
         fn = Q.QUERIES[qname]
         timed(qname, lambda f=fn: f(spark, SF_DIR).count())
 

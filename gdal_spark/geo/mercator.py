@@ -33,10 +33,17 @@ MERCATOR_MAX_LAT = 85.05112877980659
 
 # ---------------------------------------------------------------- numpy
 
+#: the one blessed operand order for mercator-Y, shared bit-for-bit by
+#: the numpy, Column, and SQL forms: ln(tan((90 + lat) * DEG2) * R with
+#: DEG2 = double(pi/360) folded to a literal BEFORE the multiply.
+DEG2 = np.pi / 360.0
+LON2M = ORIGIN_SHIFT / 180.0
+
+
 def lonlat_to_meters_np(lon: np.ndarray, lat: np.ndarray):
     """EPSG:4326 -> EPSG:3857 (gdal2tiles.py:423 LatLonToMeters)."""
-    mx = lon * ORIGIN_SHIFT / 180.0
-    my = np.log(np.tan((90.0 + lat) * np.pi / 360.0)) * (ORIGIN_SHIFT / 180.0) * (180.0 / np.pi)
+    mx = lon * LON2M
+    my = np.log(np.tan((90.0 + lat) * DEG2)) * EARTH_RADIUS
     # canonical form: my = R * ln(tan(pi/4 + lat*pi/360))
     return mx, my
 
@@ -81,12 +88,12 @@ def tile_bounds_m(tx: int, ty_tms: int, zoom: int):
 # ------------------------------------------------------------- columns
 
 def merc_x_col(lon: Column) -> Column:
-    return lon * F.lit(ORIGIN_SHIFT / 180.0)
+    return lon * F.lit(LON2M)
 
 
 def merc_y_col(lat: Column) -> Column:
     lat_c = F.greatest(F.least(lat, F.lit(MERCATOR_MAX_LAT)), F.lit(-MERCATOR_MAX_LAT))
-    return F.log(F.tan((F.lit(90.0) + lat_c) * F.lit(np.pi / 360.0))) * F.lit(EARTH_RADIUS)
+    return F.log(F.tan((F.lit(90.0) + lat_c) * F.lit(DEG2))) * F.lit(EARTH_RADIUS)
 
 
 def tile_x_col(lon: Column, zoom: int) -> Column:
@@ -106,11 +113,13 @@ def tile_y_col(lat: Column, zoom: int, xyz: bool = True) -> Column:
 # ----------------------------------------------------------------- sql
 
 def merc_y_sql(lat_expr: str) -> str:
-    """DuckDB SQL for mercator Y of a latitude expression (clamped)."""
+    """DuckDB SQL for mercator Y of a latitude expression (clamped).
+    Operand order mirrors merc_y_col / lonlat_to_meters_np exactly so
+    all three engines round identically."""
     clamped = (
         f"greatest(least({lat_expr}, {MERCATOR_MAX_LAT!r}), {-MERCATOR_MAX_LAT!r})"
     )
-    return f"ln(tan((90.0 + {clamped}) * pi() / 360.0)) * {EARTH_RADIUS!r}"
+    return f"ln(tan((90.0 + {clamped}) * {DEG2!r})) * {EARTH_RADIUS!r}"
 
 
 def tile_x_sql(lon_expr: str, zoom: int) -> str:

@@ -1,0 +1,160 @@
+"""Cell-local k-nearest-neighbors via ring expansion.
+
+Reference semantics: GDAL's gridding nearest-neighbor search
+(alg/gdalgrid.cpp:242-331 `GDALGridInverseDistanceToAPowerNearestNeighbor`
+— CPLQuadTree radius probe bounded by nMaxPoints, plain nearest
+`GDALGridNearestNeighbor`), ties resolved by distance. Our engine
+restates the quadtree probe as the north star's "cell-local kNN via
+sorted-neighbor expansion over ring queries":
+
+ 1. candidate data points for a query come from the Chebyshev ring-r
+    neighborhood of the query's cell (the grid_disk analog on the
+    Morton grid). Ring cells are generated as a (2r+1)^2 OFFSET table
+    cross-joined to the queries with pure column math — no driver
+    collection, so the query side may itself be huge;
+ 2. each pass is a plain equi-join on cell_id + per-query top-k;
+ 3. a query is finished when its k-th best distance provably beats
+    anything outside the searched window. The bound is computed
+    EXACTLY per query from the window's tile boundaries: the searched
+    rectangle's lon edges and (inverse-mercator) lat edges — this is
+    latitude-aware, because a mercator cell's height in degrees
+    shrinks by cos(lat) toward the poles, so a constant-cells bound
+    would be wrong off the equator;
+ 4. ring doubles until max_ring, then an exhaustive broadcast pass
+    finishes any stragglers (sparse regions) — exact for all inputs.
+
+Distances are squared-euclidean in lon/lat degrees — matching the
+DuckDB oracle's arithmetic bit-for-bit (identical doubles in, exactly
+rounded IEEE products/sums out).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..geo import cells, mercator
+
+
+def _ring_offsets(spark, ring: int) -> DataFrame:
+    offs = [(dx, dy) for dx in range(-ring, ring + 1)
+            for dy in range(-ring, ring + 1)]
+    return spark.createDataFrame(offs, "dx int, dy int")
+
+
+def _lat_of_tile_row_col(row: F.Column, res: int) -> F.Column:
+    """Latitude of the NORTH edge of XYZ tile row `row` (JVM math:
+    inverse mercator of my = OS - row * cell_m)."""
+    n = 1 << res
+    my = F.lit(mercator.ORIGIN_SHIFT) - row.cast("double") * F.lit(
+        2.0 * mercator.ORIGIN_SHIFT / n)
+    return (F.atan(F.exp(my / F.lit(mercator.EARTH_RADIUS))) * F.lit(2.0)
+            - F.lit(np.pi / 2.0)) * F.lit(180.0 / np.pi)
+
+
+def knn_join(data: DataFrame, queries: DataFrame, k: int = 5,
+             res: int = cells.DEFAULT_RES, max_ring: int = 8,
+             id_col: str = "doc_id", lon_col: str = "lon",
+             lat_col: str = "lat") -> DataFrame:
+    """-> (q_id, rank, neighbor_id, dist2): exact k nearest data points
+    per query (self excluded by id), ties by neighbor id."""
+    spark = data.sparkSession
+    n = 1 << res
+    d = data.select(F.col(id_col).alias("neighbor_id"),
+                    F.col(lon_col).alias("nx"), F.col(lat_col).alias("ny"),
+                    F.col("cell_id").alias("d_cell"))
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(lon_col).alias("qx"), F.col(lat_col).alias("qy"),
+        mercator.tile_x_col(F.col(lon_col), res).alias("qtx"),
+        mercator.tile_y_col(F.col(lat_col), res).alias("qty"),
+    )
+
+    dist2 = (F.col("nx") - F.col("qx")) * (F.col("nx") - F.col("qx")) + \
+            (F.col("ny") - F.col("qy")) * (F.col("ny") - F.col("qy"))
+    w = Window.partitionBy("q_id").orderBy(F.asc("dist2"), F.asc("neighbor_id"))
+    BIG = 1.0e18
+
+    def topk_within(cand: DataFrame) -> DataFrame:
+        return (cand.filter(F.col("neighbor_id") != F.col("q_id"))
+                .withColumn("dist2", dist2)
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k))
+
+    def safe_dist2(ring: int) -> F.Column:
+        """Exact squared distance from the query point to the nearest
+        edge of the fully-searched window (per-query columns)."""
+        # lon edges of the searched window [qtx-ring, qtx+ring]
+        left = (F.col("qtx") - ring) / F.lit(float(n)) * 360.0 - 180.0
+        right = (F.col("qtx") + ring + 1) / F.lit(float(n)) * 360.0 - 180.0
+        sx = F.when(F.lit(2 * ring + 1 >= n), F.lit(BIG)).otherwise(
+            F.least(F.col("qx") - left, right - F.col("qx")))
+        # lat edges: window rows [qty-ring, qty+ring]; a window touching
+        # the grid edge has nothing beyond it (points clamp into edge
+        # rows) -> that side is safe at any distance
+        lat_n = _lat_of_tile_row_col(F.col("qty") - ring, res)
+        lat_s = _lat_of_tile_row_col(F.col("qty") + ring + 1, res)
+        sn = F.when(F.col("qty") - ring <= 0, F.lit(BIG)).otherwise(
+            lat_n - F.col("qy"))
+        ss = F.when(F.col("qty") + ring >= n - 1, F.lit(BIG)).otherwise(
+            F.col("qy") - lat_s)
+        s = F.least(sx, sn, ss)
+        return s * s
+
+    ring = 1
+    result = None
+    pending = q
+    while ring <= max_ring:
+        offs = _ring_offsets(spark, ring)
+        expand = (pending.crossJoin(F.broadcast(offs))
+                  .withColumn("etx", F.pmod(F.col("qtx") + F.col("dx"), F.lit(n)))
+                  .withColumn("ety", F.col("qty") + F.col("dy"))
+                  .filter((F.col("ety") >= 0) & (F.col("ety") < n))
+                  .withColumn("d_cell", cells.cell_from_tile_col(
+                      F.col("etx"), F.col("ety"), res))
+                  .drop("dx", "dy", "etx", "ety").dropDuplicates(
+                      ["q_id", "d_cell"]))
+        cand = expand.join(d, "d_cell")
+        topk = topk_within(cand)
+        done_q = (topk.groupBy("q_id")
+                  .agg(F.count(F.lit(1)).alias("n_hits"),
+                       F.max("dist2").alias("kd"),
+                       F.first("qtx").alias("qtx"), F.first("qty").alias("qty"),
+                       F.first("qx").alias("qx"), F.first("qy").alias("qy"))
+                  .filter((F.col("n_hits") == k)
+                          & (F.col("kd") <= safe_dist2(ring)))
+                  .select("q_id").persist())
+        done_rows = (topk.join(F.broadcast(done_q), "q_id", "inner")
+                     .select("q_id", "rank", "neighbor_id", "dist2"))
+        result = done_rows if result is None else result.unionByName(done_rows)
+        pending = pending.join(F.broadcast(done_q), "q_id", "left_anti").persist()
+        if pending.isEmpty():
+            return result
+        ring *= 2
+    # exhaustive fallback for stragglers (very sparse neighborhoods)
+    rest = (topk_within(pending.crossJoin(d))
+            .select("q_id", "rank", "neighbor_id", "dist2"))
+    return rest if result is None else result.unionByName(rest)
+
+
+def knn_oracle_sql(pts_sql: str, k: int, q_filter_sql: str) -> str:
+    """Brute-force DuckDB oracle on the same point derivation."""
+    return f"""
+    WITH pts AS ({pts_sql}),
+    qs AS (SELECT doc_id AS q_id, lon AS qx, lat AS qy FROM pts WHERE {q_filter_sql}),
+    scored AS (
+      SELECT q.q_id,
+             row_number() OVER (
+               PARTITION BY q.q_id
+               ORDER BY (p.lon - q.qx) * (p.lon - q.qx)
+                      + (p.lat - q.qy) * (p.lat - q.qy) ASC,
+                        p.doc_id ASC) AS rank,
+             p.doc_id AS neighbor_id,
+             (p.lon - q.qx) * (p.lon - q.qx)
+               + (p.lat - q.qy) * (p.lat - q.qy) AS dist2
+      FROM pts p JOIN qs q ON p.doc_id <> q.q_id
+    )
+    SELECT q_id, rank, neighbor_id, dist2 FROM scored WHERE rank <= {k}
+    ORDER BY q_id, rank
+    """

@@ -82,6 +82,7 @@ def pip_join_broadcast(
     lon_col: str = "lon",
     lat_col: str = "lat",
     how: str = "inner",
+    jvm_bbox_prefilter: bool = True,
 ) -> DataFrame:
     """Broadcast PIP join.
 
@@ -93,11 +94,40 @@ def pip_join_broadcast(
             | 'anti' (Erase analog: ogrlayer.cpp:7846).
     A point matching k polygons emits k rows (inner/left), matching the
     reference's pairwise layer algebra.
+
+    jvm_bbox_prefilter moves stage 1 of the reference's accept ladder
+    (envelope reject, ogrlayer.cpp:3994) INTO Catalyst codegen: an OR
+    of per-polygon bbox range predicates drops every point that can
+    match nothing BEFORE the Arrow exchange, so the Python stage only
+    sees candidate rows (~the polygons' combined bbox coverage). The
+    OR-chain is sized for dim-scale polygon sets (10^2-10^3); beyond
+    that use pip_join_shuffle, whose cell join plays the same role.
     """
     poly_rows = [(int(r["poly_id"]), bytes(r["geom"]))
                  for r in polys.select("poly_id", "geom").collect()]
     sc = points.sparkSession.sparkContext
     bpolys = sc.broadcast(poly_rows)
+
+    if jvm_bbox_prefilter:
+        prepared_bbox = [_prepare_one(blob)[1] for _, blob in poly_rows]
+        lon, lat = F.col(lon_col), F.col(lat_col)
+        bbox_pred = None
+        for (minx, miny, maxx, maxy) in prepared_bbox:
+            p = lon.between(float(minx), float(maxx)) & \
+                lat.between(float(miny), float(maxy))
+            bbox_pred = p if bbox_pred is None else (bbox_pred | p)
+        if bbox_pred is not None:
+            cand = points.filter(bbox_pred)
+            rest = points.filter(~bbox_pred)
+            core = pip_join_broadcast(cand, polys, lon_col, lat_col, how,
+                                      jvm_bbox_prefilter=False)
+            if how == "inner" or how == "semi":
+                return core
+            if how == "anti":
+                return core.unionByName(rest)
+            # left: non-candidates pass through with NULL poly_id
+            return core.unionByName(
+                rest.withColumn("poly_id", F.lit(None).cast("int")))
 
     out_schema = T.StructType(points.schema.fields + [T.StructField("poly_id", T.IntegerType(), True)])
     emit_poly = how in ("inner", "left")

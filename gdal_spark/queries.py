@@ -490,3 +490,9 @@ def topk_cosine(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)
     return similarity.topk_cosine(e, q, k=10).orderBy("q_id", "rank")
+
+
+# ---------------------------------------------------------------------
+# extended registries (register into the same QUERIES/ORACLES dicts)
+from . import queries_ext  # noqa: E402,F401
+from . import queries_raster  # noqa: E402,F401

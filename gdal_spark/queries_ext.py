@@ -1,0 +1,412 @@
+"""Extended query registry: kNN, zonal statistics, dissolve, OGR SQL
+semantic reproductions (first-match join, LIKE/ILIKE, CAST/SUBSTR,
+set ops, union-by-name, LIMIT/OFFSET), and web-text training-data ops
+(language ID, quality scoring, fingerprinting, multimodal metadata).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .geo import cells, geom, mercator
+from .operators import knn, multimodal, pip_join
+from .queries import _t, register
+from .sources import admin, pages
+
+_PTS = f"SELECT doc_id, {pages.LON_SQL} AS lon, {pages.LAT_SQL} AS lat FROM documents"
+
+
+# =====================================================================
+# Spatial: kNN, zonal stats, dissolve
+# =====================================================================
+
+@register("geo_knn_ring",
+          oracle=knn.knn_oracle_sql(_PTS, k=5, q_filter_sql="doc_id % 25 = 0"))
+def knn_ring(spark, sf_dir):
+    """Exact kNN via cell-ring expansion (GDAL grid NN analog,
+    alg/gdalgrid.cpp:242) vs a brute-force SQL oracle."""
+    pts = pages.page_points(spark, sf_dir).select("doc_id", "lon", "lat", "cell_id")
+    qs = pts.filter(F.col("doc_id") % 25 == 0)
+    return knn.knn_join(pts, qs, k=5).orderBy("q_id", "rank")
+
+
+def _zonal_oracle() -> str:
+    zones = "\nUNION ALL\n".join(
+        f"SELECT {pid} AS poly_id, doc_id FROM pts WHERE "
+        + geom.convex_halfplane_sql(ring, "lon", "lat")
+        for pid, _n, ring in admin.admin_rings()
+    )
+    return f"""
+    WITH pts AS ({_PTS}),
+    zone AS ({zones}),
+    j AS (SELECT z.poly_id, d.lang, d.n_chars
+          FROM zone z JOIN documents d USING (doc_id)),
+    per_lang AS (SELECT poly_id, lang, count(*) AS c
+                 FROM j GROUP BY poly_id, lang),
+    maj AS (SELECT poly_id, lang AS major_lang FROM (
+              SELECT *, row_number() OVER (PARTITION BY poly_id
+                                           ORDER BY c DESC, lang) AS rn
+              FROM per_lang) WHERE rn = 1)
+    SELECT j.poly_id AS poly_id, count(*) AS n_pages,
+           CAST(sum(j.n_chars) AS BIGINT) AS sum_chars,
+           min(j.n_chars) AS min_chars, max(j.n_chars) AS max_chars,
+           maj.major_lang AS major_lang
+    FROM j JOIN maj USING (poly_id)
+    GROUP BY j.poly_id, maj.major_lang ORDER BY poly_id
+    """
+
+
+@register("geo_zonal_stats", oracle=_zonal_oracle())
+def zonal_stats(spark, sf_dir):
+    """Zonal statistics (alg/zonal.cpp semantics: count/min/max/sum +
+    majority) over the admin polygons: PIP join then groupBy(zone);
+    the majority stat is a per-(zone,lang) count + rank window — the
+    distributed restatement of zonal.cpp:661-695's value histogram."""
+    d = _t(spark, sf_dir, "documents")
+    pts = d.select("doc_id", "lang", "n_chars",
+                   pages.lon_col(F.col("doc_id")).alias("lon"),
+                   pages.lat_col(F.col("doc_id")).alias("lat"))
+    j = pip_join.pip_join_broadcast(pts, admin.admin_df(spark), how="inner")
+    per_lang = j.groupBy("poly_id", "lang").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("poly_id").orderBy(F.desc("c"), F.asc("lang"))
+    maj = (per_lang.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") == 1)
+           .select("poly_id", F.col("lang").alias("major_lang")))
+    stats = j.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"))
+    return (stats.join(maj, "poly_id")
+            .select("poly_id", "n_pages", "sum_chars", "min_chars",
+                    "max_chars", "major_lang")
+            .orderBy("poly_id"))
+
+
+@register(
+    "geo_dissolve_cells",
+    oracle=f"""
+    WITH pts AS (SELECT d.lang AS lang,
+                        {mercator.tile_x_sql(pages.LON_SQL.replace('doc_id', 'd.doc_id'), cells.DEFAULT_RES)} AS tx,
+                        {mercator.tile_y_sql(pages.LAT_SQL.replace('doc_id', 'd.doc_id'), cells.DEFAULT_RES)} AS ty
+                 FROM documents d),
+    cc AS (SELECT lang, {cells.cell_from_tile_sql('tx', 'ty', cells.DEFAULT_RES)} AS cell_id FROM pts)
+    SELECT lang, count(DISTINCT cell_id) AS n_cells,
+           min(cell_id) AS min_cell, max(cell_id) AS max_cell
+    FROM cc GROUP BY lang ORDER BY lang
+    """,
+)
+def dissolve_cells(spark, sf_dir):
+    """Dissolve (apps/gdalalg_vector_dissolve.cpp: group by attribute,
+    union geometries) restated on the cell coverage: per language the
+    dissolved footprint is its set of occupied cells — count + extent
+    per group, one partial-aggregated groupBy."""
+    pts = pages.page_points(spark, sf_dir)
+    return (pts.groupBy("lang")
+            .agg(F.countDistinct("cell_id").alias("n_cells"),
+                 F.min("cell_id").alias("min_cell"),
+                 F.max("cell_id").alias("max_cell"))
+            .orderBy("lang"))
+
+
+# =====================================================================
+# OGR SQL semantics
+# =====================================================================
+
+@register(
+    "ogr_join_first_match",
+    oracle="""
+    SELECT c.c_custkey AS c_custkey, o.o_orderkey AS first_orderkey,
+           o.o_totalprice AS first_totalprice
+    FROM customer c LEFT JOIN (
+      SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderkey) AS rn
+      FROM orders) o
+    ON o.o_custkey = c.c_custkey AND o.rn = 1
+    ORDER BY c_custkey
+    """,
+)
+def join_first_match(spark, sf_dir):
+    """OGR SQL LEFT JOIN takes exactly ONE matching secondary feature
+    per primary row — the first in the secondary table's scan order
+    (ogr_gensql.cpp:1543-1546 takes a single GetNextFeature). Restated
+    as row_number over the secondary FID order + left join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    first_o = (o.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") == 1)
+               .select(F.col("o_custkey"),
+                       F.col("o_orderkey").alias("first_orderkey"),
+                       F.col("o_totalprice").alias("first_totalprice")))
+    return (c.join(first_o, c.c_custkey == first_o.o_custkey, "left")
+            .select("c_custkey", "first_orderkey", "first_totalprice")
+            .orderBy("c_custkey"))
+
+
+@register(
+    "ogr_like_ilike",
+    oracle="""
+    SELECT count(*) FILTER (WHERE p_name LIKE 'small%') AS like_lower,
+           count(*) FILTER (WHERE p_name LIKE 'SMALL%') AS like_upper,
+           count(*) FILTER (WHERE p_name ILIKE 'SMALL%') AS ilike_upper,
+           count(*) FILTER (WHERE p_name LIKE '%bolt') AS like_suffix,
+           count(*) FILTER (WHERE p_name LIKE '%l_l%') AS like_underscore
+    FROM part
+    """,
+)
+def like_ilike(spark, sf_dir):
+    """LIKE is case-sensitive, ILIKE case-insensitive (swq ops
+    SWQ_LIKE/SWQ_ILIKE, ogr/ogr_swq.h:53-54; matcher swq_op_general.cpp:41;
+    verified by reference test ogr_sql_test.py:353-375)."""
+    p = _t(spark, sf_dir, "part")
+    return p.agg(
+        F.count(F.when(F.col("p_name").like("small%"), 1)).alias("like_lower"),
+        F.count(F.when(F.col("p_name").like("SMALL%"), 1)).alias("like_upper"),
+        F.count(F.when(F.col("p_name").ilike("SMALL%"), 1)).alias("ilike_upper"),
+        F.count(F.when(F.col("p_name").like("%bolt"), 1)).alias("like_suffix"),
+        F.count(F.when(F.col("p_name").like("%l_l%"), 1)).alias("like_underscore"),
+    )
+
+
+@register(
+    "ogr_cast_substr_concat",
+    oracle="""
+    SELECT c_custkey,
+           substr(c_name, 1, 5) AS name5,
+           substr(c_name, -3, 3) AS name_tail,
+           concat(c_mktsegment, '#', CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+           CAST(floor(c_acctbal) AS BIGINT) AS bal_floor,
+           upper(c_mktsegment) AS seg_upper
+    FROM customer ORDER BY c_custkey LIMIT 100
+    """,
+)
+def cast_substr_concat(spark, sf_dir):
+    """Scalar string/cast surface (swq_op_registrar.cpp:28-62):
+    1-based SUBSTR incl. negative start (swq_op_general.cpp SUBSTR),
+    CONCAT, CAST; CHARACTER(n) truncation == substr(cast,1,n)."""
+    c = _t(spark, sf_dir, "customer")
+    return (c.select(
+        "c_custkey",
+        F.substring("c_name", 1, 5).alias("name5"),
+        F.col("c_name").substr(-3, 3).alias("name_tail"),
+        F.concat(F.col("c_mktsegment"), F.lit("#"),
+                 F.col("c_nationkey").cast("string")).alias("seg_nation"),
+        F.floor("c_acctbal").cast("long").alias("bal_floor"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+    ).orderBy("c_custkey").limit(100))
+
+
+@register(
+    "ogr_orderby_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders
+    ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC
+    LIMIT 20 OFFSET 5
+    """,
+)
+def orderby_limit_offset(spark, sf_dir):
+    """Multi-key ORDER BY + LIMIT/OFFSET after sort (swq_parser.y:1102,
+    :1129-1137; enforced post-sort in ogr_gensql.cpp:1869-1886)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.select("o_orderkey", "o_orderpriority", "o_totalprice")
+            .orderBy(F.asc("o_orderpriority"), F.desc("o_totalprice"),
+                     F.asc("o_orderkey"))
+            .offset(5).limit(20))
+
+
+@register(
+    "ogr_set_ops",
+    oracle="""
+    SELECT 'both' AS which, n FROM (
+      SELECT DISTINCT c_nationkey AS n FROM customer
+      INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'cust_only' AS which, n FROM (
+      SELECT DISTINCT c_nationkey AS n FROM customer
+      EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+    ORDER BY which, n
+    """,
+)
+def set_ops(spark, sf_dir):
+    """Row set ops (SQLite-dialect surface, SURVEY §2.7): INTERSECT and
+    EXCEPT over nation keys."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n")).distinct()
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n")).distinct()
+    both = c.intersect(s).withColumn("which", F.lit("both"))
+    only = c.exceptAll(s).withColumn("which", F.lit("cust_only"))
+    return both.unionByName(only).select("which", "n").orderBy("which", "n")
+
+
+@register(
+    "ogr_union_layer",
+    oracle="""
+    SELECT r_regionkey AS key, r_name AS name, CAST(NULL AS INTEGER) AS parent
+    FROM region
+    UNION ALL
+    SELECT n_nationkey AS key, n_name AS name, n_regionkey AS parent
+    FROM nation
+    ORDER BY key, name
+    """,
+)
+def union_layer(spark, sf_dir):
+    """OGRUnionLayer semantics (ogr/ogrsf_frmts/generic/ogrunionlayer.h:59):
+    concatenation with schema reconciliation — fields missing from one
+    source become NULL. Spark: unionByName(allowMissingColumns)."""
+    r = _t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("key"), F.col("r_name").alias("name"))
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("key"), F.col("n_name").alias("name"),
+        F.col("n_regionkey").alias("parent"))
+    return (r.unionByName(n, allowMissingColumns=True)
+            .select("key", "name", "parent").orderBy("key", "name"))
+
+
+# =====================================================================
+# Web-text training-data ops
+# =====================================================================
+
+_LANG_KW = {
+    "en": ["the", "value", "fast"],
+    "de": ["der", "und", "nicht"],
+    "fr": ["le", "et", "pas"],
+}
+
+
+def _count_kw_sql(kw: str) -> str:
+    return f"((length(text) - length(replace(text, '{kw}', ''))) / {len(kw)})"
+
+
+def _count_kw_col(kw: str):
+    return (F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(kw), F.lit("")))) / F.lit(len(kw))
+
+
+@register(
+    "text_langid_stopwords",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang,
+             ({' + '.join(_count_kw_sql(k) for k in _LANG_KW['en'])}) AS s_en,
+             ({' + '.join(_count_kw_sql(k) for k in _LANG_KW['de'])}) AS s_de,
+             ({' + '.join(_count_kw_sql(k) for k in _LANG_KW['fr'])}) AS s_fr
+      FROM documents),
+    pred AS (SELECT lang,
+                    CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+                         WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang
+             FROM scored)
+    SELECT lang, pred_lang, count(*) AS n_docs
+    FROM pred GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+    """,
+)
+def langid_stopwords(spark, sf_dir):
+    """Heuristic language ID by stopword-hit scoring (the n-gram
+    heuristic of SURVEY's training-data ops) — occurrence counting via
+    length-delta, pure JVM string ops, confusion matrix as output."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "lang",
+        sum((_count_kw_col(k) for k in _LANG_KW["en"][1:]),
+            _count_kw_col(_LANG_KW["en"][0])).alias("s_en"),
+        sum((_count_kw_col(k) for k in _LANG_KW["de"][1:]),
+            _count_kw_col(_LANG_KW["de"][0])).alias("s_de"),
+        sum((_count_kw_col(k) for k in _LANG_KW["fr"][1:]),
+            _count_kw_col(_LANG_KW["fr"][0])).alias("s_fr"),
+    )
+    pred = scored.withColumn(
+        "pred_lang",
+        F.when((F.col("s_en") >= F.col("s_de")) & (F.col("s_en") >= F.col("s_fr")), "en")
+        .when(F.col("s_de") >= F.col("s_fr"), "de").otherwise("fr"))
+    return (pred.groupBy("lang", "pred_lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("lang", "pred_lang"))
+
+
+@register(
+    "text_quality_buckets",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id,
+             (length(text) - length(replace(text, ' ', '')) + 1) AS n_tok,
+             length(text) AS n_ch,
+             (length(text) - length(replace(text, ' a ', ''))) / 3 AS n_a
+      FROM documents),
+    s AS (SELECT doc_id,
+                 CAST(n_ch AS DOUBLE) / n_tok AS avg_tok_len,
+                 CAST(n_a AS DOUBLE) / n_tok AS filler_ratio
+          FROM q)
+    SELECT CAST(floor(avg_tok_len) AS BIGINT) AS len_bucket,
+           count(*) AS n_docs,
+           CAST(floor(10000.0 * min(filler_ratio)) AS BIGINT) AS min_filler_bp,
+           CAST(floor(10000.0 * max(filler_ratio)) AS BIGINT) AS max_filler_bp
+    FROM s GROUP BY len_bucket ORDER BY len_bucket
+    """,
+)
+def quality_buckets(spark, sf_dir):
+    """Document quality scoring: token-length and filler-word ratios
+    (length/stopword-ratio features of SURVEY's training-data ops),
+    bucketed histogram as stable output."""
+    d = _t(spark, sf_dir, "documents")
+    n_tok = (F.length("text")
+             - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + F.lit(1))
+    n_a = (F.length("text")
+           - F.length(F.replace(F.col("text"), F.lit(" a "), F.lit("")))) / F.lit(3)
+    s = d.select(
+        (F.length("text").cast("double") / n_tok).alias("avg_tok_len"),
+        (n_a.cast("double") / n_tok).alias("filler_ratio"))
+    return (s.groupBy(F.floor("avg_tok_len").cast("long").alias("len_bucket"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.floor(F.lit(10000.0) * F.min("filler_ratio")).cast("long").alias("min_filler_bp"),
+                 F.floor(F.lit(10000.0) * F.max("filler_ratio")).cast("long").alias("max_filler_bp"))
+            .orderBy("len_bucket"))
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+      FROM documents),
+    g AS (SELECT doc_id, md5(substr(text, CAST(i AS INTEGER), 8)) AS h FROM pos)
+    SELECT doc_id, min(h) AS fingerprint, count(DISTINCT h) AS n_shingles
+    FROM g GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def fingerprint(spark, sf_dir):
+    """Document fingerprinting: winnowing-style minimum over the
+    character-8-gram hash set (rolling-hash family of SURVEY's
+    training-data ops) + distinct-shingle cardinality."""
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - 7, F.lit(1))),
+            lambda i: F.md5(F.encode(F.col("text").substr(i, F.lit(8)), "utf-8")),
+        )).alias("h"))
+    return (grams.groupBy("doc_id")
+            .agg(F.min("h").alias("fingerprint"),
+                 F.countDistinct("h").alias("n_shingles"))
+            .orderBy("doc_id"))
+
+
+@register(
+    "multimodal_meta",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(octet_length(encode('<html><body>' || text || '</body></html>')) AS BIGINT) AS n_bytes,
+           TRUE AS is_html,
+           CAST((octet_length(encode('<html><body>' || text || '</body></html>'))
+                 * {multimodal.FEAT_MULT}) % {multimodal.FEAT_MOD} AS BIGINT) AS feat
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_meta(spark, sf_dir):
+    """Multimodal metadata extraction over opaque binary payloads:
+    Arrow-batched UDF computes byte length, magic-prefix probe, and a
+    deterministic feature from the REAL bytes (decode itself is the
+    documented stub — no codecs in this environment)."""
+    p = pages.pages_from_documents(spark, sf_dir)
+    return multimodal.extract_meta(p).orderBy("doc_id")

@@ -1,0 +1,225 @@
+"""Raster-surface queries for the driver gate: density rasters, the
+tile pyramid, rasterize, warp, polygonize — each checksummed with the
+reference's 16-bit image checksum (alg/gdalchecksum.cpp:48) so the
+oracle comparison gates on EXACT pixel content, not just shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .geo import mercator, wkb
+from .queries import register
+from .raster import checksum as CK
+from .raster import density as D
+from .raster import grid as G
+from .raster import polygonize as PZ
+from .raster import pyramid as P
+from .raster import rasterize as R
+from .raster import warp as W
+from .sources import admin, pages
+
+# one shared base zoom for the density raster family
+ZOOM, TILE = 5, 64            # 2048 x 2048 world grid, 32x32 tiles
+N5 = (1 << ZOOM) * TILE
+
+_PTS = f"SELECT doc_id, {pages.LON_SQL} AS lon, {pages.LAT_SQL} AS lat FROM documents"
+
+
+def _px_cte(zoom: int, tile: int) -> str:
+    gx, gy = G.pixel_index_sql_3857(zoom, tile, "lon", "lat")
+    return (f"pts AS ({_PTS}),\n"
+            f"px AS (SELECT gx, gy, CAST(count(*) AS DOUBLE) AS v\n"
+            f"       FROM (SELECT {gx} AS gx, {gy} AS gy FROM pts)\n"
+            f"       GROUP BY gx, gy)")
+
+
+def _tile_checksum_sql(width: int, tile: int) -> str:
+    return f"""
+    SELECT CAST(gy // {tile} AS INTEGER) AS tile_y,
+           CAST(gx // {tile} AS INTEGER) AS tile_x,
+           {CK.checksum_sql('v', 'gx', 'gy', width)} AS checksum,
+           count(*) FILTER (WHERE v <> 0) AS n_nonzero
+    FROM px GROUP BY tile_y, tile_x
+    HAVING count(*) FILTER (WHERE v <> 0) > 0
+    ORDER BY tile_y, tile_x
+    """
+
+
+@register(
+    "raster_density_checksum_z5",
+    oracle=f"WITH {_px_cte(ZOOM, TILE)}\n{_tile_checksum_sql(N5, TILE)}",
+)
+def density_checksum(spark, sf_dir):
+    """Page-density raster at z5 (the rasterized point layer of the
+    north star), gated by per-tile GDAL checksums. Pixel assignment is
+    pure JVM column math; only tile assembly runs in Arrow UDFs."""
+    pts = pages.page_points(spark, sf_dir)
+    spec = G.world_3857(ZOOM, TILE)
+    tiles = D.density_tiles(pts, ZOOM, TILE)
+    return (R.tiles_checksum(tiles, spec)
+            .filter(F.col("n_nonzero") > 0)
+            .orderBy("tile_y", "tile_x"))
+
+
+@register(
+    "raster_pyramid_checksum_z3",
+    oracle=f"WITH {_px_cte(3, TILE)}\n{_tile_checksum_sql((1 << 3) * TILE, TILE)}",
+)
+def pyramid_checksum(spark, sf_dir):
+    """Overview pyramid z5 -> z3 with the SUM kernel (counts stay
+    counts). Oracle identity: sum-downsampling density == computing
+    density on the coarser grid (exact floor-composition: the pixel
+    fraction (lon+180)/360 is rounded ONCE, then scaled by exact
+    powers of two at every zoom)."""
+    pts = pages.page_points(spark, sf_dir)
+    base = D.density_tiles(pts, ZOOM, TILE)
+    levels = P.build_pyramid(base, ZOOM, 3, kernel="sum", tile=TILE)
+    spec = G.world_3857(3, TILE)
+    return (R.tiles_checksum(levels[3], spec)
+            .filter(F.col("n_nonzero") > 0)
+            .orderBy("tile_y", "tile_x"))
+
+
+# ------------------------------------------------------------- rasterize
+
+RAST_W, RAST_H, RAST_TILE = 360, 180, 45
+
+
+def _rasterize_oracle() -> str:
+    from .geo import geom
+
+    terms = []
+    for pid, _name, ring in admin.admin_rings():
+        pred = geom.convex_halfplane_sql(ring, "cx", "cy")
+        terms.append(f"(CASE WHEN {pred} THEN {pid + 1} ELSE 0 END)")
+    burn = " + ".join(terms)
+    return f"""
+    WITH pxg AS (
+      SELECT x, y, (-180.0 + (x + 0.5) * 1.0) AS cx, (90.0 - (y + 0.5) * 1.0) AS cy
+      FROM (SELECT range AS x FROM range({RAST_W})), (SELECT range AS y FROM range({RAST_H}))
+    ),
+    px AS (SELECT x AS gx, y AS gy, CAST({burn} AS DOUBLE) AS v FROM pxg)
+    {_tile_checksum_sql(RAST_W, RAST_TILE)}
+    """
+
+
+@register("raster_rasterize_checksum", oracle=_rasterize_oracle())
+def rasterize_checksum(spark, sf_dir):
+    """gdal_rasterize analog: burn the admin polygons (burn=poly_id+1,
+    MERGE_ALG=ADD) into a 1-degree world grid; per-tile checksums.
+
+    The oracle exploits the fill-rule equivalence proven in unit tests:
+    scanline pixel-center fill == center-in-polygon == half-plane SQL
+    for the convex fixture rings (llrasterize.cpp:41-45 rule)."""
+    spec = G.world_4326(RAST_W, RAST_H, tile=RAST_TILE)
+    rows = [(pid, float(pid + 1), bytearray(wkb.polygon([ring])))
+            for pid, _n, ring in admin.admin_rings()]
+    polys = spark.createDataFrame(rows, "fid long, burn double, geom binary")
+    tiles = R.rasterize(polys, spec, merge="add")
+    return (R.tiles_checksum(tiles, spec)
+            .filter(F.col("n_nonzero") > 0)
+            .orderBy("tile_y", "tile_x"))
+
+
+# ------------------------------------------------------------------ warp
+
+WARP_W, WARP_H, WARP_TILE = 1000, 500, 125
+
+
+def _warp_oracle() -> str:
+    src_spec = G.world_3857(ZOOM, TILE)
+    res_x = 360.0 / WARP_W
+    res_y = 180.0 / WARP_H
+    # EXACT mirror of warp.py numpy algebra:
+    #   mx = cx * LON2M ; spx = (mx - gt0) / gt1 ; sgx = floor(spx)
+    #   my = merc(cy)   ; spy = (my - gt3) / gt5 ; sgy = floor(spy)
+    cx = f"(-180.0 + (x + 0.5) * {res_x!r})"
+    cy = f"(90.0 - (y + 0.5) * {res_y!r})"
+    mx = f"(({cx}) * {mercator.LON2M!r})"
+    my = mercator.merc_y_sql(cy)
+    spx = f"((({mx}) - ({src_spec.gt[0]!r})) / {src_spec.gt[1]!r})"
+    spy = f"((({my}) - ({src_spec.gt[3]!r})) / ({src_spec.gt[5]!r}))"
+    return f"""
+    WITH {_px_cte(ZOOM, TILE)},
+    dst AS (
+      SELECT x, y, CAST(floor({spx}) AS BIGINT) AS sgx,
+                   CAST(floor({spy}) AS BIGINT) AS sgy
+      FROM (SELECT range AS x FROM range({WARP_W})), (SELECT range AS y FROM range({WARP_H}))
+    ),
+    warped AS (
+      SELECT d.x AS gx, d.y AS gy,
+             CASE WHEN d.sgx BETWEEN 0 AND {N5 - 1} AND d.sgy BETWEEN 0 AND {N5 - 1}
+                  THEN coalesce(p.v, 0.0) ELSE 0.0 END AS v
+      FROM dst d LEFT JOIN px p ON p.gx = d.sgx AND p.gy = d.sgy
+    ),
+    px2 AS (SELECT gx, gy, v FROM warped)
+    SELECT CAST(gy // {WARP_TILE} AS INTEGER) AS tile_y,
+           CAST(gx // {WARP_TILE} AS INTEGER) AS tile_x,
+           {CK.checksum_sql('v', 'gx', 'gy', WARP_W)} AS checksum,
+           count(*) FILTER (WHERE v <> 0) AS n_nonzero
+    FROM px2 GROUP BY tile_y, tile_x
+    HAVING count(*) FILTER (WHERE v <> 0) > 0
+    ORDER BY tile_y, tile_x
+    """
+
+
+@register("raster_warp_checksum", oracle=_warp_oracle())
+def warp_checksum(spark, sf_dir):
+    """gdalwarp analog: reproject the z5 density raster from
+    EPSG:3857 to a 1000x500 EPSG:4326 grid with the NEAR kernel;
+    per-tile checksums of the warped band."""
+    pts = pages.page_points(spark, sf_dir)
+    src_spec = G.world_3857(ZOOM, TILE)
+    src_tiles = D.density_tiles(pts, ZOOM, TILE)
+    dst_spec = G.world_4326(WARP_W, WARP_H, tile=WARP_TILE)
+    out = W.warp(src_tiles, src_spec, dst_spec, kernel="near")
+    return (R.tiles_checksum(out, dst_spec)
+            .filter(F.col("n_nonzero") > 0)
+            .orderBy("tile_y", "tile_x"))
+
+
+# ------------------------------------------------------------ polygonize
+
+PZOOM, PTILE = 4, 64
+NP4 = (1 << PZOOM) * PTILE
+
+
+def _polygonize_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_px_cte(PZOOM, PTILE)},
+    pxi AS (SELECT gx, gy, v, gy * {NP4} + gx AS pid FROM px),
+    e AS (
+      SELECT a.pid AS pa, b.pid AS pb FROM pxi a JOIN pxi b
+      ON a.v = b.v AND ((b.gx = a.gx + 1 AND b.gy = a.gy)
+                     OR (b.gx = a.gx AND b.gy = a.gy + 1))
+    ),
+    eb AS (SELECT pa, pb FROM e UNION SELECT pb AS pa, pa AS pb FROM e),
+    reach AS (
+      SELECT pid, pid AS r FROM pxi
+      UNION
+      SELECT eb.pa AS pid, reach.r FROM eb JOIN reach ON eb.pb = reach.pid
+    ),
+    root AS (SELECT pid, min(r) AS root FROM reach GROUP BY pid)
+    SELECT min(v) AS value, count(*) AS n_px,
+           min(gx) AS min_x, min(gy) AS min_y,
+           max(gx) AS max_x, max(gy) AS max_y
+    FROM pxi JOIN root USING (pid)
+    GROUP BY root.root
+    ORDER BY min_y, min_x, value
+    """
+
+
+@register("raster_polygonize_components", oracle=_polygonize_oracle())
+def polygonize_components(spark, sf_dir):
+    """gdal_polygonize analog: connected components of the z4 density
+    raster (equal-valued 4-connected pixels), value + pixel count +
+    bbox per component. The oracle is a recursive-CTE transitive
+    closure — tractable at test scale; the engine's tile-CCL +
+    boundary-merge is the 10^12-scale path."""
+    pts = pages.page_points(spark, sf_dir)
+    spec = G.world_3857(PZOOM, PTILE)
+    tiles = D.density_tiles(pts, PZOOM, PTILE)
+    return (PZ.polygonize(tiles, spec, connect8=False)
+            .withColumn("n_px", F.col("n_px").cast("long"))
+            .orderBy("min_y", "min_x", "value"))

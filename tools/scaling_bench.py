@@ -1,0 +1,110 @@
+"""Scaling-efficiency evidence for the north rule: run the SAME
+headline job (spatial join + tile assignment over synthetic pages) at
+two parallelism levels — local[8] (N) and local[32] (4N, the sandbox
+proxy for an N- vs 4N-executor cluster) — and report throughput at
+both plus the scaling efficiency
+
+    eff = (pages_per_sec @ 4N) / (4 * pages_per_sec @ N)
+
+Each level runs in its OWN JVM (subprocess) so executor-thread count,
+shuffle partitioning, and memory are configured per level exactly as
+spark-submit would. Timing excludes session startup and input
+materialization (the input is persisted and counted before the clock
+starts).
+
+Usage:  python tools/scaling_bench.py            # run both + report
+        python tools/scaling_bench.py --child N  # internal: one level
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+PAGES_N = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "120000000"))
+LEVELS = (8, 32)
+
+
+def run_child(cpus: int) -> None:
+    from pyspark.sql import functions as F
+
+    from gdal_spark.geo import mercator
+    from gdal_spark.operators import pip_join
+    from gdal_spark.session import get_spark
+    from gdal_spark.sources import admin, pages
+
+    spark = get_spark(f"scale{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=2 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    pts = pages.synth_pages(spark, PAGES_N, skew_hot_fraction=0.2).select(
+        "doc_id", "lon", "lat", "cell_id").persist()
+    n = pts.count()  # materialize BEFORE the clock
+    polys = admin.admin_df(spark)
+
+    # warm-up: spawn + import every Python UDF worker before timing
+    # (a real cluster amortizes worker startup across the job's life;
+    # timing it would measure process-fork cost, not the operator)
+    warm = pages.synth_pages(spark, 64 * cpus * 1024).select(
+        "doc_id", "lon", "lat", "cell_id").repartition(2 * cpus)
+    pip_join.pip_join_broadcast(warm, polys, how="inner").count()
+
+    t0 = time.time()
+    j = pip_join.pip_join_broadcast(pts, polys, how="inner")
+    out = (j.withColumn("tile_x", mercator.tile_x_col(F.col("lon"), 12))
+           .withColumn("tile_y", mercator.tile_y_col(F.col("lat"), 12))
+           .groupBy("poly_id", "tile_x", "tile_y")
+           .agg(F.count(F.lit(1)).alias("n")))
+    n_groups = out.count()
+    wall = time.time() - t0
+    print(json.dumps({"cpus": cpus, "pages": n, "groups": n_groups,
+                      "wall_s": round(wall, 3),
+                      "pages_per_sec": round(n / wall, 1)}))
+    spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--child":
+        run_child(int(sys.argv[2]))
+        return
+    results = {}
+    for cpus in LEVELS:
+        env = dict(os.environ)
+        env["SPARK_GRAFT_CPUS"] = str(cpus)
+        # taskset bounds the WHOLE process tree (JVM + every Python UDF
+        # worker) to `cpus` hardware cores — without it, a local[N]
+        # run's Python workers execute on cores beyond the N task
+        # slots, so "local[8]" would really use ~2N cores and the
+        # N-vs-4N comparison would be meaningless.
+        cpu_list = f"0-{cpus - 1}"
+        out = subprocess.run(
+            ["taskset", "-c", cpu_list, sys.executable,
+             os.path.abspath(__file__), "--child", str(cpus)],
+            capture_output=True, text=True, env=env, cwd=REPO)
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    lo, hi = LEVELS
+    eff = results[hi]["pages_per_sec"] / (
+        (hi / lo) * results[lo]["pages_per_sec"])
+    report = {
+        "metric": "scaling efficiency, spatial-join+tile-assign, "
+                  f"local[{lo}] vs local[{hi}] (N vs 4N proxy)",
+        "pages": PAGES_N,
+        f"pages_per_sec_local{lo}": results[lo]["pages_per_sec"],
+        f"pages_per_sec_local{hi}": results[hi]["pages_per_sec"],
+        f"wall_s_local{lo}": results[lo]["wall_s"],
+        f"wall_s_local{hi}": results[hi]["wall_s"],
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
