@@ -79,19 +79,23 @@ def main():
     from gdal_spark.raster import rasterize as RZ
     from gdal_spark.raster import warp as W
 
+    # zoom 5 = 8192px world, <=1024 dense tiles: dense tile arrays stay
+    # bounded regardless of point count (z8 would admit 65k tiles x
+    # 512KB = 34GB — dense tiles must only materialize at zooms where
+    # occupancy is high; finer zooms stay in the sparse pixel relation)
     rpts = pages.synth_pages(spark, 2_000_000).select("lon", "lat").persist()
     rpts.count()
-    src_spec = G.world_3857(8, 256)
+    src_spec = G.world_3857(5, 256)
 
     def raster_pipeline():
-        base = D.density_tiles(rpts, 8, 256).persist()
+        base = D.density_tiles(rpts, 5, 256).persist()
         n_tiles = base.count()
-        levels = P.build_pyramid(base, 8, 5, kernel="sum", tile=256)
-        n5 = levels[5].count()
+        levels = P.build_pyramid(base, 5, 3, kernel="sum", tile=256)
+        n3 = levels[3].count()
         dst = G.world_4326(2048, 1024, tile=256)
         nw = W.warp(base, src_spec, dst, kernel="near").count()
         base.unpersist()
-        return (n_tiles, n5, nw)
+        return (n_tiles, n3, nw)
 
     timed("raster_density_pyramid_warp_2m", raster_pipeline)
     rpts.unpersist()

@@ -56,11 +56,23 @@ def _lat_of_tile_row_col(row: F.Column, res: int) -> F.Column:
 def knn_join(data: DataFrame, queries: DataFrame, k: int = 5,
              res: int = cells.DEFAULT_RES, max_ring: int = 8,
              id_col: str = "doc_id", lon_col: str = "lon",
-             lat_col: str = "lat") -> DataFrame:
+             lat_col: str = "lat",
+             initial_ring: int | None = None) -> DataFrame:
     """-> (q_id, rank, neighbor_id, dist2): exact k nearest data points
-    per query (self excluded by id), ties by neighbor id."""
+    per query (self excluded by id), ties by neighbor id.
+
+    initial_ring=None auto-sizes the first ring from the data density
+    (expected candidates in a disk of Chebyshev radius r is
+    (2r+1)^2 * rows_per_cell; we aim for ~3k candidates) — each wasted
+    widening round costs a full join pass, so starting near the right
+    radius matters more than the extra count() it takes to estimate.
+    """
     spark = data.sparkSession
     n = 1 << res
+    if initial_ring is None:
+        rows_per_cell = max(data.count() / float(4 ** res), 1e-9)
+        est = (np.sqrt(3.0 * k / rows_per_cell) - 1.0) / 2.0
+        initial_ring = int(min(max(1, np.ceil(est)), max_ring))
     d = data.select(F.col(id_col).alias("neighbor_id"),
                     F.col(lon_col).alias("nx"), F.col(lat_col).alias("ny"),
                     F.col("cell_id").alias("d_cell"))
@@ -102,7 +114,7 @@ def knn_join(data: DataFrame, queries: DataFrame, k: int = 5,
         s = F.least(sx, sn, ss)
         return s * s
 
-    ring = 1
+    ring = initial_ring
     result = None
     pending = q
     while ring <= max_ring:

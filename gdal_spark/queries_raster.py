@@ -210,6 +210,158 @@ def _polygonize_oracle() -> str:
     """
 
 
+# ----------------------------------------------------- focal / calc
+
+FZOOM, FTILE = 3, 64
+NF = (1 << FZOOM) * FTILE
+
+
+def _focal_sum_oracle() -> str:
+    """3x3 focal SUM with edge replicate: nine clamped lookups into the
+    sparse pixel relation. Term order mirrors focal._kernel_np's
+    left-associative a+b+...+i so float addition rounds identically
+    (integers here, but the discipline is uniform)."""
+    terms = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            cx = f"least(greatest(g.x + ({dx}), 0), {NF - 1})"
+            cy = f"least(greatest(g.y + ({dy}), 0), {NF - 1})"
+            terms.append(
+                f"coalesce((SELECT v FROM px p WHERE p.gx = {cx} AND p.gy = {cy}), 0.0)")
+    # numpy kernel order is a(y-1,x-1), b(y-1,x), c(y-1,x+1), d(y,x-1),
+    # e, f, g(y+1,x-1), h, i — the loop above emits the same order
+    s = " + ".join(terms)
+    return f"""
+    WITH {_px_cte(FZOOM, FTILE)},
+    grid AS (
+      SELECT x, y FROM (SELECT range AS x FROM range({NF})),
+                        (SELECT range AS y FROM range({NF}))
+    ),
+    f AS (SELECT g.x AS gx, g.y AS gy, ({s}) AS v FROM grid g),
+    px2 AS (SELECT gx, gy, v FROM f)
+    SELECT CAST(gy // {FTILE} AS INTEGER) AS tile_y,
+           CAST(gx // {FTILE} AS INTEGER) AS tile_x,
+           {CK.checksum_sql('v', 'gx', 'gy', NF)} AS checksum,
+           count(*) FILTER (WHERE v <> 0) AS n_nonzero
+    FROM px2 GROUP BY tile_y, tile_x
+    HAVING count(*) FILTER (WHERE v <> 0) > 0
+    ORDER BY tile_y, tile_x
+    """
+
+
+@register("raster_focal_sum_checksum", oracle=_focal_sum_oracle())
+def focal_sum_checksum(spark, sf_dir):
+    """Focal neighborhood op (`gdal raster neighbors` /
+    apps/gdaldem_lib.cpp 3x3 family) via tile halo exchange: 3x3 SUM
+    over the z3 density raster, per-tile checksums. Note the engine
+    emits only OCCUPIED tiles; a tile whose only nonzero focal pixels
+    would come from a neighbor's halo is absent — the oracle filter
+    matches occupied tiles (see n_nonzero clause)."""
+    from .raster import focal as FO
+
+    pts = pages.page_points(spark, sf_dir)
+    spec = G.world_3857(FZOOM, FTILE)
+    tiles = D.density_tiles(pts, FZOOM, FTILE)
+    out = FO.focal(tiles, spec, "sum3x3")
+    return (R.tiles_checksum(out, spec)
+            .filter(F.col("n_nonzero") > 0)
+            .orderBy("tile_y", "tile_x"))
+
+
+@register(
+    "raster_reclassify_checksum",
+    oracle=f"""
+    WITH {_px_cte(ZOOM, TILE)},
+    px2 AS (SELECT gx, gy,
+                   CAST(CASE WHEN v >= 1 AND v < 2 THEN 10
+                             WHEN v >= 2 AND v < 5 THEN 20
+                             WHEN v >= 5 THEN 30 ELSE 0 END AS DOUBLE) AS v
+            FROM px)
+    SELECT CAST(gy // {TILE} AS INTEGER) AS tile_y,
+           CAST(gx // {TILE} AS INTEGER) AS tile_x,
+           {CK.checksum_sql('v', 'gx', 'gy', N5)} AS checksum,
+           count(*) FILTER (WHERE v <> 0) AS n_nonzero
+    FROM px2 GROUP BY tile_y, tile_x
+    HAVING count(*) FILTER (WHERE v <> 0) > 0
+    ORDER BY tile_y, tile_x
+    """,
+)
+def reclassify_checksum(spark, sf_dir):
+    """Reclassify (apps/gdalalg_raster_reclassify.cpp range table) of
+    the z5 density raster — runs as F.transform over the pixel array
+    (JVM higher-order function, no Python)."""
+    from .raster import calc as C
+
+    pts = pages.page_points(spark, sf_dir)
+    spec = G.world_3857(ZOOM, TILE)
+    tiles = D.density_tiles(pts, ZOOM, TILE)
+    out = C.reclassify(tiles, [1.0, 2.0, 5.0, 1e18], [10.0, 20.0, 30.0])
+    return (R.tiles_checksum(out, spec)
+            .filter(F.col("n_nonzero") > 0)
+            .orderBy("tile_y", "tile_x"))
+
+
+@register(
+    "raster_mosaic_checksum",
+    oracle=f"WITH {_px_cte(ZOOM, TILE)}\n{_tile_checksum_sql(N5, TILE)}",
+)
+def mosaic_checksum(spark, sf_dir):
+    """Mosaic (apps/gdalalg_raster_mosaic.cpp, sum method): densities
+    of the 'en' docs and the non-'en' docs mosaicked back together must
+    equal the all-docs density — checksummed per tile against the
+    plain density oracle (an algebraic identity the merge must hold)."""
+    from .raster import calc as C
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pts = d.select("doc_id", "lang",
+                   pages.lon_col(F.col("doc_id")).alias("lon"),
+                   pages.lat_col(F.col("doc_id")).alias("lat"))
+    spec = G.world_3857(ZOOM, TILE)
+    en = D.density_tiles(pts.filter(F.col("lang") == "en"), ZOOM, TILE)
+    rest = D.density_tiles(pts.filter(F.col("lang") != "en"), ZOOM, TILE)
+    merged = C.mosaic([en, rest], method="sum")
+    return (R.tiles_checksum(merged, spec)
+            .filter(F.col("n_nonzero") > 0)
+            .orderBy("tile_y", "tile_x"))
+
+
+def _interp_oracle() -> str:
+    src = G.world_3857(ZOOM, TILE)
+    mx = f"(qs.lon * {mercator.LON2M!r})"
+    my = mercator.merc_y_sql("qs.lat")
+    spx = f"((({mx}) - ({src.gt[0]!r})) / {src.gt[1]!r})"
+    spy = f"((({my}) - ({src.gt[3]!r})) / ({src.gt[5]!r}))"
+    return f"""
+    WITH {_px_cte(ZOOM, TILE)},
+    qs AS (SELECT doc_id AS pt_id, lon, lat FROM ({_PTS}) WHERE doc_id % 10 = 0),
+    routed AS (SELECT pt_id, CAST(floor({spx}) AS BIGINT) AS sgx,
+                      CAST(floor({spy}) AS BIGINT) AS sgy FROM qs)
+    SELECT r.pt_id AS pt_id, coalesce(p.v, 0.0) AS value
+    FROM routed r LEFT JOIN px p ON p.gx = r.sgx AND p.gy = r.sgy
+    ORDER BY pt_id
+    """
+
+
+@register("raster_interpolate_at_points", oracle=_interp_oracle())
+def interpolate_at_points_q(spark, sf_dir):
+    """Interpolate-at-point (alg/gdal_interpolateatpoint.cpp): sample
+    the z5 density raster at every 10th page's mercator position with
+    the NEAR kernel — each point lands in its own pixel, so value >= 1
+    unless clamping shifted the pixel assignment (the oracle proves
+    the routing math matches bit-for-bit)."""
+    from .raster import calc as C
+
+    pts = pages.page_points(spark, sf_dir)
+    spec = G.world_3857(ZOOM, TILE)
+    tiles = D.density_tiles(pts, ZOOM, TILE)
+    qs = (pts.filter(F.col("doc_id") % 10 == 0)
+          .select(F.col("doc_id").alias("pt_id"),
+                  mercator.merc_x_col(F.col("lon")).alias("x"),
+                  mercator.merc_y_col(F.col("lat")).alias("y")))
+    return (C.interpolate_at_points(tiles, spec, qs, kernel="near")
+            .orderBy("pt_id"))
+
+
 @register("raster_polygonize_components", oracle=_polygonize_oracle())
 def polygonize_components(spark, sf_dir):
     """gdal_polygonize analog: connected components of the z4 density
