@@ -265,6 +265,136 @@ def union_layer(spark, sf_dir):
 
 
 # =====================================================================
+# Window / frames / sessionization (SURVEY §2.5)
+# =====================================================================
+
+@register(
+    "window_rolling_sum",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll3,
+           count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n_in_frame
+    FROM events ORDER BY user_id, event_id
+    """,
+)
+def rolling_sum(spark, sf_dir):
+    """ROWS-frame rolling aggregate (SQLite-dialect window surface).
+    The sum goes through DECIMAL so frame-internal float order (Spark
+    running-sum vs DuckDB segment tree) cannot flip a bit."""
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-2, 0))
+    return (ev.select(
+        "user_id", "event_id",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+        .cast("double").alias("roll3"),
+        F.count(F.lit(1)).over(w).alias("n_in_frame"))
+        .orderBy("user_id", "event_id"))
+
+
+@register(
+    "window_sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, ts, event_id,
+                 sum(new_sess) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS session_id
+          FROM g)
+    SELECT user_id, session_id, count(*) AS n_events,
+           CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS dur_us
+    FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
+    """,
+)
+def sessionize(spark, sf_dir):
+    """Gap-based sessionization (1h inactivity): lag + cumulative flag
+    sum — the batch form of a stateful streaming session window."""
+    ev = _t(spark, sf_dir, "events")
+    # ts is microsecond TIMESTAMP_NTZ: gap math runs on integer
+    # microseconds (unix_micros) so both engines decide every boundary
+    # identically — second-truncation would misclassify gaps near 1h
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = epoch - F.lag(epoch).over(w)
+    g = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 3600000000), 1).otherwise(0))
+    s = g.withColumn("session_id", F.sum("new_sess").over(w))
+    return (s.groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 (F.max(epoch) - F.min(epoch)).alias("dur_us"))
+            .orderBy("user_id", "session_id"))
+
+
+@register(
+    "window_rank_dense",
+    oracle="""
+    SELECT event_type, event_id,
+           rank() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rnk,
+           dense_rank() OVER (PARTITION BY event_type
+                              ORDER BY CAST(floor(value) AS BIGINT) DESC) AS drnk
+    FROM events QUALIFY rnk <= 5 ORDER BY event_type, rnk, event_id
+    """,
+)
+def rank_dense(spark, sf_dir):
+    """rank/dense_rank + top-k-per-group (the OVER surface of the
+    SQLite dialect, executed by Catalyst's window operator)."""
+    ev = _t(spark, sf_dir, "events")
+    w1 = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    w2 = Window.partitionBy("event_type").orderBy(
+        F.desc(F.floor("value").cast("long")))
+    return (ev.select("event_type", "event_id",
+                      F.rank().over(w1).alias("rnk"),
+                      F.dense_rank().over(w2).alias("drnk"))
+            .filter(F.col("rnk") <= 5)
+            .orderBy("event_type", "rnk", "event_id"))
+
+
+@register(
+    "agg_percentile_disc",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders)
+    SELECT o_orderpriority,
+           min(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+                    THEN o_totalprice END) AS p50,
+           min(CASE WHEN rn = CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1
+                    THEN o_totalprice END) AS p90,
+           max(n) AS n_rows
+    FROM ranked GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def percentile_disc(spark, sf_dir):
+    """Discrete percentiles (SQLite-dialect percentile/median family,
+    ogrsqlitesqlfunctionscommon.cpp:642) expressed as an explicit
+    row_number selection so both engines pick the IDENTICAL element —
+    no interpolation-formula ambiguity."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wc = Window.partitionBy("o_orderpriority")
+    ranked = (o.select("o_orderpriority", "o_totalprice", "o_orderkey")
+              .withColumn("rn", F.row_number().over(w))
+              .withColumn("n", F.count(F.lit(1)).over(wc)))
+    pick = lambda p: F.min(F.when(  # noqa: E731
+        F.col("rn") == F.floor(F.lit(p) * (F.col("n") - 1)).cast("long") + 1,
+        F.col("o_totalprice")))
+    return (ranked.groupBy("o_orderpriority")
+            .agg(pick(0.5).alias("p50"), pick(0.9).alias("p90"),
+                 F.max("n").alias("n_rows"))
+            .orderBy("o_orderpriority"))
+
+
+# =====================================================================
 # Web-text training-data ops
 # =====================================================================
 

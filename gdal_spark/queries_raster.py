@@ -362,6 +362,74 @@ def interpolate_at_points_q(spark, sf_dir):
             .orderBy("pt_id"))
 
 
+PXZOOM, PXTILE = 2, 32
+NPX = (1 << PXZOOM) * PXTILE
+
+
+def _proximity_oracle() -> str:
+    return f"""
+    WITH {_px_cte(PXZOOM, PXTILE)},
+    occ AS (SELECT DISTINCT CAST(gy // {PXTILE} AS INTEGER) AS tile_y,
+                            CAST(gx // {PXTILE} AS INTEGER) AS tile_x FROM px),
+    allpx AS (
+      SELECT o.tile_y, o.tile_x,
+             o.tile_x * {PXTILE} + dx.range AS x,
+             o.tile_y * {PXTILE} + dy.range AS y
+      FROM occ o, range({PXTILE}) dx, range({PXTILE}) dy),
+    d AS (
+      SELECT tile_y, tile_x, x, y,
+             (SELECT min(sqrt(CAST((p.gx - a.x) * (p.gx - a.x)
+                            + (p.gy - a.y) * (p.gy - a.y) AS DOUBLE)))
+              FROM px p) AS dist
+      FROM allpx a)
+    SELECT tile_y, tile_x,
+           CAST(sum(CAST(floor(dist) AS BIGINT)) AS BIGINT) AS sum_floor_dist,
+           count(*) FILTER (WHERE dist = 0) AS n_zero
+    FROM d GROUP BY tile_y, tile_x ORDER BY tile_y, tile_x
+    """
+
+
+@register("raster_proximity", oracle=_proximity_oracle())
+def proximity_q(spark, sf_dir):
+    """Proximity raster (alg/gdalproximity.cpp:94): per-pixel distance
+    to the nearest occupied pixel of the z2 density raster, summarized
+    per occupied tile as sum(floor(dist)) + zero-distance count.
+    floor(sqrt(integer)) is cross-engine stable: the argument of floor
+    only hits an integer when the radicand is a perfect square, where
+    sqrt is exact."""
+    from .raster import proximity as PX
+
+    pts = pages.page_points(spark, sf_dir)
+    spec = G.world_3857(PXZOOM, PXTILE)
+    tiles = D.density_tiles(pts, PXZOOM, PXTILE)
+    dist = PX.proximity(tiles, spec)
+    agg = (dist.select(
+        "tile_y", "tile_x",
+        F.aggregate("px", F.lit(0).cast("long"),
+                    lambda a, x: a + F.floor(x).cast("long")).alias("sum_floor_dist"),
+        F.size(F.filter("px", lambda x: x == 0)).cast("long").alias("n_zero"),
+    ))
+    return agg.orderBy("tile_y", "tile_x")
+
+
+@register("raster_sieve_checksum")  # rows-only: cascade not SQL-expressible
+def sieve_checksum(spark, sf_dir):
+    """Sieve filter (alg/gdalsievefilter.cpp:178): sub-threshold
+    components of the z3 density raster merge into their largest
+    neighbour; per-tile checksums of the sieved band. No SQL oracle —
+    the smallest-first merge cascade is not relationally expressible;
+    the exactness gate is tests/test_sieve.py's distributed ==
+    single-node equality."""
+    from .raster import sieve as SV
+
+    pts = pages.page_points(spark, sf_dir)
+    spec = G.world_3857(FZOOM, FTILE)
+    tiles = D.density_tiles(pts, FZOOM, FTILE)
+    out = SV.sieve(tiles, spec, threshold=2)
+    return (R.tiles_checksum(out, spec)
+            .orderBy("tile_y", "tile_x"))
+
+
 @register("raster_polygonize_components", oracle=_polygonize_oracle())
 def polygonize_components(spark, sf_dir):
     """gdal_polygonize analog: connected components of the z4 density

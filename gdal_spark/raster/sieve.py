@@ -1,0 +1,295 @@
+"""Sieve filter: remove raster polygons smaller than a threshold by
+merging them into their largest neighbour polygon.
+
+Reference: alg/gdalsievefilter.cpp:178 `GDALSieveFilter` — connected
+components (4- or 8-connected) of equal-valued pixels; components with
+fewer than `threshold` pixels take the value of their LARGEST
+neighbouring component; merging cascades smallest-first until no
+undersized component remains (a merged component's pixels then count
+toward its absorber). Background (value 0) is excluded, mirroring the
+mask-band convention.
+
+Distributed design (the 2-D merge-map pattern polygonize uses, plus an
+adjacency relation):
+ 1. per-tile CCL -> (a) labeled tiles kept for the final recolor,
+    (b) component stats, (c) same-value cross-tile equivalences,
+    (d) adjacency pairs between DIFFERENT components — in-tile from
+    pixel neighbours, cross-tile from shared edges;
+ 2. union-find the equivalences -> global roots; aggregate sizes and
+    adjacency onto roots (all metadata-sized: bounded by component
+    and boundary-run counts, not pixels);
+ 3. the cascade itself is a driver-side loop over that metadata
+    (smallest component first, GDAL's processing order);
+ 4. broadcast the final label->value map; one map pass recolors tiles.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import grid as G
+from .polygonize import label_tile_np
+
+_LBL_SCHEMA = T.StructType([
+    T.StructField("tile_y", T.IntegerType(), False),
+    T.StructField("tile_x", T.IntegerType(), False),
+    T.StructField("px", T.ArrayType(T.DoubleType()), False),
+    T.StructField("labels", T.ArrayType(T.LongType()), False),
+])
+
+_META_SCHEMA = T.StructType([
+    T.StructField("kind", T.IntegerType(), False),   # 0 stats, 1 equiv, 2 adj
+    T.StructField("a", T.LongType(), False),          # label / label_a
+    T.StructField("b", T.LongType(), False),          # size / label_b
+    T.StructField("v", T.DoubleType(), False),        # value (stats only)
+])
+
+
+def _tile_meta(arr, labels, tid, ox, oy, spec, connect8):
+    rows = []
+    nlab = int(labels.max())
+    for lab in range(1, nlab + 1):
+        m = labels == lab
+        ys, xs = np.nonzero(m)
+        rows.append((0, int((tid << 32) | lab), int(m.sum()),
+                     float(arr[ys[0], xs[0]])))
+    # in-tile adjacency between different components (4-neighbour)
+    gl = np.where(labels > 0, (np.int64(tid) << 32) | labels, 0)
+    for sa, sb in (((slice(None), slice(None, -1)), (slice(None), slice(1, None))),
+                   ((slice(None, -1), slice(None)), (slice(1, None), slice(None)))):
+        la, lb = gl[sa].ravel(), gl[sb].ravel()
+        diff = (la != lb) & (la > 0) & (lb > 0)
+        for x, y in set(zip(la[diff].tolist(), lb[diff].tolist())):
+            rows.append((2, int(x), int(y), 0.0))
+    return rows
+
+
+def _edge_meta(arr, labels, tid, ty, tx, spec):
+    """Cross-tile relations from this tile's right/bottom edges paired
+    with the next tile's left/top edges are emitted as positional rows
+    keyed by a shared edge id — built downstream via a self-join, so
+    here we only export the edge strips."""
+    h, w = arr.shape
+    out = []
+    # (edge_key, pos, side, label, value)
+    if tx + 1 < spec.tiles_x:
+        key = (tx * spec.tile + w) * (1 << 32) + ty
+        col, vals = labels[:, w - 1], arr[:, w - 1]
+        for y in np.nonzero(col > 0)[0]:
+            out.append((key, int(y), 0, int((tid << 32) | col[y]), float(vals[y])))
+    if tx > 0:
+        key = (tx * spec.tile) * (1 << 32) + ty
+        col, vals = labels[:, 0], arr[:, 0]
+        for y in np.nonzero(col > 0)[0]:
+            out.append((key, int(y), 1, int((tid << 32) | col[y]), float(vals[y])))
+    if ty + 1 < spec.tiles_y:
+        key = (1 << 62) + (ty * spec.tile + h) * (1 << 32) + tx
+        row, vals = labels[h - 1, :], arr[h - 1, :]
+        for x in np.nonzero(row > 0)[0]:
+            out.append((key, int(x), 0, int((tid << 32) | row[x]), float(vals[x])))
+    if ty > 0:
+        key = (1 << 62) + (ty * spec.tile) * (1 << 32) + tx
+        row, vals = labels[0, :], arr[0, :]
+        for x in np.nonzero(row > 0)[0]:
+            out.append((key, int(x), 1, int((tid << 32) | row[x]), float(vals[x])))
+    return out
+
+
+_EDGE_SCHEMA = T.StructType([
+    T.StructField("edge_key", T.LongType(), False),
+    T.StructField("pos", T.LongType(), False),
+    T.StructField("side", T.IntegerType(), False),
+    T.StructField("label", T.LongType(), False),
+    T.StructField("value", T.DoubleType(), False),
+])
+
+
+def _cascade(sizes: dict, values: dict, adj: dict, threshold: int) -> dict:
+    """GDAL's smallest-first merge cascade on the component metadata.
+    Returns {component: final_absorbing_component}."""
+    absorbed: dict[int, int] = {}
+
+    def find(x):
+        while x in absorbed:
+            x = absorbed[x]
+        return x
+
+    heap = [(sz, lab) for lab, sz in sizes.items() if sz < threshold]
+    heapq.heapify(heap)
+    while heap:
+        sz, lab = heapq.heappop(heap)
+        if lab in absorbed or sizes[lab] != sz or sizes[lab] >= threshold:
+            continue
+        neighbours = {}
+        for nb in adj.get(lab, ()):  # resolve through prior merges
+            r = find(nb)
+            if r != lab:
+                neighbours[r] = sizes[r]
+        if not neighbours:
+            continue  # isolated small blob: GDAL leaves it
+        # tie-break by (size, value): values are content-derived, so the
+        # choice is stable across different tile labelings (ids differ
+        # between the distributed and single-node runs)
+        target = max(neighbours, key=lambda r: (neighbours[r], values[r]))
+        absorbed[lab] = target
+        sizes[target] += sizes[lab]
+        adj.setdefault(target, set()).update(adj.get(lab, ()))
+        if sizes[target] < threshold:
+            heapq.heappush(heap, (sizes[target], target))
+    return {lab: find(lab) for lab in sizes}
+
+
+def sieve(tiles: DataFrame, spec: G.GridSpec, threshold: int,
+          connect8: bool = False) -> DataFrame:
+    """Distributed sieve -> tile DataFrame with merged values."""
+    spark = tiles.sparkSession
+    tiles_x = spec.tiles_x
+
+    def labeler(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                ty, tx = int(row["tile_y"]), int(row["tile_x"])
+                h, w = spec.tile_shape(ty, tx)
+                arr = np.asarray(row["px"], np.float64).reshape(h, w)
+                labels = label_tile_np(arr, connect8)
+                tid = np.int64(ty * tiles_x + tx)
+                gl = np.where(labels > 0, (np.int64(tid) << 32) | labels, 0)
+                out.append((ty, tx, arr.ravel().tolist(),
+                            gl.ravel().astype(np.int64).tolist()))
+            yield pd.DataFrame(out, columns=["tile_y", "tile_x", "px", "labels"])
+
+    labeled = tiles.mapInPandas(labeler, _LBL_SCHEMA).persist()
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                ty, tx = int(row["tile_y"]), int(row["tile_x"])
+                h, w = spec.tile_shape(ty, tx)
+                arr = np.asarray(row["px"], np.float64).reshape(h, w)
+                tid = ty * tiles_x + tx
+                labels = (np.asarray(row["labels"], np.int64).reshape(h, w)
+                          & 0xFFFFFFFF)
+                rows.extend(_tile_meta(arr, labels, tid, tx * spec.tile,
+                                       ty * spec.tile, spec, connect8))
+            yield pd.DataFrame(rows, columns=["kind", "a", "b", "v"])
+
+    def edges(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                ty, tx = int(row["tile_y"]), int(row["tile_x"])
+                h, w = spec.tile_shape(ty, tx)
+                arr = np.asarray(row["px"], np.float64).reshape(h, w)
+                labels = (np.asarray(row["labels"], np.int64).reshape(h, w)
+                          & 0xFFFFFFFF)
+                tid = ty * tiles_x + tx
+                rows.extend(_edge_meta(arr, labels, tid, ty, tx, spec))
+            yield pd.DataFrame(rows, columns=[f.name for f in _EDGE_SCHEMA])
+
+    md = labeled.mapInPandas(meta, _META_SCHEMA).persist()
+    ed = labeled.mapInPandas(edges, _EDGE_SCHEMA)
+
+    lo = ed.filter(F.col("side") == 0).select(
+        "edge_key", "pos", F.col("label").alias("la"), F.col("value").alias("va"))
+    hi = ed.filter(F.col("side") == 1).select(
+        "edge_key", "pos", F.col("label").alias("lb"), F.col("value").alias("vb"))
+    cross = lo.join(hi, ["edge_key", "pos"]).select("la", "lb", "va", "vb").distinct()
+
+    # driver-side metadata assembly
+    stats = md.filter(F.col("kind") == 0).collect()
+    in_adj = md.filter(F.col("kind") == 2).select("a", "b").collect()
+    cross_rows = cross.collect()
+    md.unpersist()
+
+    sizes = {int(r["a"]): int(r["b"]) for r in stats}
+    values = {int(r["a"]): float(r["v"]) for r in stats}
+
+    # same-value cross-tile equivalence -> union-find
+    parent: dict[int, int] = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in cross_rows:
+        if r["va"] == r["vb"]:
+            ra, rb = find(int(r["la"])), find(int(r["lb"]))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+    root_sizes: dict[int, int] = {}
+    root_values: dict[int, float] = {}
+    for lab, sz in sizes.items():
+        r = find(lab)
+        root_sizes[r] = root_sizes.get(r, 0) + sz
+        root_values[r] = values[lab]
+    adj: dict[int, set] = {}
+    for r in in_adj:
+        a, b = find(int(r["a"])), find(int(r["b"]))
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    for r in cross_rows:
+        a, b = find(int(r["la"])), find(int(r["lb"]))
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+
+    final = _cascade(root_sizes, root_values, adj, threshold)
+    value_of = {lab: root_values[final[find(lab)]] for lab in sizes}
+    bmap = spark.sparkContext.broadcast(value_of)
+
+    def recolor(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vm = bmap.value
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                labels = np.asarray(row["labels"], np.int64)
+                px = np.asarray(row["px"], np.float64)
+                new = px.copy()
+                for lab in np.unique(labels[labels > 0]):
+                    new[labels == lab] = vm[int(lab)]
+                out.append((int(row["tile_y"]), int(row["tile_x"]), new.tolist()))
+            yield pd.DataFrame(out, columns=["tile_y", "tile_x", "px"])
+
+    result = labeled.mapInPandas(recolor, G.TILE_SCHEMA)
+    return result
+
+
+def sieve_np(canvas: np.ndarray, threshold: int,
+             connect8: bool = False) -> np.ndarray:
+    """Single-node oracle: same smallest-first cascade on the full
+    canvas labels."""
+    labels = label_tile_np(canvas, connect8)
+    sizes, values, adj = {}, {}, {}
+    nlab = int(labels.max())
+    for lab in range(1, nlab + 1):
+        m = labels == lab
+        ys, xs = np.nonzero(m)
+        sizes[lab] = int(m.sum())
+        values[lab] = float(canvas[ys[0], xs[0]])
+    for sa, sb in (((slice(None), slice(None, -1)), (slice(None), slice(1, None))),
+                   ((slice(None, -1), slice(None)), (slice(1, None), slice(None)))):
+        la, lb = labels[sa].ravel(), labels[sb].ravel()
+        diff = (la != lb) & (la > 0) & (lb > 0)
+        for a, b in set(zip(la[diff].tolist(), lb[diff].tolist())):
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    final = _cascade(dict(sizes), values, adj, threshold)
+    out = canvas.copy()
+    for lab in sizes:
+        out[labels == lab] = values[final[lab]]
+    return out
