@@ -412,6 +412,92 @@ def proximity_q(spark, sf_dir):
     return agg.orderBy("tile_y", "tile_x")
 
 
+def _footprint_oracle() -> str:
+    """Polygonize CTE over the BINARY mask (every occupied pixel -> 1)."""
+    gx, gy = G.pixel_index_sql_3857(PZOOM, PTILE, "lon", "lat")
+    return f"""
+    WITH RECURSIVE pts AS ({_PTS}),
+    px AS (SELECT gx, gy, 1.0 AS v
+           FROM (SELECT {gx} AS gx, {gy} AS gy FROM pts) GROUP BY gx, gy),
+    pxi AS (SELECT gx, gy, v, gy * {NP4} + gx AS pid FROM px),
+    e AS (
+      SELECT a.pid AS pa, b.pid AS pb FROM pxi a JOIN pxi b
+      ON (b.gx = a.gx + 1 AND b.gy = a.gy)
+      OR (b.gx = a.gx AND b.gy = a.gy + 1)
+    ),
+    eb AS (SELECT pa, pb FROM e UNION SELECT pb AS pa, pa AS pb FROM e),
+    reach AS (
+      SELECT pid, pid AS r FROM pxi
+      UNION
+      SELECT eb.pa AS pid, reach.r FROM eb JOIN reach ON eb.pb = reach.pid
+    ),
+    root AS (SELECT pid, min(r) AS root FROM reach GROUP BY pid)
+    SELECT count(*) AS n_px,
+           min(gx) AS min_x, min(gy) AS min_y,
+           max(gx) AS max_x, max(gy) AS max_y
+    FROM pxi JOIN root USING (pid)
+    GROUP BY root.root
+    ORDER BY min_y, min_x
+    """
+
+
+@register("raster_footprint_components", oracle=_footprint_oracle())
+def footprint_components(spark, sf_dir):
+    """Footprint (apps/gdal_footprint_lib.cpp): valid-data mask ->
+    polygons — composed as calc(mask) |> polygonize, the same pipeline
+    the reference uses internally."""
+    from .raster import calc as C
+
+    pts = pages.page_points(spark, sf_dir)
+    spec = G.world_3857(PZOOM, PTILE)
+    tiles = D.density_tiles(pts, PZOOM, PTILE)
+    mask = C.calc(tiles, lambda v: F.when(v > 0, 1.0).otherwise(0.0))
+    return (PZ.polygonize(mask, spec, connect8=False)
+            .withColumn("n_px", F.col("n_px").cast("long"))
+            .select("n_px", "min_x", "min_y", "max_x", "max_y")
+            .orderBy("min_y", "min_x"))
+
+
+@register("raster_grid_idw")  # rows-only: see tests/test_fill_grid.py
+def grid_idw_q(spark, sf_dir):
+    """Grid interpolation (alg/gdalgrid.cpp IDW): scattered page points
+    (value = n_chars) -> full z1 surface in mercator space; per-tile
+    checksums. Exactness gated by tests/test_fill_grid.py
+    (distributed == single-node); float IDW sums are order-sensitive,
+    so no SQL oracle."""
+    from .raster import gridding as GR
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pts = d.select(
+        F.col("n_chars").cast("double").alias("v"),
+        mercator.merc_x_col(pages.lon_col(F.col("doc_id"))).alias("x"),
+        mercator.merc_y_col(pages.lat_col(F.col("doc_id"))).alias("y"))
+    spec = G.world_3857(1, 64)  # 128px world, 4 tiles
+    out = GR.grid_idw(pts, spec, power=2.0)
+    return R.tiles_checksum(out, spec).orderBy("tile_y", "tile_x")
+
+
+@register("raster_contour_segments")  # rows-only: see tests/test_contour.py
+def contour_segments_q(spark, sf_dir):
+    """Contour (alg/contour.cpp marching squares): iso-line segments of
+    the z3 density raster at level 0.5 (the occupied-region outline),
+    emitted in global pixel coordinates via the halo-exchange square
+    ownership rule. Exactness gate: tests/test_contour.py (distributed
+    segment set == single-node, saddle + on-level rules)."""
+    from .raster import contour as CN
+
+    pts = pages.page_points(spark, sf_dir)
+    spec = G.world_3857(FZOOM, FTILE)
+    tiles = D.density_tiles(pts, FZOOM, FTILE)
+    segs = CN.contour(tiles, spec, levels=[0.5])
+    return (segs.groupBy("level")
+            .agg(F.count(F.lit(1)).alias("n_segments"),
+                 F.min("x1").alias("min_x"), F.max("x2").alias("max_x"),
+                 F.min(F.least("y1", "y2")).alias("min_y"),
+                 F.max(F.greatest("y1", "y2")).alias("max_y"))
+            .orderBy("level"))
+
+
 @register("raster_sieve_checksum")  # rows-only: cascade not SQL-expressible
 def sieve_checksum(spark, sf_dir):
     """Sieve filter (alg/gdalsievefilter.cpp:178): sub-threshold

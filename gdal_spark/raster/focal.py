@@ -81,7 +81,7 @@ def _halo_window(full_tiles: dict, ty: int, tx: int, spec: G.GridSpec) -> np.nda
 
 def _kernel_np(win: np.ndarray, op: str, ewres: float, nsres: float,
                z_factor: float = 1.0, zenith: float = 45.0,
-               azimuth: float = 315.0) -> np.ndarray:
+               azimuth: float = 315.0, nodata: float = 0.0) -> np.ndarray:
     """Apply the named focal kernel to a haloed window -> interior."""
     a = win[:-2, :-2]; b = win[:-2, 1:-1]; c = win[:-2, 2:]
     d = win[1:-1, :-2]; e = win[1:-1, 1:-1]; f = win[1:-1, 2:]
@@ -116,6 +116,17 @@ def _kernel_np(win: np.ndarray, op: str, ewres: float, nsres: float,
         return (a + b + c + d + e + f + g + h + i) / 9.0
     if op == "sum3x3":
         return a + b + c + d + e + f + g + h + i
+    if op == "fillnodata_step":
+        # one fill iteration (alg/rasterfill.cpp semantics family):
+        # nodata pixels take the mean of their VALID 8-neighbours;
+        # valid pixels pass through
+        nod = nodata
+        stack = np.stack([a, b, c, d, f, g, h, i])
+        valid = stack != nod
+        cnt = valid.sum(axis=0)
+        s = np.where(valid, stack, 0.0).sum(axis=0)
+        fill = np.where(cnt > 0, s / np.maximum(cnt, 1), nod)
+        return np.where(e == nod, fill, e)
     raise ValueError(f"unknown focal op {op!r}")
 
 
@@ -127,7 +138,7 @@ def focal_np(canvas: np.ndarray, op: str, ewres: float = 1.0,
 
 
 def focal(tiles: DataFrame, spec: G.GridSpec, op: str,
-          z_factor: float = 1.0) -> DataFrame:
+          z_factor: float = 1.0, nodata: float = 0.0) -> DataFrame:
     """Distributed focal op: halo join (each tile replicated to its 8
     neighbors' groups — one shuffle keyed by target tile) + numpy
     kernel per tile. ewres/nsres come from the grid geotransform."""
@@ -156,8 +167,29 @@ def focal(tiles: DataFrame, spec: G.GridSpec, op: str,
             # center tile absent (sparse raster): implicit zeros
             neigh[(ty, tx)] = np.zeros(spec.tile_shape(ty, tx))
         win = _halo_window(neigh, ty, tx, spec)
-        out = _kernel_np(win, op, ewres, nsres, z_factor=z_factor)
+        out = _kernel_np(win, op, ewres, nsres, z_factor=z_factor,
+                         nodata=nodata)
         return pd.DataFrame({"tile_y": [ty], "tile_x": [tx],
                              "px": [out.ravel().tolist()]})
 
     return fan.groupBy("t_ty", "t_tx").applyInPandas(run, G.TILE_SCHEMA)
+
+
+def fillnodata(tiles: DataFrame, spec: G.GridSpec, nodata: float,
+               iterations: int = 3) -> DataFrame:
+    """Fill nodata holes by iterated neighbor-mean passes
+    (alg/rasterfill.cpp's interpolation family; each pass is one halo
+    shuffle, holes shrink one ring per pass — `iterations` bounds the
+    fillable hole radius)."""
+    cur = tiles
+    for _ in range(iterations):
+        cur = focal(cur, spec, "fillnodata_step", nodata=nodata)
+    return cur
+
+
+def fillnodata_np(canvas: np.ndarray, nodata: float,
+                  iterations: int = 3) -> np.ndarray:
+    cur = canvas
+    for _ in range(iterations):
+        cur = focal_np(cur, "fillnodata_step", nodata=nodata)
+    return cur
