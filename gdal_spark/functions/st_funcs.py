@@ -171,6 +171,38 @@ def st_simplify(g: pd.Series, tol: pd.Series) -> pd.Series:
                       for b, t in zip(g, tol)])
 
 
+@pandas_udf(T.BinaryType())
+def st_segmentize(g: pd.Series, max_len: pd.Series) -> pd.Series:
+    def seg(b, ml):
+        ty, payload = wkb.decode(b)
+        if ty == wkb.LINESTRING:
+            return wkb.linestring(geom.segmentize(payload, ml))
+        if ty == wkb.POLYGON:
+            return wkb.polygon([geom.segmentize(r, ml) for r in payload])
+        return b
+    return pd.Series([seg(bytes(b), float(m)) if b is not None else None
+                      for b, m in zip(g, max_len)])
+
+
+@pandas_udf(T.BinaryType())
+def st_clip_bbox(g: pd.Series, minx: pd.Series, miny: pd.Series,
+                 maxx: pd.Series, maxy: pd.Series) -> pd.Series:
+    """Rectangle clip of (multi)polygons — the geometric OUTPUT side of
+    the Clip layer-algebra op for rectangular clip geometry
+    (ogr2ogr -clipsrc; holes are clipped independently)."""
+    def clip(b, x0, y0, x1, y1):
+        ty, payload = wkb.decode(b)
+        if ty == wkb.POLYGON:
+            rings = [geom.clip_ring_bbox(r, x0, y0, x1, y1) for r in payload]
+            rings = [r for r in rings if len(r) >= 4]
+            return wkb.polygon(rings) if rings else wkb.polygon([])
+        return b
+    return pd.Series([
+        clip(bytes(b), float(a), float(c), float(d), float(e))
+        if b is not None else None
+        for b, a, c, d, e in zip(g, minx, miny, maxx, maxy)])
+
+
 _REGISTRY = {
     "st_area": st_area,
     "st_length": st_length,
@@ -187,6 +219,8 @@ _REGISTRY = {
     "st_distance_points": st_distance_points,
     "st_buffer_point": st_buffer_point,
     "st_simplify": st_simplify,
+    "st_segmentize": st_segmentize,
+    "st_clip_bbox": st_clip_bbox,
 }
 
 

@@ -101,12 +101,21 @@ def bbox_intersects(a, b) -> bool:
 # ---------------------------------------------------------------- metrics
 
 def ring_area(ring: np.ndarray) -> float:
-    """Signed shoelace area (CCW positive)."""
+    """Signed shoelace area (CCW positive).
+
+    The cross-term sum is a SEQUENTIAL left fold (not np.sum's pairwise
+    tree) so the result is bit-identical to a SQL `t0 + t1 + ...`
+    left-associated chain over the same literals — the form the
+    special-field oracles emit."""
     r = np.asarray(ring, np.float64)
     if (r[0] != r[-1]).any():
         r = np.vstack([r, r[:1]])
     x, y = r[:, 0], r[:, 1]
-    return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+    terms = x[:-1] * y[1:] - x[1:] * y[:-1]
+    acc = 0.0
+    for t in terms:
+        acc += float(t)
+    return acc / 2.0
 
 
 def polygon_area(rings: list[np.ndarray]) -> float:
@@ -189,6 +198,59 @@ def buffer_point(x: float, y: float, dist: float, quadsegs: int = 8) -> np.ndarr
     th = np.linspace(0.0, 2.0 * np.pi, 4 * quadsegs, endpoint=False)
     ring = np.column_stack([x + dist * np.cos(th), y + dist * np.sin(th)])
     return np.vstack([ring, ring[:1]])
+
+
+def segmentize(coords: np.ndarray, max_len: float) -> np.ndarray:
+    """Insert vertices so no segment exceeds max_len
+    (OGRGeometry::segmentize / `gdal vector segmentize` semantics:
+    each segment splits into ceil(len/max_len) EQUAL parts)."""
+    c = np.asarray(coords, np.float64)
+    out = [c[0]]
+    for a, b in zip(c[:-1], c[1:]):
+        n = max(1, int(np.ceil(np.hypot(*(b - a)) / max_len)))
+        for k in range(1, n + 1):
+            out.append(a + (b - a) * (k / n))
+    return np.array(out)
+
+
+def clip_ring_bbox(ring: np.ndarray, minx: float, miny: float,
+                   maxx: float, maxy: float) -> np.ndarray:
+    """Sutherland–Hodgman clip of a ring against a rectangle (the
+    -clipsrc/-clipdst rectangle case of apps/ogr2ogr_lib.cpp:288).
+    Returns the clipped ring (possibly empty)."""
+    r = np.asarray(ring, np.float64)
+    if len(r) and (r[0] == r[-1]).all():
+        r = r[:-1]
+
+    def clip_edge(poly, inside, intersect):
+        out = []
+        n = len(poly)
+        for i in range(n):
+            cur, prv = poly[i], poly[i - 1]
+            if inside(cur):
+                if not inside(prv):
+                    out.append(intersect(prv, cur))
+                out.append(cur)
+            elif inside(prv):
+                out.append(intersect(prv, cur))
+        return out
+
+    poly = [tuple(p) for p in r]
+    for inside, intersect in (
+        (lambda p: p[0] >= minx,
+         lambda a, b: (minx, a[1] + (b[1] - a[1]) * (minx - a[0]) / (b[0] - a[0]))),
+        (lambda p: p[0] <= maxx,
+         lambda a, b: (maxx, a[1] + (b[1] - a[1]) * (maxx - a[0]) / (b[0] - a[0]))),
+        (lambda p: p[1] >= miny,
+         lambda a, b: (a[0] + (b[0] - a[0]) * (miny - a[1]) / (b[1] - a[1]), miny)),
+        (lambda p: p[1] <= maxy,
+         lambda a, b: (a[0] + (b[0] - a[0]) * (maxy - a[1]) / (b[1] - a[1]), maxy)),
+    ):
+        poly = clip_edge(poly, inside, intersect)
+        if not poly:
+            return np.empty((0, 2))
+    arr = np.array(poly)
+    return np.vstack([arr, arr[:1]])
 
 
 def segments_intersect(p1, p2, p3, p4) -> bool:

@@ -130,6 +130,20 @@ def _simplify(df: DataFrame, tol: float, col: str = "geom") -> DataFrame:
     return df.withColumn(col, st_simplify(F.col(col), F.lit(float(tol))))
 
 
+@step_impl("segmentize")
+def _segmentize(df: DataFrame, max_len: float, col: str = "geom") -> DataFrame:
+    from ..functions.st_funcs import st_segmentize
+    return df.withColumn(col, st_segmentize(F.col(col), F.lit(float(max_len))))
+
+
+@step_impl("clip_geom")
+def _clip_geom(df: DataFrame, bbox: tuple, col: str = "geom") -> DataFrame:
+    from ..functions.st_funcs import st_clip_bbox
+    minx, miny, maxx, maxy = (float(v) for v in bbox)
+    return df.withColumn(col, st_clip_bbox(
+        F.col(col), F.lit(minx), F.lit(miny), F.lit(maxx), F.lit(maxy)))
+
+
 @step_impl("swap_xy")
 def _swap_xy(df: DataFrame, x: str = "lon", y: str = "lat") -> DataFrame:
     return (df.withColumn("__t", F.col(x)).withColumn(x, F.col(y))

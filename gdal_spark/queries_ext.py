@@ -110,6 +110,44 @@ def dissolve_cells(spark, sf_dir):
             .orderBy("lang"))
 
 
+def _special_fields_oracle() -> str:
+    import numpy as np
+    parts = []
+    for pid, name, ring in admin.admin_rings():
+        r = np.asarray(ring)
+        # string-cast literals: DuckDB parses bare decimal literals as
+        # DECIMAL then casts (double rounding, off by 1 ulp for some
+        # values); CAST('<repr>' AS DOUBLE) is correctly-rounded strtod
+        terms = " + ".join(
+            f"(CAST('{r[i, 0]!r}' AS DOUBLE) * CAST('{r[i + 1, 1]!r}' AS DOUBLE)"
+            f" - CAST('{r[i + 1, 0]!r}' AS DOUBLE) * CAST('{r[i, 1]!r}' AS DOUBLE))"
+            for i in range(len(r) - 1))
+        parts.append(
+            f"SELECT {pid} AS fid, '{name}' AS name,"
+            f" 'POLYGON' AS geom_type, abs(({terms}) / 2.0) AS geom_area,"
+            f" {len(r)} AS n_points")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY fid"
+
+
+@register("ogr_special_fields", oracle=_special_fields_oracle())
+def special_fields(spark, sf_dir):
+    """OGR SQL special fields (ogr/ogr_p.h:134-138: FID, OGR_GEOMETRY
+    type, OGR_GEOM_AREA) as computed columns over the geometry column.
+    The oracle recomputes each polygon's shoelace area from the SAME
+    vertex literals in DuckDB — an independent evaluation of the area
+    math (ring_area's left-fold sum order matches the SQL chain
+    bit-for-bit), not an echo of our kernel."""
+    from .functions.st_funcs import st_area, st_geometrytype, st_npoints
+
+    polys = admin.admin_df(spark)
+    return (polys.select(
+        F.col("poly_id").alias("fid"), "name",
+        st_geometrytype(F.col("geom")).alias("geom_type"),
+        st_area(F.col("geom")).alias("geom_area"),
+        st_npoints(F.col("geom")).cast("int").alias("n_points"))
+        .orderBy("fid"))
+
+
 # =====================================================================
 # OGR SQL semantics
 # =====================================================================

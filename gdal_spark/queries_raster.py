@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .geo import mercator, wkb
-from .queries import register
+from .queries import dsum_sql, register
 from .raster import checksum as CK
 from .raster import density as D
 from .raster import grid as G
@@ -475,6 +475,41 @@ def grid_idw_q(spark, sf_dir):
     spec = G.world_3857(1, 64)  # 128px world, 4 tiles
     out = GR.grid_idw(pts, spec, power=2.0)
     return R.tiles_checksum(out, spec).orderBy("tile_y", "tile_x")
+
+
+@register(
+    "raster_band_statistics",
+    oracle=f"""
+    WITH {_px_cte(ZOOM, TILE)}
+    SELECT count(*) AS n_nonzero,
+           min(v) AS min_v, max(v) AS max_v,
+           {dsum_sql('v', 18, 2)} AS sum_v,
+           {dsum_sql('v', 18, 2)} / count(*) AS mean_nonzero,
+           count(*) FILTER (WHERE v = 1) AS hist_1,
+           count(*) FILTER (WHERE v = 2) AS hist_2,
+           count(*) FILTER (WHERE v >= 3) AS hist_3plus
+    FROM px
+    """,
+)
+def band_statistics(spark, sf_dir):
+    """Band statistics + histogram (gcore/gdalrasterband.cpp
+    ComputeStatistics / GetHistogram): computed on the SPARSE pixel
+    relation (zero pixels excluded, like the reference's approx-ok
+    nonzero stats path) with partial aggregation — no dense
+    materialization at any zoom."""
+    from .queries import dsum
+
+    pts = pages.page_points(spark, sf_dir)
+    px = D.points_to_pixel_counts(pts, ZOOM, TILE)
+    return px.agg(
+        F.count(F.lit(1)).alias("n_nonzero"),
+        F.min("v").alias("min_v"), F.max("v").alias("max_v"),
+        dsum(F.col("v"), 18, 2).alias("sum_v"),
+        (dsum(F.col("v"), 18, 2) / F.count(F.lit(1))).alias("mean_nonzero"),
+        F.count(F.when(F.col("v") == 1, 1)).alias("hist_1"),
+        F.count(F.when(F.col("v") == 2, 1)).alias("hist_2"),
+        F.count(F.when(F.col("v") >= 3, 1)).alias("hist_3plus"),
+    )
 
 
 @register("raster_contour_segments")  # rows-only: see tests/test_contour.py

@@ -214,6 +214,34 @@ def test_area_length_centroid():
     assert geom.ring_centroid(sq) == (1.0, 1.0)
 
 
+def test_segmentize():
+    line = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 3.0]])
+    out = geom.segmentize(line, 2.5)
+    # 10/2.5 = 4 parts + 3/2.5 -> 2 parts => 1 + 4 + 2 points
+    assert len(out) == 7
+    d = np.hypot(*np.diff(out, axis=0).T)
+    assert d.max() <= 2.5 + 1e-12
+    np.testing.assert_array_equal(out[0], line[0])
+    np.testing.assert_array_equal(out[-1], line[-1])
+
+
+def test_clip_ring_bbox():
+    sq = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)
+    out = geom.clip_ring_bbox(sq, 2, 3, 8, 12)
+    assert abs(geom.ring_area(out)) == (8 - 2) * (10 - 3)
+    # fully inside: unchanged area
+    out2 = geom.clip_ring_bbox(sq, -1, -1, 11, 11)
+    assert abs(geom.ring_area(out2)) == 100.0
+    # fully outside: empty
+    out3 = geom.clip_ring_bbox(sq, 20, 20, 30, 30)
+    assert len(out3) == 0
+    # hypotenuse x+y=4 cuts the [0,3]^2 box; the part of the box beyond
+    # the line is the triangle (1,3)-(3,1)-(3,3) of area 2 -> expect 7
+    tri = np.array([[0, 0], [4, 0], [0, 4], [0, 0]], float)
+    out4 = geom.clip_ring_bbox(tri, 0, 0, 3, 3)
+    assert abs(geom.ring_area(out4)) == 7.0
+
+
 def test_convex_hull_and_simplify():
     rng = np.random.default_rng(0)
     px, py = rng.uniform(0, 1, 100), rng.uniform(0, 1, 100)

@@ -39,6 +39,35 @@ def test_pip_shuffle_equals_broadcast(spark, sf_dir):
     assert b == s2
 
 
+def test_salting_balances_hot_cells(spark, sf_dir):
+    """North-rule skew evidence: after salting, no (cell, salt) group
+    exceeds ceil(cell_rows / n_salt) + slack — the expensive exact-test
+    stage is balanced across tasks."""
+    from pyspark.sql import functions as F
+
+    pts = pages.page_points(spark, sf_dir).select("doc_id", "lon", "lat", "cell_id")
+    salt_map = pip_join.hot_cells(pts, threshold=1)
+    assert salt_map
+    items = [(int(c), int(n)) for c, n in salt_map.items()]
+    salt_df = spark.createDataFrame(items, "cell_id long, n_salt int")
+    salted = (pts.join(F.broadcast(salt_df), "cell_id")
+              .withColumn("salt", F.pmod(F.xxhash64("lon", "lat"),
+                                         F.col("n_salt")).cast("int")))
+    per_group = (salted.groupBy("cell_id", "salt", "n_salt")
+                 .agg(F.count(F.lit(1)).alias("n")).collect())
+    per_cell = {}
+    for r in per_group:
+        per_cell.setdefault(r["cell_id"], []).append(r)
+    for cell, rows in per_cell.items():
+        total = sum(r["n"] for r in rows)
+        n_salt = rows[0]["n_salt"]
+        fair = -(-total // n_salt)
+        # hash balance: allow 3x the fair share + small absolute slack
+        assert max(r["n"] for r in rows) <= 3 * fair + 4, \
+            f"cell {cell}: {total} rows over {n_salt} salts, " \
+            f"worst group {max(r['n'] for r in rows)}"
+
+
 def test_pip_left_semi_anti(spark, sf_dir):
     pts = pages.page_points(spark, sf_dir).select("doc_id", "lon", "lat")
     polys = admin.admin_df(spark)
