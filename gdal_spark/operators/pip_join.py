@@ -60,6 +60,60 @@ def _decode_polys(items):
     return {pid: _prepare_one(blob) for pid, blob in items}
 
 
+class _BBoxGridIndex:
+    """Coarse uniform-grid bbox index over the prepared polygons — the
+    in-task analog of the reference's per-layer R-tree (GPKG R*Tree /
+    shapefile .qix, SURVEY §2.3). Built once per task; per batch each
+    point probes its grid bucket and tests only that bucket's
+    polygons, so per-point work scales with local overlap density, not
+    the polygon count."""
+
+    def __init__(self, prepared: dict, nb: int | None = None):
+        self.prepared = prepared
+        boxes = np.array([pb[1] for pb in prepared.values()], np.float64)
+        self.pids = np.array(list(prepared.keys()))
+        self.minx = float(boxes[:, 0].min())
+        self.miny = float(boxes[:, 1].min())
+        maxx = float(boxes[:, 2].max())
+        maxy = float(boxes[:, 3].max())
+        self.nb = nb or max(4, int(np.sqrt(len(prepared))))
+        self.sx = (maxx - self.minx) / self.nb or 1.0
+        self.sy = (maxy - self.miny) / self.nb or 1.0
+        self.buckets: dict[int, list[int]] = {}
+        for pid, (_polys, (x0, y0, x1, y1)) in prepared.items():
+            bx0 = int((x0 - self.minx) / self.sx)
+            bx1 = int((x1 - self.minx) / self.sx)
+            by0 = int((y0 - self.miny) / self.sy)
+            by1 = int((y1 - self.miny) / self.sy)
+            for by in range(max(0, by0), min(self.nb - 1, by1) + 1):
+                for bx in range(max(0, bx0), min(self.nb - 1, bx1) + 1):
+                    self.buckets.setdefault(by * self.nb + bx, []).append(pid)
+
+    def point_buckets(self, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+        bx = np.floor((px - self.minx) / self.sx).astype(np.int64)
+        by = np.floor((py - self.miny) / self.sy).astype(np.int64)
+        inside = (bx >= 0) & (bx < self.nb) & (by >= 0) & (by < self.nb)
+        return np.where(inside, by * self.nb + bx, -1)
+
+    def candidates(self, px: np.ndarray, py: np.ndarray):
+        """-> iterable of (pid, point_index_array) candidate pairs."""
+        b = self.point_buckets(px, py)
+        out: dict[int, list] = {}
+        for bucket in np.unique(b):
+            if bucket < 0 or int(bucket) not in self.buckets:
+                continue
+            idx = np.nonzero(b == bucket)[0]
+            for pid in self.buckets[int(bucket)]:
+                out.setdefault(pid, []).append(idx)
+        for pid, chunks in out.items():
+            yield pid, (chunks[0] if len(chunks) == 1 else np.concatenate(chunks))
+
+
+#: polygon count above which the broadcast path builds the grid index
+#: instead of looping every polygon per batch
+INDEX_THRESHOLD = 48
+
+
 def _test_points(px: np.ndarray, py: np.ndarray, polys_and_bbox) -> np.ndarray:
     """Exact accept mask for many points vs one (multi)polygon, with the
     reference's ladder: bbox reject first, exact even-odd second."""
@@ -83,6 +137,7 @@ def pip_join_broadcast(
     lat_col: str = "lat",
     how: str = "inner",
     jvm_bbox_prefilter: bool = True,
+    use_index: bool | None = None,
 ) -> DataFrame:
     """Broadcast PIP join.
 
@@ -108,7 +163,10 @@ def pip_join_broadcast(
     sc = points.sparkSession.sparkContext
     bpolys = sc.broadcast(poly_rows)
 
-    if jvm_bbox_prefilter:
+    # the codegen OR-chain stops paying past a few hundred polygons
+    # (expression size); beyond that the in-task grid index carries the
+    # bbox stage instead
+    if jvm_bbox_prefilter and len(poly_rows) <= 256:
         prepared_bbox = [_prepare_one(blob)[1] for _, blob in poly_rows]
         lon, lat = F.col(lon_col), F.col(lat_col)
         bbox_pred = None
@@ -120,7 +178,8 @@ def pip_join_broadcast(
             cand = points.filter(bbox_pred)
             rest = points.filter(~bbox_pred)
             core = pip_join_broadcast(cand, polys, lon_col, lat_col, how,
-                                      jvm_bbox_prefilter=False)
+                                      jvm_bbox_prefilter=False,
+                                      use_index=use_index)
             if how == "inner" or how == "semi":
                 return core
             if how == "anti":
@@ -133,8 +192,12 @@ def pip_join_broadcast(
     emit_poly = how in ("inner", "left")
     schema = out_schema if emit_poly else points.schema
 
+    want_index = (use_index if use_index is not None
+                  else len(poly_rows) > INDEX_THRESHOLD)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         prepared = _decode_polys(bpolys.value)
+        index = _BBoxGridIndex(prepared) if want_index else None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -142,8 +205,17 @@ def pip_join_broadcast(
             py = pdf[lat_col].to_numpy(np.float64)
             any_hit = np.zeros(len(pdf), dtype=bool)
             outs = []
-            for pid, pb in prepared.items():
-                mask = _test_points(px, py, pb)
+            if index is None:
+                cand_iter = ((pid, None) for pid in prepared)
+            else:
+                cand_iter = index.candidates(px, py)
+            for pid, idx in cand_iter:
+                if idx is None:
+                    mask = _test_points(px, py, prepared[pid])
+                else:
+                    sub_mask = _test_points(px[idx], py[idx], prepared[pid])
+                    mask = np.zeros(len(pdf), dtype=bool)
+                    mask[idx[sub_mask]] = True
                 if mask.any():
                     any_hit |= mask
                     if emit_poly:

@@ -302,6 +302,50 @@ def union_layer(spark, sf_dir):
             .select("key", "name", "parent").orderBy("key", "name"))
 
 
+def _emb_cosine_oracle(threshold: float = 0.35, dim: int = 64) -> str:
+    """Explicit 64-term fold for dot and norms, in the SAME
+    left-associative order F.aggregate evaluates, so the cosine is
+    bit-identical cross-engine and the threshold cut is exact."""
+    def dot(a, b):
+        return " + ".join(
+            f"(CAST({a}[{i + 1}] AS DOUBLE) * CAST({b}[{i + 1}] AS DOUBLE))"
+            for i in range(dim))
+    return f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt({dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings)
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           ({dot('a.embedding', 'b.embedding')}) / (a.nrm * b.nrm) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE ({dot('a.embedding', 'b.embedding')}) / (a.nrm * b.nrm) >= {threshold!r}
+    ORDER BY a_id, b_id
+    """
+
+
+@register("dedup_embedding_cosine", oracle=_emb_cosine_oracle())
+def embedding_cosine_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (the last dedup modality
+    of the training-data mandate): all pairs with cosine >= 0.35.
+    Test-scale plan: broadcast self-join over the embedding table with
+    the JVM higher-order dot product (the 10^12-scale path buckets by
+    random-hyperplane LSH first — operators.similarity.lsh_bucketed_topk
+    — and verifies candidates with this same exact kernel)."""
+    from .operators.similarity import _dot_col, _norm_col
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("emb").alias("ea"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("emb").alias("eb"))
+    j = a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+    cos = _dot_col(F.col("ea"), F.col("eb")) / (
+        _norm_col(F.col("ea")) * _norm_col(F.col("eb")))
+    return (j.withColumn("cosine", cos)
+            .filter(F.col("cosine") >= 0.35)
+            .select("a_id", "b_id", "cosine")
+            .orderBy("a_id", "b_id"))
+
+
 # =====================================================================
 # Window / frames / sessionization (SURVEY §2.5)
 # =====================================================================

@@ -74,6 +74,34 @@ def page_points(spark: SparkSession, sf_dir: str, res: int = cells.DEFAULT_RES) 
     return p.withColumn("cell_id", cells.cell_encode_col(F.col("lon"), F.col("lat"), res))
 
 
+def write_cell_partitioned(points: DataFrame, path: str,
+                           parent_res: int = 3) -> None:
+    """Write a points table hive-partitioned by its parent cell — the
+    layout that makes spatial predicates prune at the FILE level (the
+    Iceberg cell-partitioning of the north star; SURVEY §2.1
+    row-group-pruning row). parent_res=3 -> up to 64 partitions; the
+    hierarchical cell id makes parent derivation a shift."""
+    out = points.withColumn(
+        "cell_p", cells.cell_parent_col(F.col("cell_id"),
+                                        cells.DEFAULT_RES - parent_res))
+    out.write.mode("overwrite").partitionBy("cell_p").parquet(path)
+
+
+def read_cell_pruned(spark: SparkSession, path: str,
+                     min_lon: float, min_lat: float,
+                     max_lon: float, max_lat: float,
+                     parent_res: int = 3) -> DataFrame:
+    """Scan only the partitions whose parent cell intersects the bbox
+    (partition pruning does the file skipping; the exact bbox filter
+    still applies on the surviving rows)."""
+    cover = [int(c) for c in cells.covering_cells(
+        min_lon, min_lat, max_lon, max_lat, parent_res)]
+    df = spark.read.parquet(path)
+    return (df.filter(F.col("cell_p").isin(cover))
+            .filter(F.col("lon").between(min_lon, max_lon)
+                    & F.col("lat").between(min_lat, max_lat)))
+
+
 def synth_pages(spark: SparkSession, n: int, skew_hot_fraction: float = 0.0,
                 res: int = cells.DEFAULT_RES) -> DataFrame:
     """Synthesize n pages from spark.range — the benchmark input.
