@@ -3,9 +3,20 @@
 entry()      — flagship query: pages -> geo point derivation ->
                broadcast point-in-polygon join vs admin polygons ->
                z8 tile assignment -> per (polygon, tile) rollup.
-queries()    — one entry per implemented operator (gdal_spark.queries).
+queries()    — 50 entries covering SURVEY §2 (see COVERAGE.md for the
+               line-by-line operator map): relational/OGR-SQL
+               semantics, spatial joins + kNN, the raster surface
+               (density/rasterize/warp/pyramid/polygonize/focal/
+               calc/mosaic/proximity/footprint/contour/sieve/
+               gridding/interpolate, gated by per-tile GDAL
+               checksums), dedup/similarity/text/multimodal ops,
+               and window/sessionization.
 oracle_sql() — DuckDB-equivalent SQL per query (bit-exact by design;
-               see gdal_spark/queries.py docstring for the rules).
+               see gdal_spark/queries.py docstring for the
+               cross-engine exactness rules). Four queries are
+               rows-only (CCL cascade / float-order ops not
+               relationally expressible); each of those has an exact
+               distributed==single-node pytest oracle instead.
 """
 
 from __future__ import annotations

@@ -51,6 +51,13 @@ def main():
     n_pages = timed("materialize_pages", lambda: pts.count())
     polys = admin.admin_df(spark)
 
+    # spawn + import every Python UDF worker before the timed sections
+    # (a long-lived cluster amortizes worker startup; timing it would
+    # measure process forking, not the operators)
+    warm = pages.synth_pages(spark, 64 * CPUS * 1024).select(
+        "doc_id", "lon", "lat", "cell_id").repartition(2 * CPUS)
+    pip_join.pip_join_broadcast(warm, polys, how="inner").count()
+
     def pip_tile_broadcast():
         j = pip_join.pip_join_broadcast(pts, polys, how="inner")
         j = (j.withColumn("tile_x", mercator.tile_x_col(F.col("lon"), 12))

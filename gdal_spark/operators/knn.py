@@ -114,6 +114,14 @@ def knn_join(data: DataFrame, queries: DataFrame, k: int = 5,
         s = F.least(sx, sn, ss)
         return s * s
 
+    if initial_ring >= max_ring:
+        # the density estimate says the search disk must cover
+        # (almost) the whole grid — the ring machinery would only add
+        # per-round scheduling overhead before reaching the same
+        # exhaustive pass, so run it directly (sparse-data fast path)
+        return (topk_within(q.crossJoin(d))
+                .select("q_id", "rank", "neighbor_id", "dist2"))
+
     ring = initial_ring
     result = None
     pending = q
