@@ -31,19 +31,28 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def tokenize_distinct(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Whitespace tokens as a set per doc: (id, tok)."""
-    return df.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
-    ).distinct()
+def tokenize_distinct(df: DataFrame, id_col: str, text_col: str,
+                      shingle: int = 1) -> DataFrame:
+    """Distinct token features per doc: (id, tok).
+
+    shingle=1 -> whitespace unigrams; shingle=w -> w-word shingles
+    (the standard MinHash feature for near-dup detection: joined with
+    a separator so shingle boundaries stay unambiguous)."""
+    toks = F.split(F.col(text_col), " ")
+    if shingle <= 1:
+        return df.select(F.col(id_col), F.explode(toks).alias("tok")).distinct()
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - shingle + 1, F.lit(1))),
+        lambda i: F.concat_ws("\x1f", F.slice(toks, i, shingle)))
+    return df.select(F.col(id_col), F.explode(sh).alias("tok")).distinct()
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
-                       n_hashes: int = 16) -> DataFrame:
+                       n_hashes: int = 16, shingle: int = 1) -> DataFrame:
     """(id, s0..s{n-1}): per-doc min of md5(tok || '#i') — the i-th
     min-hash. One shuffle (groupBy id), n_hashes JVM hash evals per
     token, all partial-aggregated map-side."""
-    toks = tokenize_distinct(df, id_col, text_col)
+    toks = tokenize_distinct(df, id_col, text_col, shingle)
     aggs = [
         F.min(F.md5(F.encode(F.concat(F.col("tok"), F.lit(f"#{i}")), "utf-8"))).alias(f"s{i}")
         for i in range(n_hashes)
@@ -52,11 +61,12 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
-                      n_hashes: int = 16, bands: int = 4) -> DataFrame:
+                      n_hashes: int = 16, bands: int = 4,
+                      shingle: int = 1) -> DataFrame:
     """Candidate near-dup pairs (a_id < b_id) whose signatures collide
     in >= 1 LSH band."""
     rows = n_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes)
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle)
     band_cols = [
         F.md5(F.encode(F.concat(*[F.col(f"s{b * rows + r}") for r in range(rows)]),
                        "utf-8")).alias(f"b{b}")

@@ -158,6 +158,24 @@ def test_minhash_contains_exact_dups(spark, sf_dir):
     assert want <= pairs
 
 
+def test_minhash_shingles(spark, sf_dir):
+    """w-shingle MinHash: shared vocabulary with different word ORDER
+    must stop colliding once shingles capture sequence (unigram sets
+    are order-blind; 3-shingles are not)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    scrambled = "kappa iota theta eta zeta epsilon delta gamma beta alpha"
+    d = spark.createDataFrame(
+        [(1, base), (2, base), (3, scrambled)], "doc_id long, text string")
+    uni = {(r["a_id"], r["b_id"])
+           for r in dedup.minhash_lsh_pairs(d, "doc_id", "text",
+                                            shingle=1).collect()}
+    tri = {(r["a_id"], r["b_id"])
+           for r in dedup.minhash_lsh_pairs(d, "doc_id", "text",
+                                            shingle=3).collect()}
+    assert (1, 2) in uni and (1, 3) in uni  # same token SET collides
+    assert (1, 2) in tri and (1, 3) not in tri  # order now distinguishes
+
+
 def test_simhash_identical_and_hamming(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
     sh = dedup.simhash64(d, "doc_id", "text")
