@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -64,7 +64,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       n_hashes: int = 16, bands: int = 4,
                       shingle: int = 1) -> DataFrame:
     """Candidate near-dup pairs (a_id < b_id) whose signatures collide
-    in >= 1 LSH band."""
+    in >= 1 LSH band.
+
+    Physical shape: band keys melt into ONE (band_id, band_key)
+    relation and a single self-equi-join on the composite key replaces
+    the per-band join+union (one shuffle instead of `bands`; the
+    band_id in the key keeps buckets from different bands apart)."""
     rows = n_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle)
     band_cols = [
@@ -73,15 +78,17 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         for b in range(bands)
     ]
     bandt = sigs.select(F.col(id_col).alias("bid"), *band_cols)
-
-    parts = []
-    for b in range(bands):
-        a = bandt.select(F.col("bid").alias("a_id"), F.col(f"b{b}").alias("bk"))
-        bb = bandt.select(F.col("bid").alias("b_id"), F.col(f"b{b}").alias("bk"))
-        parts.append(
-            a.join(bb, "bk").filter(F.col("a_id") < F.col("b_id")).select("a_id", "b_id")
-        )
-    return reduce(DataFrame.unionByName, parts).distinct()
+    melted = bandt.select(
+        "bid",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_id"), F.col(f"b{b}").alias("bk"))
+            for b in range(bands)])).alias("e")
+    ).select("bid", F.col("e.band_id").alias("band_id"), F.col("e.bk").alias("bk"))
+    a = melted.select(F.col("bid").alias("a_id"), "band_id", "bk")
+    b2 = melted.select(F.col("bid").alias("b_id"), "band_id", "bk")
+    return (a.join(b2, ["band_id", "bk"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id").distinct())
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -346,6 +346,43 @@ def embedding_cosine_pairs(spark, sf_dir):
             .orderBy("a_id", "b_id"))
 
 
+@register(
+    "join_asof_purchase",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, epoch_us(ts) AS pt, max(event_id) AS purchase_event
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, epoch_us(ts)),
+    c AS (SELECT event_id, user_id, epoch_us(ts) AS ct
+          FROM events WHERE event_type = 'click')
+    SELECT c.event_id AS event_id, c.user_id AS user_id,
+           p.purchase_event AS asof_purchase_event,
+           c.ct - p.pt AS gap_us
+    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ct >= p.pt
+    ORDER BY event_id
+    """,
+)
+def asof_purchase(spark, sf_dir):
+    """As-of join: each click gets the user's most recent purchase at
+    or before it (DuckDB's native ASOF JOIN is the oracle). Runs as
+    the union-window form — one shuffle, no range explosion."""
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", ts_us.alias("t")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .groupBy("user_id", ts_us.alias("t"))
+                 .agg(F.max("event_id").alias("purchase_event"))
+                 .withColumn("pt", F.col("t")))
+    j = asof_join(clicks, purchases, "user_id", "t",
+                  ["purchase_event", "pt"])
+    return (j.select("event_id", "user_id",
+                     F.col("asof_purchase_event"),
+                     (F.col("t") - F.col("asof_pt")).alias("gap_us"))
+            .orderBy("event_id"))
+
+
 # =====================================================================
 # Window / frames / sessionization (SURVEY §2.5)
 # =====================================================================

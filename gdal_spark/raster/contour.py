@@ -22,8 +22,6 @@ reference's default (no NODATA path in v1).
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame

@@ -29,8 +29,6 @@ edge fill for the tested kernels.
 
 from __future__ import annotations
 
-from typing import Callable
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
