@@ -6,6 +6,7 @@ oracle comparison gates on EXACT pixel content, not just shapes.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from .geo import mercator, wkb
@@ -549,6 +550,65 @@ def sieve_checksum(spark, sf_dir):
     out = SV.sieve(tiles, spec, threshold=2)
     return (R.tiles_checksum(out, spec)
             .orderBy("tile_y", "tile_x"))
+
+
+def _polygonize_rings_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_px_cte(PZOOM, PTILE)},
+    pxi AS (SELECT gx, gy, v, gy * {NP4} + gx AS pid FROM px),
+    e AS (
+      SELECT a.pid AS pa, b.pid AS pb FROM pxi a JOIN pxi b
+      ON a.v = b.v AND ((b.gx = a.gx + 1 AND b.gy = a.gy)
+                     OR (b.gx = a.gx AND b.gy = a.gy + 1))
+    ),
+    eb AS (SELECT pa, pb FROM e UNION SELECT pb AS pa, pa AS pb FROM e),
+    reach AS (
+      SELECT pid, pid AS r FROM pxi
+      UNION
+      SELECT eb.pa AS pid, reach.r FROM eb JOIN reach ON eb.pb = reach.pid
+    ),
+    root AS (SELECT pid, min(r) AS root FROM reach GROUP BY pid)
+    SELECT min(v) AS value, count(*) AS n_px,
+           CAST(count(*) AS DOUBLE) AS poly_area,
+           min(gx) AS min_x, min(gy) AS min_y,
+           max(gx) AS max_x, max(gy) AS max_y
+    FROM pxi JOIN root USING (pid)
+    GROUP BY root.root
+    ORDER BY min_y, min_x, value
+    """
+
+
+@register("raster_polygonize_rings", oracle=_polygonize_rings_oracle())
+def polygonize_rings(spark, sf_dir):
+    """Full polygonize with TRACED RING GEOMETRY (the reference's
+    emitted polygon features): per component, the shoelace area of the
+    traced rings (exterior minus holes) must equal the pixel count
+    EXACTLY — the oracle pins the geometry's area without needing ring
+    tracing in SQL; the full shape identity (rasterize(trace(x)) == x)
+    is gated in tests/test_polygonize_geoms.py."""
+    from .geo import geom as _geom
+    from .geo import wkb as _wkb
+
+    pts = pages.page_points(spark, sf_dir)
+    spec = G.world_3857(PZOOM, PTILE)
+    tiles = D.density_tiles(pts, PZOOM, PTILE)
+    geoms = PZ.polygonize_geoms(tiles, spec)
+
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.DoubleType())
+    def poly_area(g: pd.Series) -> pd.Series:
+        out = []
+        for b in g:
+            rings = _wkb.polygon_rings(bytes(b))[0]
+            out.append(abs(_geom.ring_area(rings[0]))
+                       - sum(abs(_geom.ring_area(r)) for r in rings[1:]))
+        return pd.Series(out)
+
+    return (geoms.withColumn("poly_area", poly_area(F.col("geom")))
+            .select("value", F.col("n_px").cast("long").alias("n_px"),
+                    "poly_area", "min_x", "min_y", "max_x", "max_y")
+            .orderBy("min_y", "min_x", "value"))
 
 
 @register("raster_polygonize_components", oracle=_polygonize_oracle())

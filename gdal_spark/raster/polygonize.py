@@ -102,6 +102,86 @@ def polygonize_np(arr: np.ndarray, connect8: bool = False) -> pd.DataFrame:
                                        "max_x", "max_y"])
 
 
+def trace_rings(mask: np.ndarray, ox: int = 0, oy: int = 0) -> list[np.ndarray]:
+    """Boundary rings of a 4-connected pixel mask (the ring-assembly
+    stage of the reference polygonizer, alg/polygonize_polygonizer.cpp).
+
+    Method: every exposed pixel edge becomes a DIRECTED unit segment
+    walking clockwise around its pixel (raster y-down); shared interior
+    edges cancel, so chaining end->start yields closed cycles — the
+    exterior ring clockwise, holes counterclockwise (sign of the
+    shoelace area identifies which). At corner-touch junctions the
+    walk takes the sharpest right turn, which keeps rings simple.
+    Returns rings in GLOBAL pixel coords (ox, oy offsets applied),
+    exterior first; collinear vertices merged.
+    """
+    h, w = mask.shape
+    padded = np.zeros((h + 2, w + 2), dtype=bool)
+    padded[1:-1, 1:-1] = mask
+    ys, xs = np.nonzero(mask)
+    # directed edges keyed by start point
+    out_edges: dict[tuple, list] = {}
+
+    def add(a, b):
+        out_edges.setdefault(a, []).append(b)
+
+    for y, x in zip(ys, xs):
+        if not padded[y, x + 1]:          # no neighbor above
+            add((x, y), (x + 1, y))
+        if not padded[y + 1, x + 2]:      # right
+            add((x + 1, y), (x + 1, y + 1))
+        if not padded[y + 2, x + 1]:      # below
+            add((x + 1, y + 1), (x, y + 1))
+        if not padded[y + 1, x]:          # left
+            add((x, y + 1), (x, y))
+
+    # turn preference: sharpest right turn relative to incoming dir
+    def pick(prev_dir, cands, cur):
+        if len(cands) == 1:
+            return cands[0]
+        def turn(nxt):
+            d = (nxt[0] - cur[0], nxt[1] - cur[1])
+            # cross product prev x d (y-down: right turn = positive)
+            return prev_dir[0] * d[1] - prev_dir[1] * d[0]
+        return max(cands, key=turn)
+
+    rings = []
+    while out_edges:
+        start = next(iter(out_edges))
+        ring = [start]
+        cur = start
+        prev_dir = (0, 0)
+        while True:
+            cands = out_edges[cur]
+            nxt = pick(prev_dir, cands, cur)
+            cands.remove(nxt)
+            if not cands:
+                del out_edges[cur]
+            prev_dir = (nxt[0] - cur[0], nxt[1] - cur[1])
+            cur = nxt
+            if cur == start:
+                break
+            ring.append(cur)
+        r = np.array(ring + [start], dtype=np.float64)
+        # merge collinear runs
+        keep = [0]
+        for i in range(1, len(r) - 1):
+            d0 = r[i] - r[keep[-1]]
+            d1 = r[i + 1] - r[i]
+            if d0[0] * d1[1] - d0[1] * d1[0] != 0:
+                keep.append(i)
+        r = np.vstack([r[keep], r[:1]])
+        r[:, 0] += ox
+        r[:, 1] += oy
+        rings.append(r)
+    # exterior first: in y-down coords the clockwise exterior has
+    # POSITIVE shoelace area under the standard (y-up) formula? — just
+    # order by |area| descending (exterior strictly contains holes)
+    from ..geo import geom as _geom
+    rings.sort(key=lambda r: -abs(_geom.ring_area(r)))
+    return rings
+
+
 _LABELED = T.StructType([
     T.StructField("label", T.LongType(), False),
     T.StructField("value", T.DoubleType(), False),
@@ -119,6 +199,156 @@ _EDGES = T.StructType([
     T.StructField("label", T.LongType(), False),
     T.StructField("value", T.DoubleType(), False),
 ])
+
+
+_GEOM_OUT = T.StructType([
+    T.StructField("value", T.DoubleType(), False),
+    T.StructField("n_px", T.LongType(), False),
+    T.StructField("min_x", T.LongType(), False),
+    T.StructField("min_y", T.LongType(), False),
+    T.StructField("max_x", T.LongType(), False),
+    T.StructField("max_y", T.LongType(), False),
+    T.StructField("geom", T.BinaryType(), True),
+])
+
+_PXRUNS = T.StructType([
+    T.StructField("label", T.LongType(), False),
+    T.StructField("value", T.DoubleType(), False),
+    T.StructField("xs", T.ArrayType(T.LongType()), False),
+    T.StructField("ys", T.ArrayType(T.LongType()), False),
+])
+
+
+def polygonize_geoms(tiles: DataFrame, spec: G.GridSpec,
+                     max_px: int = 4_000_000) -> DataFrame:
+    """Full polygonize: connected components WITH traced ring geometry
+    (WKB polygon, exterior + holes, vertices in global pixel coords) —
+    the reference's emitted features (GDALPolygonizeT output), not just
+    component stats. Components above `max_px` get NULL geometry
+    (bbox/stats only) so one monster component cannot blow a task.
+
+    Pipeline: per-tile CCL -> cross-tile union-find (as `polygonize`)
+    -> shuffle each component's pixels to ONE task keyed by its root
+    -> `trace_rings`. The gather is bounded by true component sizes;
+    the ring set round-trips through rasterize exactly (tested)."""
+    from ..geo import wkb as _wkb
+
+    spark = tiles.sparkSession
+    tile = spec.tile
+    tiles_x = spec.tiles_x
+
+    def label_emit(batches: Iterator[pd.DataFrame]):
+        for pdf in batches:
+            runs, edges = [], []
+            for _, row in pdf.iterrows():
+                ty, tx = int(row["tile_y"]), int(row["tile_x"])
+                h, w = spec.tile_shape(ty, tx)
+                arr = np.asarray(row["px"], np.float64).reshape(h, w)
+                labels = label_tile_np(arr, False)
+                tid = np.int64(ty * tiles_x + tx)
+                ox, oy = tx * tile, ty * tile
+                for lab in range(1, labels.max() + 1):
+                    pys, pxs = np.nonzero(labels == lab)
+                    runs.append((int((tid << 32) | lab),
+                                 float(arr[pys[0], pxs[0]]),
+                                 (pxs + ox).astype(np.int64).tolist(),
+                                 (pys + oy).astype(np.int64).tolist()))
+                # cross-tile equivalence edges (same emission scheme as
+                # polygonize())
+                if tx + 1 < spec.tiles_x:
+                    key = (ox + w) * (1 << 32) + ty
+                    col = labels[:, w - 1]
+                    for y in np.nonzero(col > 0)[0]:
+                        edges.append((key, int(y), 0,
+                                      int((tid << 32) | col[y]),
+                                      float(arr[y, w - 1])))
+                if tx > 0:
+                    key = ox * (1 << 32) + ty
+                    col = labels[:, 0]
+                    for y in np.nonzero(col > 0)[0]:
+                        edges.append((key, int(y), 1,
+                                      int((tid << 32) | col[y]),
+                                      float(arr[y, 0])))
+                if ty + 1 < spec.tiles_y:
+                    key = (1 << 62) + (oy + h) * (1 << 32) + tx
+                    rowp = labels[h - 1, :]
+                    for x in np.nonzero(rowp > 0)[0]:
+                        edges.append((key, int(x), 0,
+                                      int((tid << 32) | rowp[x]),
+                                      float(arr[h - 1, x])))
+                if ty > 0:
+                    key = (1 << 62) + oy * (1 << 32) + tx
+                    rowp = labels[0, :]
+                    for x in np.nonzero(rowp > 0)[0]:
+                        edges.append((key, int(x), 1,
+                                      int((tid << 32) | rowp[x]),
+                                      float(arr[0, x])))
+            yield (pd.DataFrame(runs, columns=[f.name for f in _PXRUNS]),
+                   pd.DataFrame(edges, columns=[f.name for f in _EDGES]))
+
+    def runs_only(batches):
+        for r, _ in label_emit(batches):
+            yield r
+
+    def edges_only(batches):
+        for _, e in label_emit(batches):
+            yield e
+
+    cached = tiles.persist()
+    runs = cached.mapInPandas(runs_only, _PXRUNS)
+    ed = cached.mapInPandas(edges_only, _EDGES)
+
+    lo = ed.filter(F.col("side") == 0).select(
+        "edge_key", "pos", F.col("label").alias("label_a"),
+        F.col("value").alias("va"))
+    hi = ed.filter(F.col("side") == 1).select(
+        "edge_key", "pos", F.col("label").alias("label_b"),
+        F.col("value").alias("vb"))
+    pairs = (lo.join(hi, ["edge_key", "pos"])
+             .filter(F.col("va") == F.col("vb"))
+             .select("label_a", "label_b").distinct().collect())
+    parent: dict[int, int] = {}
+
+    def find(a: int) -> int:
+        r = a
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(a, a) != a:
+            parent[a], a = r, parent[a]
+        return r
+
+    for p in pairs:
+        ra, rb = find(int(p["label_a"])), find(int(p["label_b"]))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    remap = [(a, find(a)) for a in list(parent)]
+    if remap:
+        rm = spark.createDataFrame(remap, "label long, root long")
+        runs = (runs.join(F.broadcast(rm), "label", "left")
+                .withColumn("root", F.coalesce("root", "label")))
+    else:
+        runs = runs.withColumn("root", F.col("label"))
+
+    def trace(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        xs = np.concatenate([np.asarray(v, np.int64) for v in pdf["xs"]])
+        ys = np.concatenate([np.asarray(v, np.int64) for v in pdf["ys"]])
+        value = float(pdf["value"].iloc[0])
+        n = len(xs)
+        x0, y0 = int(xs.min()), int(ys.min())
+        x1, y1 = int(xs.max()), int(ys.max())
+        blob = None
+        if n <= max_px:
+            msk = np.zeros((y1 - y0 + 1, x1 - x0 + 1), dtype=bool)
+            msk[ys - y0, xs - x0] = True
+            rings = trace_rings(msk, ox=x0, oy=y0)
+            blob = bytearray(_wkb.polygon(rings))
+        return pd.DataFrame({
+            "value": [value], "n_px": [n],
+            "min_x": [x0], "min_y": [y0], "max_x": [x1], "max_y": [y1],
+            "geom": [blob]})
+
+    out = runs.groupBy("root").applyInPandas(trace, _GEOM_OUT)
+    return out
 
 
 def polygonize(tiles: DataFrame, spec: G.GridSpec,
