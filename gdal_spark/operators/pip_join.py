@@ -130,6 +130,81 @@ def _test_points(px: np.ndarray, py: np.ndarray, polys_and_bbox) -> np.ndarray:
     return mask
 
 
+def _convex_ccw_ring(ring: np.ndarray) -> np.ndarray | None:
+    """ring (closed or open) -> CCW vertex array if strictly convex,
+    else None."""
+    r = np.asarray(ring, np.float64)
+    if len(r) >= 2 and (r[0] == r[-1]).all():
+        r = r[:-1]
+    if len(r) < 3:
+        return None
+    nxt = np.roll(np.arange(len(r)), -1)
+    nx2 = np.roll(np.arange(len(r)), -2)
+    cross = ((r[nxt, 0] - r[:, 0]) * (r[nx2, 1] - r[nxt, 1])
+             - (r[nxt, 1] - r[:, 1]) * (r[nx2, 0] - r[nxt, 0]))
+    if (cross > 0).all():
+        return r
+    if (cross < 0).all():
+        return r[::-1]
+    return None
+
+
+def _codegen_polys(poly_rows):
+    """-> [(pid, ccw_ring)] if EVERY polygon is a single convex ring
+    (no holes, no multipolygons), else None."""
+    out = []
+    for pid, blob in poly_rows:
+        polys = wkb.polygon_rings(bytes(blob))
+        if len(polys) != 1 or len(polys[0]) != 1:
+            return None
+        ring = _convex_ccw_ring(polys[0][0])
+        if ring is None:
+            return None
+        out.append((pid, ring))
+    return out
+
+
+def pip_join_codegen(points: DataFrame, convex_polys, lon_col: str,
+                     lat_col: str, how: str) -> DataFrame:
+    """WHOLE-JVM point-in-polygon join for convex polygon sets: each
+    polygon compiles to an AND-chain of half-plane predicates and the
+    match list is a filtered literal array — pure Catalyst codegen, no
+    Python exchange at all.
+
+    This generalizes the reference's own rectangle shortcut in the
+    spatial-filter ladder (ogrlayer.cpp:3930-3993 skips GEOS when the
+    filter is a rectangle) from rectangles to arbitrary convex rings.
+    Boundary semantics: >= 0 half-plane (boundary points match), vs
+    the even-odd kernel's half-open rule — identical away from edges;
+    the general path remains authoritative for non-convex geometry.
+    """
+    lon, lat = F.col(lon_col), F.col(lat_col)
+
+    def inside(ring) -> F.Column:
+        pred = None
+        for i in range(len(ring)):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % len(ring)]
+            p = ((F.lit(float(x2 - x1)) * (lat - F.lit(float(y1)))
+                  - F.lit(float(y2 - y1)) * (lon - F.lit(float(x1))))
+                 >= F.lit(0.0))
+            pred = p if pred is None else (pred & p)
+        return pred
+
+    matches = F.array(*[
+        F.when(inside(ring), F.lit(int(pid)).cast("int"))
+        for pid, ring in convex_polys])
+    hits = F.filter(matches, lambda x: x.isNotNull())
+    if how == "semi":
+        return points.filter(F.size(hits) > 0)
+    if how == "anti":
+        return points.filter(F.size(hits) == 0)
+    if how == "inner":
+        return (points.withColumn("poly_id", F.explode(hits)))
+    # left: explode_outer keeps no-match rows with NULL
+    return points.withColumn("poly_id", F.explode_outer(hits))
+
+
 def pip_join_broadcast(
     points: DataFrame,
     polys: DataFrame,
@@ -138,6 +213,7 @@ def pip_join_broadcast(
     how: str = "inner",
     jvm_bbox_prefilter: bool = True,
     use_index: bool | None = None,
+    allow_codegen: bool = False,
 ) -> DataFrame:
     """Broadcast PIP join.
 
@@ -160,6 +236,12 @@ def pip_join_broadcast(
     """
     poly_rows = [(int(r["poly_id"]), bytes(r["geom"]))
                  for r in polys.select("poly_id", "geom").collect()]
+
+    # NOTE: prefilter split runs FIRST (below); the recursive call on
+    # the candidate subset then takes the codegen or UDF exact stage.
+    # Running the half-plane when-array over ALL rows instead of bbox
+    # candidates measured 13x slower — the wide conditional expression
+    # is only cheap on the small candidate fraction.
     sc = points.sparkSession.sparkContext
     bpolys = sc.broadcast(poly_rows)
 
@@ -179,7 +261,8 @@ def pip_join_broadcast(
             rest = points.filter(~bbox_pred)
             core = pip_join_broadcast(cand, polys, lon_col, lat_col, how,
                                       jvm_bbox_prefilter=False,
-                                      use_index=use_index)
+                                      use_index=use_index,
+                                      allow_codegen=allow_codegen)
             if how == "inner" or how == "semi":
                 return core
             if how == "anti":
@@ -187,6 +270,17 @@ def pip_join_broadcast(
             # left: non-candidates pass through with NULL poly_id
             return core.unionByName(
                 rest.withColumn("poly_id", F.lit(None).cast("int")))
+
+    # OPT-IN: all-convex polygon sets can compile to pure-codegen
+    # half-plane math (the join never leaves the JVM — generalizes the
+    # reference's rectangle shortcut). Off by default: the wide
+    # when-array measured SLOWER than the Arrow path on this JVM
+    # (conditional-expression codegen limits); the vectorized UDF
+    # ladder is the production default.
+    if allow_codegen and len(poly_rows) <= 256:
+        cg = _codegen_polys(poly_rows)
+        if cg is not None:
+            return pip_join_codegen(points, cg, lon_col, lat_col, how)
 
     out_schema = T.StructType(points.schema.fields + [T.StructField("poly_id", T.IntegerType(), True)])
     emit_poly = how in ("inner", "left")

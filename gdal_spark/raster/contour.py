@@ -109,6 +109,92 @@ def contour_segments_np(canvas: np.ndarray, levels: list[float],
     return out
 
 
+def chain_segments(segs: list[tuple]) -> list[np.ndarray]:
+    """Chain (x1,y1,x2,y2) segments of ONE level into polylines
+    (closed rings where the iso-line closes; open lines where it exits
+    the raster) — the arc-assembly the reference does downstream of
+    marching squares. Endpoints are matched exactly (crossings on a
+    shared square edge are computed from the same two corner values on
+    both sides, so their floats agree bit-for-bit)."""
+    adj: dict[tuple, list] = {}
+    for x1, y1, x2, y2 in segs:
+        a, b = (x1, y1), (x2, y2)
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+
+    def pop_edge(a, b):
+        adj[a].remove(b)
+        if not adj[a]:
+            del adj[a]
+        if b in adj:
+            adj[b].remove(a)
+            if not adj[b]:
+                del adj[b]
+
+    lines = []
+    # open chains first (start at degree-1 endpoints)
+    while True:
+        start = next((p for p, ns in adj.items() if len(ns) == 1), None)
+        if start is None:
+            break
+        line = [start]
+        cur = start
+        while cur in adj:
+            nxt = adj[cur][0]
+            pop_edge(cur, nxt)
+            line.append(nxt)
+            cur = nxt
+        lines.append(np.array(line))
+    # remaining edges form closed loops
+    while adj:
+        start = next(iter(adj))
+        line = [start]
+        cur = start
+        while cur in adj:
+            nxt = adj[cur][0]
+            pop_edge(cur, nxt)
+            line.append(nxt)
+            cur = nxt
+            if cur == start:
+                break
+        lines.append(np.array(line))
+    return lines
+
+
+def contour_polylines(tiles: DataFrame, spec: G.GridSpec,
+                      levels: list[float]) -> DataFrame:
+    """Distributed contour with ASSEMBLED polylines: one row per
+    chained line — (level, n_points, closed, length, wkb). Chaining
+    groups by level (each level's segment set goes to one task — iso-
+    line graphs are metadata-sized relative to the raster; shard by
+    region first if a single level's segments outgrow a task)."""
+    from ..geo import geom as _geom
+    from ..geo import wkb as _wkb
+
+    segs = contour(tiles, spec, levels)
+    out_schema = T.StructType([
+        T.StructField("level", T.DoubleType(), False),
+        T.StructField("n_points", T.IntegerType(), False),
+        T.StructField("closed", T.BooleanType(), False),
+        T.StructField("length", T.DoubleType(), False),
+        T.StructField("geom", T.BinaryType(), False),
+    ])
+
+    def chain(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        level = float(key[0])
+        lines = chain_segments(list(zip(pdf["x1"], pdf["y1"],
+                                        pdf["x2"], pdf["y2"])))
+        rows = []
+        for ln in lines:
+            closed = bool((ln[0] == ln[-1]).all()) and len(ln) > 1
+            rows.append((level, len(ln), closed,
+                         _geom.line_length(ln),
+                         bytearray(_wkb.linestring(ln))))
+        return pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    return segs.groupBy("level").applyInPandas(chain, out_schema)
+
+
 def contour(tiles: DataFrame, spec: G.GridSpec,
             levels: list[float]) -> DataFrame:
     """Distributed contour -> segment DataFrame (level, x1, y1, x2, y2)

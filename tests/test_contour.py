@@ -47,6 +47,35 @@ def test_contour_cone_is_closed_ring():
     assert all(v == 2 for v in c.values())
 
 
+def test_contour_polylines_chain(spark):
+    """Distributed chained polylines: the cone's level-8 iso-line must
+    assemble into exactly ONE closed ring whose length ~ 2*pi*8."""
+    gy, gx = np.mgrid[0:33, 0:33]
+    canvas = 16.0 - np.hypot(gx - 16, gy - 16)
+    spec = G.GridSpec(33, 33, (0, 1, 0, 0, 0, 1), tile=11)
+    # pad to 33x33 with 11px tiles -> 3x3 full tiles
+    tiles = _tiles(spark, canvas, spec)
+    rows = CN.contour_polylines(tiles, spec, [8.0]).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["closed"] and r["level"] == 8.0
+    assert abs(r["length"] - 2 * np.pi * 8) < 0.35
+    from gdal_spark.geo import wkb
+    t, coords = wkb.decode(bytes(r["geom"]))
+    assert t == wkb.LINESTRING and len(coords) == r["n_points"]
+
+
+def test_contour_open_lines_at_border(spark):
+    """A linear ramp's iso-line crosses the whole raster: one OPEN
+    polyline from border to border."""
+    gy, gx = np.mgrid[0:16, 0:16]
+    canvas = gx.astype(float)
+    spec = G.GridSpec(16, 16, (0, 1, 0, 0, 0, 1), tile=8)
+    rows = CN.contour_polylines(_tiles(spark, canvas, spec), spec, [7.3]).collect()
+    assert len(rows) == 1 and not rows[0]["closed"]
+    assert rows[0]["length"] == 15.0  # 15 unit steps down the column
+
+
 def test_contour_saddle_consistency():
     """The saddle rule must not drop or duplicate crossings."""
     canvas = np.array([[9.0, 1.0], [1.0, 9.0]])

@@ -92,11 +92,15 @@ def test_pip_grid_index_matches_naive(spark, sf_dir):
 
     indexed = {(r["doc_id"], r["poly_id"])
                for r in pip_join.pip_join_broadcast(
-                   pts, polys, use_index=True).collect()}
+                   pts, polys, use_index=True, allow_codegen=False).collect()}
     naive = {(r["doc_id"], r["poly_id"])
              for r in pip_join.pip_join_broadcast(
-                 pts, polys, use_index=False).collect()}
-    assert indexed == naive and len(indexed) > 0
+                 pts, polys, use_index=False, allow_codegen=False).collect()}
+    # these hexagons are convex, so the auto path takes codegen — all
+    # three strategies must agree
+    codegen = {(r["doc_id"], r["poly_id"])
+               for r in pip_join.pip_join_broadcast(pts, polys).collect()}
+    assert indexed == naive == codegen and len(indexed) > 0
 
 
 def test_pip_left_semi_anti(spark, sf_dir):
