@@ -57,6 +57,44 @@ def manifest_of(bucketed: DataFrame, key_cols: list[str]) -> DataFrame:
     )
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath, jvm
+
+
+def _purge_orphan_buckets(spark: SparkSession, path: str,
+                          committed: set[int]) -> int:
+    """Delete any bucket=<i> data dir with no manifest row.
+
+    A crash between the data append and the manifest append leaves an
+    orphan bucket dir; because run_stage writes with mode('append'),
+    re-processing that bucket would duplicate its rows. Purging orphans
+    first makes the data write atomic relative to the manifest: a bucket
+    dir exists on disk iff it either has a manifest row or is being
+    (re)written this run. Uses the Hadoop FS API so it works on any
+    supported filesystem, and touches only the bounded bucket dirs
+    (DEFAULT_BUCKETS), never data rows.
+    """
+    fs, jpath, jvm = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return 0
+    purged = 0
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if not (status.isDirectory() and name.startswith("bucket=")):
+            continue
+        try:
+            b = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if b not in committed:
+            fs.delete(status.getPath(), True)
+            purged += 1
+    return purged
+
+
 def committed_buckets(spark: SparkSession, path: str) -> DataFrame | None:
     mpath = os.path.join(path, "_manifest")
     if not os.path.exists(mpath):
@@ -79,9 +117,15 @@ def run_stage(df: DataFrame, path: str, key_cols: list[str],
     prior = committed_buckets(spark, path)
     skipped = 0
     if prior is not None:
+        committed = {r.bucket for r in prior.select("bucket").collect()}
+        skipped = len(committed)
+        # crash-window repair: drop data dirs that never got a manifest
+        # row, so re-processing them cannot append duplicates
+        _purge_orphan_buckets(spark, path, committed)
         done = prior.select("bucket")
-        skipped = done.count()
         bucketed = bucketed.join(F.broadcast(done), "bucket", "left_anti")
+    else:
+        _purge_orphan_buckets(spark, path, set())
 
     bucketed = bucketed.persist()
     try:
@@ -91,9 +135,9 @@ def run_stage(df: DataFrame, path: str, key_cols: list[str],
             (bucketed.write.mode("append").partitionBy("bucket").parquet(path))
             # manifest append LAST: a bucket is committed only once its
             # manifest row exists => crash between the two writes leaves
-            # an orphan data dir that the next resume overwrites-by-
-            # append and the verify step flags (never silent corruption:
-            # verify_stage recomputes hashes from data).
+            # an orphan data dir that the next resume PURGES before
+            # re-processing (never silent duplication; verify_stage also
+            # recomputes hashes from data as a belt-and-braces audit).
             (new_manifest.write.mode("append")
              .parquet(os.path.join(path, "_manifest")))
         return {"written": int(n_new), "skipped": int(skipped)}
@@ -113,6 +157,11 @@ def verify_stage(spark: SparkSession, path: str, key_cols: list[str]) -> DataFra
         "bucket", F.col("n_rows").alias("a_rows"),
         F.col("content_hash").alias("a_hash"))
     man = spark.read.parquet(os.path.join(path, "_manifest"))
+    # coalesce to False so orphan buckets (data-only or manifest-only:
+    # the full outer join leaves one side NULL) fail the audit instead
+    # of slipping past filter(~col('ok')) as NULL
     return (man.join(actual, "bucket", "full")
-            .withColumn("ok", (F.col("n_rows") == F.col("a_rows"))
-                        & (F.col("content_hash") == F.col("a_hash"))))
+            .withColumn("ok", F.coalesce(
+                (F.col("n_rows") == F.col("a_rows"))
+                & (F.col("content_hash") == F.col("a_hash")),
+                F.lit(False))))

@@ -20,8 +20,11 @@ sorted-neighbor expansion over ring queries":
     latitude-aware, because a mercator cell's height in degrees
     shrinks by cos(lat) toward the poles, so a constant-cells bound
     would be wrong off the equator;
- 4. ring doubles until max_ring, then an exhaustive broadcast pass
-    finishes any stragglers (sparse regions) — exact for all inputs.
+ 4. ring doubles until it covers the whole grid, at which point the
+    final pass — still the same cell equi-join, so the data side is
+    hash-partitioned once per pass rather than replicated per query —
+    completes any stragglers (sparse regions). Exact for all inputs,
+    with no cross-join cliff.
 
 Distances are squared-euclidean in lon/lat degrees — matching the
 DuckDB oracle's arithmetic bit-for-bit (identical doubles in, exactly
@@ -38,9 +41,13 @@ from ..geo import cells, mercator
 
 
 def _ring_offsets(spark, ring: int) -> DataFrame:
-    offs = [(dx, dy) for dx in range(-ring, ring + 1)
-            for dy in range(-ring, ring + 1)]
-    return spark.createDataFrame(offs, "dx int, dy int")
+    """(dx, dy) Chebyshev-disk offset table, generated JVM-side
+    (spark.range cross product) so a large ring never materializes a
+    driver-side list."""
+    side = 2 * ring + 1
+    dxs = spark.range(side).select((F.col("id") - ring).cast("int").alias("dx"))
+    dys = spark.range(side).select((F.col("id") - ring).cast("int").alias("dy"))
+    return dxs.crossJoin(dys)
 
 
 def _lat_of_tile_row_col(row: F.Column, res: int) -> F.Column:
@@ -116,16 +123,27 @@ def knn_join(data: DataFrame, queries: DataFrame, k: int = 5,
 
     if initial_ring >= max_ring:
         # the density estimate says the search disk must cover
-        # (almost) the whole grid — the ring machinery would only add
-        # per-round scheduling overhead before reaching the same
-        # exhaustive pass, so run it directly (sparse-data fast path)
+        # (almost) the whole grid, which also means the data set is
+        # small (rows << k * 4^res) — the ring machinery would only
+        # add per-round scheduling overhead before reaching the same
+        # exhaustive pass, so run it directly (sparse-data fast path;
+        # Spark broadcasts the small data side of the nested loop)
         return (topk_within(q.crossJoin(d))
                 .select("q_id", "rank", "neighbor_id", "dist2"))
 
     ring = initial_ring
     result = None
     pending = q
-    while ring <= max_ring:
+    while True:
+        # ring >= n covers every cell (lon wraps via pmod, the lat
+        # filter clamps rows): this is the exhaustive pass, expressed
+        # as the SAME cell equi-join — the data side is hash-shuffled
+        # ONCE per pass, never replicated per query and never
+        # cross-joined (the old max_ring cliff was pending x ALL data;
+        # on clustered data with sparse query outliers that was a
+        # scale cliff — now stragglers just keep doubling)
+        full = ring >= n
+        ring = min(ring, n)
         offs = _ring_offsets(spark, ring)
         expand = (pending.crossJoin(F.broadcast(offs))
                   .withColumn("etx", F.pmod(F.col("qtx") + F.col("dx"), F.lit(n)))
@@ -137,6 +155,11 @@ def knn_join(data: DataFrame, queries: DataFrame, k: int = 5,
                       ["q_id", "d_cell"]))
         cand = expand.join(d, "d_cell")
         topk = topk_within(cand)
+        if full:
+            # whole grid searched: every pending query is complete
+            # (queries with < k total data rows emit what exists)
+            rest = topk.select("q_id", "rank", "neighbor_id", "dist2")
+            return rest if result is None else result.unionByName(rest)
         done_q = (topk.groupBy("q_id")
                   .agg(F.count(F.lit(1)).alias("n_hits"),
                        F.max("dist2").alias("kd"),
@@ -152,10 +175,6 @@ def knn_join(data: DataFrame, queries: DataFrame, k: int = 5,
         if pending.isEmpty():
             return result
         ring *= 2
-    # exhaustive fallback for stragglers (very sparse neighborhoods)
-    rest = (topk_within(pending.crossJoin(d))
-            .select("q_id", "rank", "neighbor_id", "dist2"))
-    return rest if result is None else result.unionByName(rest)
 
 
 def knn_oracle_sql(pts_sql: str, k: int, q_filter_sql: str) -> str:

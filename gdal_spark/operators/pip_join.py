@@ -74,11 +74,11 @@ class _BBoxGridIndex:
         self.pids = np.array(list(prepared.keys()))
         self.minx = float(boxes[:, 0].min())
         self.miny = float(boxes[:, 1].min())
-        maxx = float(boxes[:, 2].max())
-        maxy = float(boxes[:, 3].max())
+        self.maxx = float(boxes[:, 2].max())
+        self.maxy = float(boxes[:, 3].max())
         self.nb = nb or max(4, int(np.sqrt(len(prepared))))
-        self.sx = (maxx - self.minx) / self.nb or 1.0
-        self.sy = (maxy - self.miny) / self.nb or 1.0
+        self.sx = (self.maxx - self.minx) / self.nb or 1.0
+        self.sy = (self.maxy - self.miny) / self.nb or 1.0
         self.buckets: dict[int, list[int]] = {}
         for pid, (_polys, (x0, y0, x1, y1)) in prepared.items():
             bx0 = int((x0 - self.minx) / self.sx)
@@ -92,7 +92,13 @@ class _BBoxGridIndex:
     def point_buckets(self, px: np.ndarray, py: np.ndarray) -> np.ndarray:
         bx = np.floor((px - self.minx) / self.sx).astype(np.int64)
         by = np.floor((py - self.miny) / self.sy).astype(np.int64)
-        inside = (bx >= 0) & (bx < self.nb) & (by >= 0) & (by < self.nb)
+        # inclusive on the global max edge (matches the bbox ladder's
+        # <= maxx): a point exactly on maxx/maxy computes bucket nb —
+        # clamp it into the last bucket instead of dropping it
+        inside = ((px >= self.minx) & (px <= self.maxx)
+                  & (py >= self.miny) & (py <= self.maxy))
+        bx = np.clip(bx, 0, self.nb - 1)
+        by = np.clip(by, 0, self.nb - 1)
         return np.where(inside, by * self.nb + bx, -1)
 
     def candidates(self, px: np.ndarray, py: np.ndarray):
@@ -257,8 +263,13 @@ def pip_join_broadcast(
                 lat.between(float(miny), float(maxy))
             bbox_pred = p if bbox_pred is None else (bbox_pred | p)
         if bbox_pred is not None:
-            cand = points.filter(bbox_pred)
-            rest = points.filter(~bbox_pred)
+            # NULL lon/lat satisfies NEITHER bbox_pred nor ~bbox_pred
+            # (both evaluate to NULL) — route such rows into `rest`
+            # explicitly so left/anti keep them, matching the
+            # prefilter-off path (NaN in the UDF never matches)
+            null_coord = lon.isNull() | lat.isNull()
+            cand = points.filter(bbox_pred & ~null_coord)
+            rest = points.filter(~bbox_pred | null_coord)
             core = pip_join_broadcast(cand, polys, lon_col, lat_col, how,
                                       jvm_bbox_prefilter=False,
                                       use_index=use_index,

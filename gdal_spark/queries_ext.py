@@ -424,8 +424,9 @@ def rolling_sum(spark, sf_dir):
                   THEN 1 ELSE 0 END AS new_sess
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     s AS (SELECT user_id, ts, event_id,
-                 sum(new_sess) OVER (PARTITION BY user_id
-                                     ORDER BY ts, event_id) AS session_id
+                 CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                      AS BIGINT) AS session_id
           FROM g)
     SELECT user_id, session_id, count(*) AS n_events,
            CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS dur_us

@@ -85,10 +85,24 @@ def checksum_sql(value_expr: str, x_expr: str, y_expr: str, width: int) -> str:
 
     Rows not present are implicitly 0, and 0 % p == 0, so a sparse
     pixel table (only nonzero pixels) yields the same checksum.
+
+    Pixel values convert with GDALCopyWords' exact float->Int32 rule
+    (+0.5 then floor, clamp to +/-2147483647, non-finite -> INT_MIN) —
+    NOT a plain CAST, whose round-half-to-even would diverge from
+    checksum_np at values like 2.5 (CAST -> 2, GDAL -> 3). For
+    integer-valued inputs floor(v + 0.5) == v, so the rule is a no-op
+    there and the oracle stays valid for every band type.
     """
     primes = ",".join(str(int(p)) for p in PRIMES)
+    v = f"CAST(({value_expr}) AS DOUBLE)"
+    iv = (
+        f"(CASE WHEN NOT isfinite({v}) THEN CAST(-2147483648 AS BIGINT) "
+        f"WHEN {v} + 0.5 < -2147483647.0 THEN CAST(-2147483647 AS BIGINT) "
+        f"WHEN {v} + 0.5 > 2147483647.0 THEN CAST(2147483647 AS BIGINT) "
+        f"ELSE CAST(floor({v} + 0.5) AS BIGINT) END)"
+    )
     return (
-        f"CAST(sum(CAST({value_expr} AS BIGINT) % "
+        f"CAST(sum({iv} % "
         f"([{primes}])[(({y_expr}) * {width} + ({x_expr})) % 11 + 1]) % 65536 "
         f"AS BIGINT)"
     )
