@@ -6,10 +6,30 @@ node, value = sum(v_i / d_i^p) / sum(1 / d_i^p) over points within
 `radius`; nodes with no point in radius get `nodata`; a point exactly
 on the node short-circuits to its value.
 
-Distributed shape: like proximity, the scattered points are broadcast
-(guarded) and each output tile computes its nodes vectorized; at
-larger point sets the candidate gathering becomes the cell-ring join
-the kNN operator implements — this module is the dense-output half.
+Two physical strategies, same numerics:
+
+  scatter path (default for finite radius) — each point is exploded to
+      the tile keys whose nodes it can influence (pure column math:
+      radius in pixels -> a sequence() of tile indices per axis), both
+      sides hash-partition by tile key, and each tile computes its
+      nodes from ONLY its gathered candidates. This is the distributed
+      restatement of gdalgrid.cpp:242's quadtree radius probe: the
+      per-point fan-out is bounded by (radius/tile_size + 1)^2, so the
+      job scales linearly with points — no driver collect, no
+      broadcast cap. Tiles outside every point's radius still emit
+      (nodata surface) via a JVM-generated key grid.
+
+  broadcast path (radius = inf, or forced) — with an unbounded radius
+      every point influences every node (inherently all-to-all, which
+      is why the reference's scalable variant is the radius-bounded
+      one), so the point set is collected and broadcast, guarded by
+      MAX_BROADCAST_POINTS.
+
+Determinism across paths: float IDW sums are order-sensitive, so both
+paths process points in (x, y, v)-lexsorted order — the scatter
+gather's shuffle order and the driver collect order both normalize to
+the same sequence, making the two paths (and the single-node oracle on
+sorted points) bit-identical.
 """
 
 from __future__ import annotations
@@ -24,11 +44,20 @@ from . import grid as G
 MAX_BROADCAST_POINTS = 2_000_000
 
 
+def sort_points(px: np.ndarray, py: np.ndarray, pv: np.ndarray):
+    """Normalize point order (lexsort by x, then y, then v) so every
+    execution strategy sums the same float sequence."""
+    idx = np.lexsort((pv, py, px))
+    return px[idx], py[idx], pv[idx]
+
+
 def idw_np(px_nodes_x: np.ndarray, px_nodes_y: np.ndarray,
            pts_x: np.ndarray, pts_y: np.ndarray, pts_v: np.ndarray,
            power: float = 2.0, radius: float = np.inf,
            nodata: float = 0.0) -> np.ndarray:
-    """IDW at arbitrary nodes (world coords). Vectorized (nodes x pts)."""
+    """IDW at arbitrary nodes (world coords). Vectorized (nodes x pts).
+    Callers comparing across strategies must pass sorted points
+    (sort_points) — this kernel sums in the order given."""
     out = np.full(px_nodes_x.shape, nodata, dtype=np.float64)
     if len(pts_x) == 0:
         return out
@@ -53,35 +82,149 @@ def idw_np(px_nodes_x: np.ndarray, px_nodes_y: np.ndarray,
     return out
 
 
+def _tile_span_np(p: np.ndarray, r: float, t: int, n_tiles: int):
+    """numpy mirror of the scatter path's per-axis tile-span column
+    math (same expression tree, so same IEEE results): node j has
+    center j + 0.5; a point at fractional pixel coord p influences
+    nodes |j + 0.5 - p| <= r -> tiles floor(j/t) over that j range."""
+    jlo = np.ceil(p - (0.5 + r))
+    jhi = np.floor((p - 0.5) + r)
+    tlo = np.maximum(np.floor(jlo / t), 0)
+    thi = np.minimum(np.floor(jhi / t), n_tiles - 1)
+    return tlo, thi
+
+
+def _key_grid(spark, spec: G.GridSpec) -> DataFrame:
+    """All (tile_y, tile_x) keys, generated JVM-side (no O(#tiles)
+    driver list — a z15 grid has 10^9 tiles)."""
+    return (spark.range(spec.tiles_y * spec.tiles_x)
+            .select(F.expr(f"CAST(id DIV {spec.tiles_x} AS INT)").alias("tile_y"),
+                    F.pmod(F.col("id"), F.lit(spec.tiles_x))
+                    .cast("int").alias("tile_x")))
+
+
+def _tile_nodes(spec: G.GridSpec, ty: int, tx: int):
+    """World coords of a tile's pixel-center nodes (row-major)."""
+    t = spec.tile
+    h, w = spec.tile_shape(ty, tx)
+    gx, gy = np.meshgrid(np.arange(tx * t, tx * t + w, dtype=np.float64),
+                         np.arange(ty * t, ty * t + h, dtype=np.float64))
+    return spec.pixel_center_world(gx.ravel(), gy.ravel())
+
+
 def grid_idw(points: DataFrame, spec: G.GridSpec,
              value_col: str = "v", x_col: str = "x", y_col: str = "y",
              power: float = 2.0, radius: float = np.inf,
-             nodata: float = 0.0) -> DataFrame:
+             nodata: float = 0.0,
+             force_broadcast: bool = False) -> DataFrame:
     """-> dense tile DataFrame over the WHOLE grid (every tile emitted:
-    gridding produces a full surface, unlike the sparse density path)."""
+    gridding produces a full surface, unlike the sparse density path).
+
+    Finite radius -> scatter path (scales with points, no collect);
+    radius = inf -> broadcast path (guarded; unbounded-radius IDW is
+    inherently all-to-all).
+    """
+    if force_broadcast or np.isinf(radius):
+        return _grid_idw_broadcast(points, spec, value_col, x_col, y_col,
+                                   power, radius, nodata)
+    return _grid_idw_scatter(points, spec, value_col, x_col, y_col,
+                             power, radius, nodata)
+
+
+def _grid_idw_broadcast(points, spec, value_col, x_col, y_col,
+                        power, radius, nodata) -> DataFrame:
     rows = points.select(x_col, y_col, value_col).collect()
     if len(rows) > MAX_BROADCAST_POINTS:
-        raise ValueError("point set exceeds broadcast budget; use the "
-                         "cell-ring join path (operators.knn) instead")
+        raise ValueError("point set exceeds broadcast budget; pass a "
+                         "finite radius to take the scatter path")
     px = np.array([r[x_col] for r in rows], np.float64)
     py = np.array([r[y_col] for r in rows], np.float64)
     pv = np.array([r[value_col] for r in rows], np.float64)
+    px, py, pv = sort_points(px, py, pv)
     b = points.sparkSession.sparkContext.broadcast((px, py, pv))
-
-    spark = points.sparkSession
-    keys = [(ty, tx) for ty in range(spec.tiles_y) for tx in range(spec.tiles_x)]
-    kdf = spark.createDataFrame(keys, "tile_y int, tile_x int")
+    gt, t = spec.gt, spec.tile
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         bx, by, bv = b.value
         ty, tx = int(key[0]), int(key[1])
-        h, w = spec.tile_shape(ty, tx)
-        gx, gy = np.meshgrid(
-            np.arange(tx * spec.tile, tx * spec.tile + w, dtype=np.float64),
-            np.arange(ty * spec.tile, ty * spec.tile + h, dtype=np.float64))
-        wx, wy = spec.pixel_center_world(gx.ravel(), gy.ravel())
-        out = idw_np(wx, wy, bx, by, bv, power, radius, nodata)
+        if np.isfinite(radius) and len(bx):
+            # restrict to the SAME per-tile candidate set the scatter
+            # path gathers: zero-weight points don't change the math,
+            # but they do change numpy's pairwise-summation tree, and
+            # the two strategies must stay bit-identical
+            ppx = (bx - gt[0]) / gt[1]
+            ppy = (by - gt[3]) / gt[5]
+            txlo, txhi = _tile_span_np(ppx, abs(radius / gt[1]), t, spec.tiles_x)
+            tylo, tyhi = _tile_span_np(ppy, abs(radius / gt[5]), t, spec.tiles_y)
+            keep = (txlo <= tx) & (tx <= txhi) & (tylo <= ty) & (ty <= tyhi)
+            cx, cy, cv = bx[keep], by[keep], bv[keep]
+        else:
+            cx, cy, cv = bx, by, bv
+        wx, wy = _tile_nodes(spec, ty, tx)
+        out = idw_np(wx, wy, cx, cy, cv, power, radius, nodata)
         return pd.DataFrame({"tile_y": [ty], "tile_x": [tx],
                              "px": [out.tolist()]})
 
+    kdf = _key_grid(points.sparkSession, spec)
     return kdf.groupBy("tile_y", "tile_x").applyInPandas(run, G.TILE_SCHEMA)
+
+
+def _grid_idw_scatter(points, spec, value_col, x_col, y_col,
+                      power, radius, nodata) -> DataFrame:
+    """Explode each point to its influenced tile keys (column math),
+    hash-partition by key, per-tile vectorized IDW over ONLY the
+    gathered candidates. Candidates form a per-axis superset of the
+    radius disc; out-of-radius candidates get exactly zero weight in
+    idw_np, so values are identical to the broadcast path."""
+    spark = points.sparkSession
+    t = spec.tile
+    gt = spec.gt
+    if gt[2] != 0.0 or gt[4] != 0.0:
+        raise NotImplementedError("rotated geotransforms out of scope v1")
+    # fractional pixel coords of the point; node j has center j + 0.5
+    ppx = (F.col(x_col) - F.lit(gt[0])) / F.lit(gt[1])
+    ppy = (F.col(y_col) - F.lit(gt[3])) / F.lit(gt[5])
+    rx = abs(radius / gt[1])
+    ry = abs(radius / gt[5])
+
+    def tile_span(p, r, n_tiles):
+        jlo = F.ceil(p - F.lit(0.5 + r)).cast("long")
+        jhi = F.floor(p - F.lit(0.5) + F.lit(r)).cast("long")
+        tlo = F.greatest(F.floor(jlo / t).cast("int"), F.lit(0))
+        thi = F.least(F.floor(jhi / t).cast("int"), F.lit(n_tiles - 1))
+        return tlo, thi
+
+    txlo, txhi = tile_span(ppx, rx, spec.tiles_x)
+    tylo, tyhi = tile_span(ppy, ry, spec.tiles_y)
+    scattered = (points.select(
+        F.col(x_col).alias("x"), F.col(y_col).alias("y"),
+        F.col(value_col).alias("v"),
+        txlo.alias("txlo"), txhi.alias("txhi"),
+        tylo.alias("tylo"), tyhi.alias("tyhi"))
+        .filter((F.col("txlo") <= F.col("txhi"))
+                & (F.col("tylo") <= F.col("tyhi")))
+        .withColumn("tile_y", F.explode(F.sequence("tylo", "tyhi")))
+        .withColumn("tile_x", F.explode(F.sequence("txlo", "txhi")))
+        .select("tile_y", "tile_x", "x", "y", "v"))
+
+    # tiles with no candidate still emit (nodata surface): a marker row
+    # per key, dropped inside the UDF
+    empties = (_key_grid(spark, spec)
+               .withColumn("x", F.lit(None).cast("double"))
+               .withColumn("y", F.lit(None).cast("double"))
+               .withColumn("v", F.lit(None).cast("double")))
+    allrows = scattered.unionByName(empties)
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ty, tx = int(key[0]), int(key[1])
+        cand = pdf.dropna(subset=["x"])
+        px = cand["x"].to_numpy(np.float64)
+        py = cand["y"].to_numpy(np.float64)
+        pv = cand["v"].to_numpy(np.float64)
+        px, py, pv = sort_points(px, py, pv)
+        wx, wy = _tile_nodes(spec, ty, tx)
+        out = idw_np(wx, wy, px, py, pv, power, radius, nodata)
+        return pd.DataFrame({"tile_y": [ty], "tile_x": [tx],
+                             "px": [out.tolist()]})
+
+    return allrows.groupBy("tile_y", "tile_x").applyInPandas(run, G.TILE_SCHEMA)

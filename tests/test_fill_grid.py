@@ -49,3 +49,44 @@ def test_grid_idw_radius_nodata(spark):
     got = tiles_to_canvas(GR.grid_idw(pdf, spec, radius=2.0, nodata=-99.0), spec)
     assert got[0, 0] == 5.0
     assert got[7, 7] == -99.0  # far corner outside radius
+
+
+def test_grid_idw_scatter_matches_broadcast_bitexact(spark):
+    """The scale path (per-point tile fan-out, no driver collect) must
+    be bit-identical to the broadcast path: both normalize point order
+    and out-of-radius candidates get exactly zero weight."""
+    rng = np.random.default_rng(11)
+    spec = G.GridSpec(40, 24, (0.0, 0.5, 0.0, 12.0, 0.0, -0.5), tile=8)
+    n = 300
+    pts = list(zip(rng.uniform(-2, 22, n).tolist(),
+                   rng.uniform(-2, 14, n).tolist(),
+                   rng.uniform(1, 9, n).tolist()))
+    pdf = spark.createDataFrame(pts, "x double, y double, v double")
+    scatter = tiles_to_canvas(
+        GR.grid_idw(pdf, spec, radius=1.7, nodata=-5.0), spec)
+    bcast = tiles_to_canvas(
+        GR.grid_idw(pdf, spec, radius=1.7, nodata=-5.0,
+                    force_broadcast=True), spec)
+    np.testing.assert_array_equal(scatter, bcast)
+    # and both match the single-node oracle on sorted points (allclose,
+    # not equal: the oracle sums zero-weight out-of-radius terms too,
+    # which shifts numpy's pairwise-summation tree by an ulp)
+    gx, gy = np.meshgrid(np.arange(40, dtype=float), np.arange(24, dtype=float))
+    wx, wy = spec.pixel_center_world(gx.ravel(), gy.ravel())
+    sx, sy, sv = GR.sort_points(np.array([p[0] for p in pts]),
+                                np.array([p[1] for p in pts]),
+                                np.array([p[2] for p in pts]))
+    want = GR.idw_np(wx, wy, sx, sy, sv, power=2.0, radius=1.7,
+                     nodata=-5.0).reshape(24, 40)
+    np.testing.assert_allclose(scatter, want, rtol=1e-12)
+
+
+def test_grid_idw_scatter_all_nodata_region(spark):
+    """Tiles no point can reach still emit (full-surface contract)."""
+    spec = G.GridSpec(32, 32, (0.0, 1.0, 0.0, 32.0, 0.0, -1.0), tile=8)
+    pdf = spark.createDataFrame([(1.0, 31.0, 7.0)], "x double, y double, v double")
+    out = GR.grid_idw(pdf, spec, radius=3.0, nodata=-1.0)
+    assert out.count() == 16  # every tile present
+    canvas = tiles_to_canvas(out, spec)
+    assert canvas[0, 0] != -1.0
+    assert (canvas[16:, 16:] == -1.0).all()
