@@ -91,6 +91,27 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
             .select("a_id", "b_id").distinct())
 
 
+def dup_clusters(pairs: DataFrame, docs: DataFrame | None = None,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Near-dup PAIRS -> dup CLUSTERS: (id, cluster_id, is_keeper).
+
+    A training-data pipeline needs keeper-per-cluster, not pairs: this
+    runs the distributed large-star/small-star connected-components
+    loop (operators/components.py) over the candidate-pair graph and
+    labels each doc with its cluster's minimum id; the minimum is the
+    keeper (deterministic survivor choice). With `docs` given, docs in
+    no pair come back as singleton clusters (their own keeper), so the
+    output is a total keep/drop verdict over the corpus."""
+    from .components import connected_components
+
+    nodes = docs.select(F.col(id_col).alias("node")) if docs is not None else None
+    cc = connected_components(pairs, src="a_id", dst="b_id",
+                              nodes=nodes, node_col="node")
+    return cc.select(F.col("node").alias(id_col),
+                     F.col("comp").alias("cluster_id"),
+                     (F.col("node") == F.col("comp")).alias("is_keeper"))
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per doc: sign-sum of per-token xxhash64 bits.
 

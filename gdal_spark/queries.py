@@ -437,6 +437,55 @@ def minhash_pairs(spark, sf_dir):
                                    n_hashes=16, bands=4).orderBy("a_id", "b_id")
 
 
+def _dup_clusters_oracle(n_hashes: int = 16, bands: int = 4) -> str:
+    rows = n_hashes // bands
+    sig_cols = ", ".join(
+        f"min(md5(tok || '#{i}')) AS s{i}" for i in range(n_hashes)
+    )
+    band_cols = ", ".join(
+        "md5(" + " || ".join(f"s{b * rows + r}" for r in range(rows)) + f") AS b{b}"
+        for b in range(bands)
+    )
+    band_eq = " OR ".join(f"a.b{b} = b.b{b}" for b in range(bands))
+    return f"""
+    WITH RECURSIVE toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    sigs AS (SELECT doc_id, {sig_cols} FROM toks GROUP BY doc_id),
+    bandt AS (SELECT doc_id, {band_cols} FROM sigs),
+    pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM bandt a JOIN bandt b
+              ON a.doc_id < b.doc_id AND ({band_eq})),
+    eb AS (SELECT a_id AS u, b_id AS v FROM pairs
+           UNION SELECT b_id, a_id FROM pairs),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS comp FROM documents
+      UNION
+      SELECT eb.u AS node, reach.comp FROM eb JOIN reach ON eb.v = reach.node
+    )
+    SELECT CAST(node AS BIGINT) AS doc_id,
+           CAST(min(comp) AS BIGINT) AS cluster_id,
+           (node = min(comp)) AS is_keeper
+    FROM reach GROUP BY node ORDER BY doc_id
+    """
+
+
+@register("dedup_clusters", oracle=_dup_clusters_oracle())
+def dedup_clusters_q(spark, sf_dir):
+    """Dup PAIRS -> dup CLUSTERS (keeper per cluster): minhash LSH
+    candidates fed to the distributed large-star/small-star CC loop
+    (operators/components.py). The reference has no analog; a
+    training-data pipeline needs the keep/drop verdict, not pairs.
+    Oracle: DuckDB recursive-CTE reachability with min-label roots."""
+    from .operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, id_col="doc_id", text_col="text",
+                                    n_hashes=16, bands=4)
+    return (dedup.dup_clusters(pairs, docs=d, id_col="doc_id")
+            .orderBy("doc_id"))
+
+
 @register(
     "text_stats_by_lang",
     oracle="""

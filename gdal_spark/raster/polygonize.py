@@ -12,10 +12,13 @@ generalization of that same merge-map idea (SURVEY §2.9/§4):
  2. each tile emits its boundary rows/cols; a self-join on the shared
     edge produces label-equivalence pairs exactly where the reference's
     `ProcessLine` pairs adjacent scan lines;
- 3. union-find over the equivalence pairs — the pair set is
-    metadata-sized (bounded by boundary runs, not pixels), merged on
-    the driver like the reference's `CompleteMerges` (:175);
- 4. broadcast relabel map -> per-component aggregates.
+ 3. merge of the equivalence pairs — driver union-find (the
+    reference's `CompleteMerges` :175) while the pair set is
+    metadata-sized (bounded by boundary runs, not pixels), switching
+    automatically to the distributed large-star/small-star CC loop
+    (operators/components.py) above MAX_DRIVER_PAIRS so a
+    continental-scale component set never funnels through the driver;
+ 4. relabel join -> per-component aggregates.
 
 Output per component: representative label, pixel value, pixel count,
 bbox — the attribute side of the reference's emitted polygon features
@@ -219,8 +222,59 @@ _PXRUNS = T.StructType([
 ])
 
 
+#: equivalence-pair count above which the cross-tile merge switches
+#: from driver union-find to the distributed large-star/small-star loop
+MAX_DRIVER_PAIRS = 200_000
+
+
+def _label_remap(spark, eq_pairs: DataFrame,
+                 distributed: bool | None = None) -> DataFrame:
+    """(label_a, label_b) equivalence pairs -> (label, root) remap with
+    root = the component's minimum label (exactly union-find's answer).
+
+    Below MAX_DRIVER_PAIRS the pair set is metadata-sized and a driver
+    union-find (the reference's CompleteMerges, alg/polygonize.cpp:175)
+    is fastest. Above it — a continental-scale component set at 100 TB —
+    the merge runs as the alternating large-star/small-star CC loop
+    (operators/components.py): identical labeling, nothing through the
+    driver."""
+    pairs_df = eq_pairs.persist()
+    if distributed is None:
+        distributed = (pairs_df.limit(MAX_DRIVER_PAIRS + 1).count()
+                       > MAX_DRIVER_PAIRS)
+    if distributed:
+        from ..operators.components import connected_components
+        return (connected_components(pairs_df, src="label_a", dst="label_b")
+                .select(F.col("node").alias("label"),
+                        F.col("comp").alias("root")))
+    pairs = pairs_df.collect()
+    parent: dict[int, int] = {}
+
+    def find(a: int) -> int:
+        r = a
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(a, a) != a:
+            parent[a], a = r, parent[a]
+        return r
+
+    for p in pairs:
+        ra, rb = find(int(p["label_a"])), find(int(p["label_b"]))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    remap = [(a, find(a)) for a in list(parent)]
+    return spark.createDataFrame(remap, "label long, root long") if remap \
+        else spark.createDataFrame([], "label long, root long")
+
+
+def _apply_remap(stats: DataFrame, rm: DataFrame) -> DataFrame:
+    return (stats.join(rm, "label", "left")
+            .withColumn("root", F.coalesce("root", "label")))
+
+
 def polygonize_geoms(tiles: DataFrame, spec: G.GridSpec,
-                     max_px: int = 4_000_000) -> DataFrame:
+                     max_px: int = 4_000_000,
+                     distributed_merge: bool | None = None) -> DataFrame:
     """Full polygonize: connected components WITH traced ring geometry
     (WKB polygon, exterior + holes, vertices in global pixel coords) —
     the reference's emitted features (GDALPolygonizeT output), not just
@@ -304,30 +358,11 @@ def polygonize_geoms(tiles: DataFrame, spec: G.GridSpec,
     hi = ed.filter(F.col("side") == 1).select(
         "edge_key", "pos", F.col("label").alias("label_b"),
         F.col("value").alias("vb"))
-    pairs = (lo.join(hi, ["edge_key", "pos"])
-             .filter(F.col("va") == F.col("vb"))
-             .select("label_a", "label_b").distinct().collect())
-    parent: dict[int, int] = {}
-
-    def find(a: int) -> int:
-        r = a
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(a, a) != a:
-            parent[a], a = r, parent[a]
-        return r
-
-    for p in pairs:
-        ra, rb = find(int(p["label_a"])), find(int(p["label_b"]))
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    remap = [(a, find(a)) for a in list(parent)]
-    if remap:
-        rm = spark.createDataFrame(remap, "label long, root long")
-        runs = (runs.join(F.broadcast(rm), "label", "left")
-                .withColumn("root", F.coalesce("root", "label")))
-    else:
-        runs = runs.withColumn("root", F.col("label"))
+    eq_pairs = (lo.join(hi, ["edge_key", "pos"])
+                .filter(F.col("va") == F.col("vb"))
+                .select("label_a", "label_b").distinct())
+    runs = _apply_remap(runs, _label_remap(spark, eq_pairs,
+                                           distributed_merge))
 
     def trace(key, pdf: pd.DataFrame) -> pd.DataFrame:
         xs = np.concatenate([np.asarray(v, np.int64) for v in pdf["xs"]])
@@ -352,7 +387,8 @@ def polygonize_geoms(tiles: DataFrame, spec: G.GridSpec,
 
 
 def polygonize(tiles: DataFrame, spec: G.GridSpec,
-               connect8: bool = False) -> DataFrame:
+               connect8: bool = False,
+               distributed_merge: bool | None = None) -> DataFrame:
     """Distributed polygonize -> (value, n_px, min_x, min_y, max_x,
     max_y) per connected component (global pixel coords)."""
     spark = tiles.sparkSession
@@ -440,31 +476,8 @@ def polygonize(tiles: DataFrame, spec: G.GridSpec,
     eq_pairs = (lo.join(hi, ["edge_key", "pos"])
                 .filter(F.col("va") == F.col("vb"))
                 .select("label_a", "label_b").distinct())
-
-    # union-find over metadata-sized pair set (reference CompleteMerges)
-    pairs = eq_pairs.collect()
-    parent: dict[int, int] = {}
-
-    def find(a: int) -> int:
-        r = a
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(a, a) != a:
-            parent[a], a = r, parent[a]
-        return r
-
-    for p in pairs:
-        ra, rb = find(int(p["label_a"])), find(int(p["label_b"]))
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-
-    remap = [(a, find(a)) for a in list(parent)]
-    if remap:
-        rm = spark.createDataFrame(remap, "label long, root long")
-        stats = (stats.join(F.broadcast(rm), "label", "left")
-                 .withColumn("root", F.coalesce("root", "label")))
-    else:
-        stats = stats.withColumn("root", F.col("label"))
+    stats = _apply_remap(stats, _label_remap(spark, eq_pairs,
+                                             distributed_merge))
 
     return (stats.groupBy("root")
             .agg(F.min("value").alias("value"),

@@ -15,12 +15,18 @@ adjacency relation):
     (b) component stats, (c) same-value cross-tile equivalences,
     (d) adjacency pairs between DIFFERENT components — in-tile from
     pixel neighbours, cross-tile from shared edges;
- 2. union-find the equivalences -> global roots; aggregate sizes and
-    adjacency onto roots (all metadata-sized: bounded by component
-    and boundary-run counts, not pixels);
- 3. the cascade itself is a driver-side loop over that metadata
-    (smallest component first, GDAL's processing order);
- 4. broadcast the final label->value map; one map pass recolors tiles.
+ 2. merge the equivalences -> global roots via polygonize._label_remap
+    (driver union-find below MAX_DRIVER_PAIRS, the distributed
+    large-star/small-star CC loop above it); sizes and adjacency
+    aggregate onto roots DataFrame-side, so the driver only ever sees
+    COMPONENT-granularity metadata (post-merge), never per-label maps;
+ 3. the cascade itself is a driver-side loop over that component
+    metadata — smallest component first is GDAL's processing order and
+    inherently sequential (each merge changes the sizes later merges
+    see), so this stays the one driver stage, bounded by the merged
+    component count;
+ 4. the final label->value map joins back to the labeled tiles
+    (cogrouped per tile, no whole-map broadcast) for the recolor pass.
 """
 
 from __future__ import annotations
@@ -35,7 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import grid as G
-from .polygonize import label_tile_np
+from .polygonize import _apply_remap, _label_remap, label_tile_np
 
 _LBL_SCHEMA = T.StructType([
     T.StructField("tile_y", T.IntegerType(), False),
@@ -147,7 +153,8 @@ def _cascade(sizes: dict, values: dict, adj: dict, threshold: int) -> dict:
 
 
 def sieve(tiles: DataFrame, spec: G.GridSpec, threshold: int,
-          connect8: bool = False) -> DataFrame:
+          connect8: bool = False,
+          distributed_merge: bool | None = None) -> DataFrame:
     """Distributed sieve -> tile DataFrame with merged values."""
     spark = tiles.sparkSession
     tiles_x = spec.tiles_x
@@ -204,68 +211,76 @@ def sieve(tiles: DataFrame, spec: G.GridSpec, threshold: int,
         "edge_key", "pos", F.col("label").alias("lb"), F.col("value").alias("vb"))
     cross = lo.join(hi, ["edge_key", "pos"]).select("la", "lb", "va", "vb").distinct()
 
-    # driver-side metadata assembly
-    stats = md.filter(F.col("kind") == 0).collect()
-    in_adj = md.filter(F.col("kind") == 2).select("a", "b").collect()
-    cross_rows = cross.collect()
-    md.unpersist()
+    # phase 1: same-value merge -> (label, root), driver or distributed
+    eq = (cross.filter(F.col("va") == F.col("vb"))
+          .select(F.col("la").alias("label_a"), F.col("lb").alias("label_b")))
+    rm = _label_remap(spark, eq, distributed_merge).persist()
 
-    sizes = {int(r["a"]): int(r["b"]) for r in stats}
-    values = {int(r["a"]): float(r["v"]) for r in stats}
+    # per-ROOT stats and adjacency, aggregated DataFrame-side
+    stats_r = _apply_remap(
+        md.filter(F.col("kind") == 0).select(
+            F.col("a").alias("label"), F.col("b").alias("size"),
+            F.col("v").alias("value")), rm).persist()
+    root_stats = (stats_r.groupBy("root")
+                  .agg(F.sum("size").alias("size"),
+                       F.min("value").alias("value")))
 
-    # same-value cross-tile equivalence -> union-find
-    parent: dict[int, int] = {}
+    adj_all = (md.filter(F.col("kind") == 2).select(
+        F.col("a").alias("label_a"), F.col("b").alias("label_b"))
+        .unionByName(cross.select(F.col("la").alias("label_a"),
+                                  F.col("lb").alias("label_b"))))
+    rma = rm.select(F.col("label").alias("label_a"), F.col("root").alias("ra"))
+    rmb = rm.select(F.col("label").alias("label_b"), F.col("root").alias("rb"))
+    adj_roots = (adj_all
+                 .join(rma, "label_a", "left")
+                 .join(rmb, "label_b", "left")
+                 .select(F.coalesce("ra", "label_a").alias("ra"),
+                         F.coalesce("rb", "label_b").alias("rb"))
+                 .filter(F.col("ra") != F.col("rb")).distinct())
 
-    def find(x):
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != x:
-            parent[x], x = r, parent[x]
-        return r
-
-    for r in cross_rows:
-        if r["va"] == r["vb"]:
-            ra, rb = find(int(r["la"])), find(int(r["lb"]))
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-
-    root_sizes: dict[int, int] = {}
-    root_values: dict[int, float] = {}
-    for lab, sz in sizes.items():
-        r = find(lab)
-        root_sizes[r] = root_sizes.get(r, 0) + sz
-        root_values[r] = values[lab]
+    # phase 2: the smallest-first cascade — GDAL's sequential semantics
+    # — over COMPONENT-granularity metadata (post-merge counts only)
+    sizes, values = {}, {}
+    for r in root_stats.collect():
+        sizes[int(r["root"])] = int(r["size"])
+        values[int(r["root"])] = float(r["value"])
     adj: dict[int, set] = {}
-    for r in in_adj:
-        a, b = find(int(r["a"])), find(int(r["b"]))
-        if a != b:
-            adj.setdefault(a, set()).add(b)
-            adj.setdefault(b, set()).add(a)
-    for r in cross_rows:
-        a, b = find(int(r["la"])), find(int(r["lb"]))
-        if a != b:
-            adj.setdefault(a, set()).add(b)
-            adj.setdefault(b, set()).add(a)
+    for r in adj_roots.collect():
+        a, b = int(r["ra"]), int(r["rb"])
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    md.unpersist()
+    final = _cascade(dict(sizes), values, adj, threshold)
+    newv = [(root, values[final[root]]) for root in sizes]
+    newv_df = (spark.createDataFrame(newv, "root long, new_v double")
+               if newv else
+               spark.createDataFrame([], "root long, new_v double"))
 
-    final = _cascade(root_sizes, root_values, adj, threshold)
-    value_of = {lab: root_values[final[find(lab)]] for lab in sizes}
-    bmap = spark.sparkContext.broadcast(value_of)
+    # phase 3: recolor by JOIN (label -> new value rows cogrouped with
+    # their tile — the tile id is embedded in the label's high bits),
+    # so no whole-map driver broadcast
+    label_value = (stats_r.select("label", "root").join(newv_df, "root")
+                   .withColumn("tid", F.shiftright("label", 32))
+                   .select(F.expr(f"CAST(tid DIV {tiles_x} AS INT)").alias("tile_y"),
+                           F.pmod("tid", F.lit(tiles_x)).cast("int").alias("tile_x"),
+                           "label", "new_v"))
 
-    def recolor(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        vm = bmap.value
-        for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                labels = np.asarray(row["labels"], np.int64)
-                px = np.asarray(row["px"], np.float64)
-                new = px.copy()
-                for lab in np.unique(labels[labels > 0]):
-                    new[labels == lab] = vm[int(lab)]
-                out.append((int(row["tile_y"]), int(row["tile_x"]), new.tolist()))
-            yield pd.DataFrame(out, columns=["tile_y", "tile_x", "px"])
+    def recolor(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        vm = {int(k): float(v)
+              for k, v in zip(rpdf["label"], rpdf["new_v"])}
+        out = []
+        for _, row in lpdf.iterrows():
+            labels = np.asarray(row["labels"], np.int64)
+            px = np.asarray(row["px"], np.float64)
+            new = px.copy()
+            for lab in np.unique(labels[labels > 0]):
+                new[labels == lab] = vm[int(lab)]
+            out.append((int(row["tile_y"]), int(row["tile_x"]), new.tolist()))
+        return pd.DataFrame(out, columns=["tile_y", "tile_x", "px"])
 
-    result = labeled.mapInPandas(recolor, G.TILE_SCHEMA)
+    result = (labeled.groupby("tile_y", "tile_x")
+              .cogroup(label_value.groupby("tile_y", "tile_x"))
+              .applyInPandas(recolor, G.TILE_SCHEMA))
     return result
 
 

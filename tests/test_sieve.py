@@ -64,6 +64,22 @@ def test_sieve_distributed_matches_oracle(spark):
     np.testing.assert_array_equal(got, want)
 
 
+def test_sieve_distributed_merge_matches_driver_path(spark):
+    """Forcing the large-star/small-star merge must give the same
+    raster as the driver union-find path and the single-node oracle."""
+    rng = np.random.default_rng(13)
+    spec = G.GridSpec(32, 32, (0, 1, 0, 32, 0, -1), tile=8)
+    base = rng.integers(0, 3, size=(8, 8)).astype(np.float64)
+    canvas = np.repeat(np.repeat(base, 4, axis=0), 4, axis=1)
+    for _ in range(15):
+        y, x = rng.integers(0, 31), rng.integers(0, 31)
+        canvas[y, x] = rng.integers(1, 4)
+    tiles = _tiles(spark, canvas, spec)
+    got = tiles_to_canvas(
+        SV.sieve(tiles, spec, threshold=6, distributed_merge=True), spec)
+    np.testing.assert_array_equal(got, SV.sieve_np(canvas, threshold=6))
+
+
 def test_sieve_cascade_until_stable(spark):
     """A chain of small same-size components must cascade into the big
     region regardless of merge order."""
