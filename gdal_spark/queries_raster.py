@@ -180,6 +180,166 @@ def warp_checksum(spark, sf_dir):
             .orderBy("tile_y", "tile_x"))
 
 
+CW_W, CW_H, CW_TILE = 500, 250, 125  # dst grid for cubic/average gates
+
+
+def _warp_xform_sql():
+    """Shared dst->src transform text (mirrors warp._dst_pos_in_src_px
+    operand order exactly)."""
+    src_spec = G.world_3857(ZOOM, TILE)
+    res_x = 360.0 / CW_W
+    res_y = 180.0 / CW_H
+
+    def spx_of(cx: str) -> str:
+        mx = f"(({cx}) * {mercator.LON2M!r})"
+        return f"((({mx}) - ({src_spec.gt[0]!r})) / {src_spec.gt[1]!r})"
+
+    def spy_of(cy: str) -> str:
+        my = mercator.merc_y_sql(cy)
+        return f"((({my}) - ({src_spec.gt[3]!r})) / ({src_spec.gt[5]!r}))"
+
+    cx = f"(-180.0 + (x + 0.5) * {res_x!r})"
+    cy = f"(90.0 - (y + 0.5) * {res_y!r})"
+    return spx_of, spy_of, cx, cy, res_x, res_y
+
+
+def _warp_cubic_oracle() -> str:
+    spx_of, spy_of, cx, cy, _, _ = _warp_xform_sql()
+    fx = f"({spx_of(cx)} - 0.5)"
+    fy = f"({spy_of(cy)} - 0.5)"
+    w0x, w1x, w2x, w3x = W.cubic_weight_sql("tx")
+    w0y, w1y, w2y, w3y = W.cubic_weight_sql("ty")
+    vcols = ",\n             ".join(
+        f"coalesce(max(CASE WHEN p.gx = d.x0 + {i - 1} AND p.gy = d.y0 + {j - 1} "
+        f"THEN p.v END), 0.0) AS v{j}{i}"
+        for j in range(4) for i in range(4))
+    row = lambda j: (f"(((v{j}0 * wx0 + v{j}1 * wx1) + v{j}2 * wx2) + v{j}3 * wx3)")
+    acc = (f"((({row(0)}) * wy0 + ({row(1)}) * wy1) "
+           f"+ ({row(2)}) * wy2) + ({row(3)}) * wy3"
+           )
+    return f"""
+    WITH {_px_cte(ZOOM, TILE)},
+    dst AS (
+      SELECT x, y,
+             CAST(floor({fx}) AS BIGINT) AS x0,
+             CAST(floor({fy}) AS BIGINT) AS y0,
+             ({fx} - floor({fx})) AS tx,
+             ({fy} - floor({fy})) AS ty
+      FROM (SELECT range AS x FROM range({CW_W})), (SELECT range AS y FROM range({CW_H}))
+    ),
+    g AS (
+      SELECT d.x, d.y, d.x0, d.y0, d.tx, d.ty,
+             {vcols}
+      FROM dst d LEFT JOIN px p
+        ON p.gx BETWEEN d.x0 - 1 AND d.x0 + 2
+       AND p.gy BETWEEN d.y0 - 1 AND d.y0 + 2
+      GROUP BY d.x, d.y, d.x0, d.y0, d.tx, d.ty
+    ),
+    wgt AS (
+      SELECT *, {w0x} AS wx0, {w1x} AS wx1, {w2x} AS wx2, {w3x} AS wx3,
+                {w0y} AS wy0, {w1y} AS wy1, {w2y} AS wy2, {w3y} AS wy3
+      FROM g
+    ),
+    warped AS (
+      SELECT x AS gx, y AS gy,
+             CASE WHEN x0 - 1 >= 0 AND x0 + 2 <= {N5 - 1}
+                   AND y0 - 1 >= 0 AND y0 + 2 <= {N5 - 1}
+                  THEN ({acc}) ELSE 0.0 END AS v
+      FROM wgt
+    )
+    SELECT CAST(gy // {CW_TILE} AS INTEGER) AS tile_y,
+           CAST(gx // {CW_TILE} AS INTEGER) AS tile_x,
+           {CK.checksum_sql('v', 'gx', 'gy', CW_W)} AS checksum,
+           count(*) FILTER (WHERE v <> 0) AS n_nonzero
+    FROM warped GROUP BY tile_y, tile_x
+    HAVING count(*) FILTER (WHERE v <> 0) > 0
+    ORDER BY tile_y, tile_x
+    """
+
+
+def _warp_average_oracle() -> str:
+    spx_of, spy_of, cx, cy, res_x, res_y = _warp_xform_sql()
+    # footprint edges: positions x -+ 0.5 have center-world at the
+    # pixel's west/east edge ((gx - 0.5 + 0.5) * res == gx * res, exact)
+    exW = spx_of(f"(-180.0 + x * {res_x!r})")
+    exE = spx_of(f"(-180.0 + (x + 1) * {res_x!r})")
+    eyN = spy_of(f"(90.0 - y * {res_y!r})")
+    eyS = spy_of(f"(90.0 - (y + 1) * {res_y!r})")
+    spx = spx_of(cx)
+    spy = spy_of(cy)
+    return f"""
+    WITH {_px_cte(ZOOM, TILE)},
+    dst AS (
+      SELECT x, y,
+             CAST(ceil(least({exW}, {exE}) - 0.5) AS BIGINT) AS xlo0,
+             CAST(ceil(greatest({exW}, {exE}) - 0.5) - 1 AS BIGINT) AS xhi0,
+             CAST(ceil(least({eyN}, {eyS}) - 0.5) AS BIGINT) AS ylo0,
+             CAST(ceil(greatest({eyN}, {eyS}) - 0.5) - 1 AS BIGINT) AS yhi0,
+             CAST(floor({spx}) AS BIGINT) AS cx0,
+             CAST(floor({spy}) AS BIGINT) AS cy0
+      FROM (SELECT range AS x FROM range({CW_W})), (SELECT range AS y FROM range({CW_H}))
+    ),
+    boxes AS (
+      SELECT x, y,
+             greatest(CASE WHEN xhi0 < xlo0 THEN cx0 ELSE xlo0 END, 0) AS xlo,
+             least(CASE WHEN xhi0 < xlo0 THEN cx0 ELSE xhi0 END, {N5 - 1}) AS xhi,
+             greatest(CASE WHEN yhi0 < ylo0 THEN cy0 ELSE ylo0 END, 0) AS ylo,
+             least(CASE WHEN yhi0 < ylo0 THEN cy0 ELSE yhi0 END, {N5 - 1}) AS yhi
+      FROM dst
+    ),
+    summed AS (
+      SELECT b.x, b.y, b.xlo, b.xhi, b.ylo, b.yhi,
+             coalesce(sum(p.v), 0.0) AS ssum
+      FROM boxes b LEFT JOIN px p
+        ON p.gx BETWEEN b.xlo AND b.xhi AND p.gy BETWEEN b.ylo AND b.yhi
+      GROUP BY b.x, b.y, b.xlo, b.xhi, b.ylo, b.yhi
+    ),
+    warped AS (
+      SELECT x AS gx, y AS gy,
+             CASE WHEN xlo <= xhi AND ylo <= yhi
+                  THEN ssum / CAST((xhi - xlo + 1) * (yhi - ylo + 1) AS DOUBLE)
+                  ELSE 0.0 END AS v
+      FROM summed
+    )
+    SELECT CAST(gy // {CW_TILE} AS INTEGER) AS tile_y,
+           CAST(gx // {CW_TILE} AS INTEGER) AS tile_x,
+           {CK.checksum_sql('v', 'gx', 'gy', CW_W)} AS checksum,
+           count(*) FILTER (WHERE v <> 0) AS n_nonzero
+    FROM warped GROUP BY tile_y, tile_x
+    HAVING count(*) FILTER (WHERE v <> 0) > 0
+    ORDER BY tile_y, tile_x
+    """
+
+
+def _warp_kernel_query(spark, sf_dir, kernel: str):
+    pts = pages.page_points(spark, sf_dir)
+    src_spec = G.world_3857(ZOOM, TILE)
+    src_tiles = D.density_tiles(pts, ZOOM, TILE)
+    dst_spec = G.world_4326(CW_W, CW_H, tile=CW_TILE)
+    out = W.warp(src_tiles, src_spec, dst_spec, kernel=kernel)
+    return (R.tiles_checksum(out, dst_spec)
+            .filter(F.col("n_nonzero") > 0)
+            .orderBy("tile_y", "tile_x"))
+
+
+@register("raster_warp_cubic_checksum", oracle=_warp_cubic_oracle())
+def warp_cubic_checksum(spark, sf_dir):
+    """gdalwarp -r cubic (gdalwarper.h GRA_Cubic, a = -0.5 cubic
+    convolution): z5 density 3857 -> 4326, per-tile checksums. The
+    oracle mirrors the 16-term fixed-association float expression, so
+    the checksum comparison is bit-exact."""
+    return _warp_kernel_query(spark, sf_dir, "cubic")
+
+
+@register("raster_warp_average_checksum", oracle=_warp_average_oracle())
+def warp_average_checksum(spark, sf_dir):
+    """gdalwarp -r average (GRA_Average): mean of source pixels in the
+    dst pixel's source-space footprint (integer-valued band -> exact
+    integer box sums on both engines; empty footprints degrade to the
+    center pixel, GDAL-style)."""
+    return _warp_kernel_query(spark, sf_dir, "average")
+
+
 # ------------------------------------------------------------ polygonize
 
 PZOOM, PTILE = 4, 64

@@ -3,21 +3,31 @@
 Reference semantics (alg/gdalwarpoperation.cpp design doc :90-151 and
 alg/gdalwarpkernel.cpp): for each DESTINATION pixel, transform its
 center into source coordinates and sample with the chosen kernel —
-near (index), bilinear (2x2 weighted; gdalwarper.h:35-67 lists the
-kernel set), average. The output grid comes from
-`GDALSuggestedWarpOutput2` (alg/gdaltransformer.cpp:132-173), which
-walks ~21 sample points per edge of the source extent through the
-transform and sizes the output so overall pixel count is preserved
-along the diagonal — reproduced in `suggested_warp_output`.
+near (index), bilinear (2x2 weighted), cubic (4x4 cubic convolution,
+a = -0.5 — GRA_Cubic of gdalwarper.h:35-67), average (mean of the
+source pixels inside the destination pixel's source-space footprint,
+GRA_Average). The output grid comes from `GDALSuggestedWarpOutput2`
+(alg/gdaltransformer.cpp:132-173), which walks ~21 sample points per
+edge of the source extent through the transform and sizes the output
+so overall pixel count is preserved along the diagonal — reproduced in
+`suggested_warp_output`.
 
 Spark-first restatement: each OUTPUT tile is one task ("the chunk of
 the reference = our tile", SURVEY §2.9). Which source tiles a given
 output tile needs is CLOSED-FORM (the 4326<->3857 transform is
-monotone per axis), so the gather is a deterministic equi-join:
-enumerate (dst_tile, src_tile) pairs with pure column math, join the
+monotone and separable per axis), so the gather is a deterministic
+equi-join: the (dst_tile -> src tile range) relation is computed by a
+vectorized mapInPandas over a spark.range-generated dst key grid (NO
+O(#tiles) driver loop — a z15 pyramid has 10^9 tiles), exploded to
+(dst_tile, src_tile) pairs with sequence() column math, joined to the
 source tile rows, then one `applyInPandas` per dst tile computes the
-coordinate arrays with numpy and applies the kernel. No driver-side
-data movement; the source tile fan-out is bounded by the zoom-ratio.
+coordinate arrays with numpy and applies the kernel. The source tile
+fan-out is bounded by the zoom ratio.
+
+Determinism: kernel arithmetic uses fixed-association expressions
+(explicit Horner weights, left-associated 16-term cubic sum) so the
+DuckDB SQL oracles can mirror the float math bit-for-bit; `average`
+box sums ride an integral image, exact for integer-valued bands.
 """
 
 from __future__ import annotations
@@ -25,9 +35,15 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..geo import mercator
 from . import grid as G
+
+#: extra source pixels gathered around the sampled range, per kernel
+#: support (cubic needs 2; 3 is a safe superset for all)
+_WINDOW_MARGIN = 3
 
 
 def edge_walk_points(spec: G.GridSpec, samples_per_edge: int = 21):
@@ -68,9 +84,10 @@ def suggested_warp_output(src: G.GridSpec, dst_crs: str,
                       crs=dst_crs, tile=tile)
 
 
-def _dst_center_in_src_px(dst: G.GridSpec, src: G.GridSpec,
-                          gx: np.ndarray, gy: np.ndarray):
-    """Global dest pixel indices -> fractional source pixel coords."""
+def _dst_pos_in_src_px(dst: G.GridSpec, src: G.GridSpec,
+                       gx: np.ndarray, gy: np.ndarray):
+    """Global dest pixel POSITIONS (fractional allowed; position p has
+    center-world at p + 0.5) -> fractional source pixel coords."""
     wx, wy = dst.pixel_center_world(gx, gy)
     if dst.crs == src.crs:
         sx, sy = wx, wy
@@ -84,37 +101,96 @@ def _dst_center_in_src_px(dst: G.GridSpec, src: G.GridSpec,
     return src.world_to_pixel(sx, sy)
 
 
+# Catmull-Rom / GDAL GRA_Cubic weights (a = -0.5), Horner forms kept
+# IDENTICAL between this numpy kernel and the SQL oracle text
+# (cubic_weight_sql) so both engines round the same way.
+def _cubic_weights(t: np.ndarray):
+    w0 = ((-0.5 * t + 1.0) * t - 0.5) * t
+    w1 = ((1.5 * t - 2.5) * t) * t + 1.0
+    w2 = ((-1.5 * t + 2.0) * t + 0.5) * t
+    w3 = ((0.5 * t - 0.5) * t) * t
+    return w0, w1, w2, w3
+
+
+def cubic_weight_sql(t: str) -> tuple[str, str, str, str]:
+    """SQL mirrors of _cubic_weights (same operand order)."""
+    return (f"(((-0.5 * {t} + 1.0) * {t} - 0.5) * {t})",
+            f"(((1.5 * {t} - 2.5) * {t}) * {t} + 1.0)",
+            f"(((-1.5 * {t} + 2.0) * {t} + 0.5) * {t})",
+            f"(((0.5 * {t} - 0.5) * {t}) * {t})")
+
+
+def _dep_ranges(spark, src: G.GridSpec, dst: G.GridSpec,
+                margin: int = _WINDOW_MARGIN + 1) -> DataFrame:
+    """(d_ty, d_tx, sy0, sy1, sx0, sx1): the source tile range each dst
+    tile needs — computed by VECTORIZED numpy over a spark.range key
+    grid (the transform is monotone + separable per axis, so the tile
+    EDGE positions bracket every sampled coordinate, including average
+    footprints), never a driver loop."""
+    schema = T.StructType([
+        T.StructField("d_ty", T.IntegerType(), False),
+        T.StructField("d_tx", T.IntegerType(), False),
+        T.StructField("sy0", T.IntegerType(), False),
+        T.StructField("sy1", T.IntegerType(), False),
+        T.StructField("sx0", T.IntegerType(), False),
+        T.StructField("sx1", T.IntegerType(), False),
+    ])
+    t = dst.tile
+
+    def run(batches):
+        for pdf in batches:
+            ty = pdf["d_ty"].to_numpy(np.int64)
+            tx = pdf["d_tx"].to_numpy(np.int64)
+            w = np.minimum(t, dst.width - tx * t)
+            h = np.minimum(t, dst.height - ty * t)
+            # tile edge positions in center-space: edge at pixel index
+            # k sits at position k - 0.5
+            gx_lo = tx * t - 0.5
+            gx_hi = tx * t + w - 0.5
+            gy_lo = ty * t - 0.5
+            gy_hi = ty * t + h - 0.5
+            ax, ay = _dst_pos_in_src_px(dst, src, gx_lo, gy_lo)
+            bx, by = _dst_pos_in_src_px(dst, src, gx_hi, gy_hi)
+            sxmin = np.minimum(ax, bx)
+            sxmax = np.maximum(ax, bx)
+            symin = np.minimum(ay, by)
+            symax = np.maximum(ay, by)
+            sx0 = np.clip(np.floor((np.floor(sxmin) - margin) / src.tile),
+                          0, src.tiles_x - 1).astype(np.int32)
+            sx1 = np.clip(np.floor((np.floor(sxmax) + margin) / src.tile),
+                          0, src.tiles_x - 1).astype(np.int32)
+            sy0 = np.clip(np.floor((np.floor(symin) - margin) / src.tile),
+                          0, src.tiles_y - 1).astype(np.int32)
+            sy1 = np.clip(np.floor((np.floor(symax) + margin) / src.tile),
+                          0, src.tiles_y - 1).astype(np.int32)
+            yield pd.DataFrame({"d_ty": ty.astype(np.int32),
+                                "d_tx": tx.astype(np.int32),
+                                "sy0": sy0, "sy1": sy1,
+                                "sx0": sx0, "sx1": sx1})
+
+    keys = (spark.range(dst.tiles_y * dst.tiles_x)
+            .select(F.expr(f"CAST(id DIV {dst.tiles_x} AS INT)").alias("d_ty"),
+                    F.pmod(F.col("id"), F.lit(dst.tiles_x))
+                    .cast("int").alias("d_tx")))
+    return keys.mapInPandas(run, schema)
+
+
 def warp(src_tiles: DataFrame, src: G.GridSpec, dst: G.GridSpec,
          kernel: str = "near", nodata: float = 0.0) -> DataFrame:
     """Distributed warp: src tile rows -> dst tile rows.
 
-    Builds the (dst_tile, src_tile) dependency relation by evaluating
-    the corner mapping of every dst tile (driver-side numpy over the
-    dst tile index range — O(#dst tiles) metadata, no data), joins, and
-    warps per dst tile.
+    kernel: 'near' | 'bilinear' | 'cubic' | 'average'. Absent source
+    tiles read as `nodata` (the sparse-raster zero convention when
+    nodata = 0); kernels whose support leaves the source raster emit
+    `nodata` for that pixel.
     """
+    if kernel not in ("near", "bilinear", "cubic", "average"):
+        raise ValueError(f"unknown kernel {kernel!r}")
     spark = src_tiles.sparkSession
-    # --- dependency relation (metadata-sized)
-    dts, dxs = np.meshgrid(np.arange(dst.tiles_y), np.arange(dst.tiles_x),
-                           indexing="ij")
-    dts, dxs = dts.ravel(), dxs.ravel()
-    pairs = []
-    for ty, tx in zip(dts, dxs):
-        h, w = dst.tile_shape(int(ty), int(tx))
-        gx = np.array([tx * dst.tile, tx * dst.tile + w - 1], np.float64)
-        gy = np.array([ty * dst.tile, ty * dst.tile + h - 1], np.float64)
-        cx, cy = np.meshgrid(gx, gy)
-        spx, spy = _dst_center_in_src_px(dst, src, cx.ravel(), cy.ravel())
-        sx0 = int(np.floor(spx.min() - 1)) // src.tile
-        sx1 = int(np.floor(spx.max() + 1)) // src.tile
-        sy0 = int(np.floor(spy.min() - 1)) // src.tile
-        sy1 = int(np.floor(spy.max() + 1)) // src.tile
-        for sy in range(max(0, sy0), min(src.tiles_y - 1, sy1) + 1):
-            for sx in range(max(0, sx0), min(src.tiles_x - 1, sx1) + 1):
-                pairs.append((int(ty), int(tx), int(sy), int(sx)))
-    dep = spark.createDataFrame(
-        pairs, "d_ty int, d_tx int, tile_y int, tile_x int")
-
+    dep = (_dep_ranges(spark, src, dst)
+           .withColumn("tile_y", F.explode(F.sequence("sy0", "sy1")))
+           .withColumn("tile_x", F.explode(F.sequence("sx0", "sx1")))
+           .select("d_ty", "d_tx", "tile_y", "tile_x"))
     gathered = dep.join(src_tiles, ["tile_y", "tile_x"], "inner")
 
     def warp_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -122,41 +198,108 @@ def warp(src_tiles: DataFrame, src: G.GridSpec, dst: G.GridSpec,
         h, w = dst.tile_shape(ty, tx)
         gx, gy = np.meshgrid(np.arange(tx * dst.tile, tx * dst.tile + w, dtype=np.float64),
                              np.arange(ty * dst.tile, ty * dst.tile + h, dtype=np.float64))
-        spx, spy = _dst_center_in_src_px(dst, src, gx.ravel(), gy.ravel())
-        out = np.full(h * w, nodata, dtype=np.float64)
+        gx, gy = gx.ravel(), gy.ravel()
+        spx, spy = _dst_pos_in_src_px(dst, src, gx, gy)
+        if kernel == "average":
+            # footprint edges: dst pixel k spans positions [k-0.5, k+0.5]
+            ex0, ey0 = _dst_pos_in_src_px(dst, src, gx - 0.5, gy - 0.5)
+            ex1, ey1 = _dst_pos_in_src_px(dst, src, gx + 0.5, gy + 0.5)
+            exlo, exhi = np.minimum(ex0, ex1), np.maximum(ex0, ex1)
+            eylo, eyhi = np.minimum(ey0, ey1), np.maximum(ey0, ey1)
+            rx = np.concatenate([exlo, exhi])
+            ry = np.concatenate([eylo, eyhi])
+        else:
+            rx, ry = spx, spy
 
-        # mosaic the gathered source tiles into one local window
-        sxs = pdf["tile_x"].to_numpy(np.int64)
-        sys_ = pdf["tile_y"].to_numpy(np.int64)
-        wx0, wx1 = sxs.min() * src.tile, (sxs.max() + 1) * src.tile
-        wy0, wy1 = sys_.min() * src.tile, (sys_.max() + 1) * src.tile
-        win = np.full((wy1 - wy0, wx1 - wx0), nodata, dtype=np.float64)
+        # window: sampled range + kernel support, clipped to the raster
+        m = _WINDOW_MARGIN
+        wx0 = int(max(0, np.floor(rx.min()) - m))
+        wx1 = int(min(src.width, np.floor(rx.max()) + m + 1))
+        wy0 = int(max(0, np.floor(ry.min()) - m))
+        wy1 = int(min(src.height, np.floor(ry.max()) + m + 1))
+        win = np.full((max(wy1 - wy0, 1), max(wx1 - wx0, 1)), nodata,
+                      dtype=np.float64)
         for _, row in pdf.iterrows():
             sh, sw = src.tile_shape(int(row["tile_y"]), int(row["tile_x"]))
-            oy = int(row["tile_y"]) * src.tile - wy0
-            ox = int(row["tile_x"]) * src.tile - wx0
-            win[oy:oy + sh, ox:ox + sw] = \
-                np.asarray(row["px"], np.float64).reshape(sh, sw)
+            gy0 = int(row["tile_y"]) * src.tile
+            gx0 = int(row["tile_x"]) * src.tile
+            arr = np.asarray(row["px"], np.float64).reshape(sh, sw)
+            iy0, iy1 = max(gy0, wy0), min(gy0 + sh, wy1)
+            ix0, ix1 = max(gx0, wx0), min(gx0 + sw, wx1)
+            if iy0 < iy1 and ix0 < ix1:
+                win[iy0 - wy0:iy1 - wy0, ix0 - wx0:ix1 - wx0] = \
+                    arr[iy0 - gy0:iy1 - gy0, ix0 - gx0:ix1 - gx0]
 
-        lx, ly = spx - wx0, spy - wy0
+        out = np.full(h * w, nodata, dtype=np.float64)
         if kernel == "near":
-            ix = np.floor(lx).astype(np.int64)
-            iy = np.floor(ly).astype(np.int64)
-            ok = (ix >= 0) & (ix < win.shape[1]) & (iy >= 0) & (iy < win.shape[0])
-            out[ok] = win[iy[ok], ix[ok]]
+            ix = np.floor(spx).astype(np.int64)
+            iy = np.floor(spy).astype(np.int64)
+            ok = (ix >= 0) & (ix < src.width) & (iy >= 0) & (iy < src.height)
+            out[ok] = win[iy[ok] - wy0, ix[ok] - wx0]
         elif kernel == "bilinear":
-            fx, fy = lx - 0.5, ly - 0.5  # sample space: pixel centers
+            fx, fy = spx - 0.5, spy - 0.5  # sample space: pixel centers
             x0 = np.floor(fx).astype(np.int64)
             y0 = np.floor(fy).astype(np.int64)
             wxf, wyf = fx - x0, fy - y0
-            ok = (x0 >= 0) & (x0 + 1 < win.shape[1]) & (y0 >= 0) & (y0 + 1 < win.shape[0])
-            x0c, y0c = x0[ok], y0[ok]
+            ok = (x0 >= 0) & (x0 + 1 < src.width) & (y0 >= 0) & (y0 + 1 < src.height)
+            x0c, y0c = x0[ok] - wx0, y0[ok] - wy0
             v00 = win[y0c, x0c]; v01 = win[y0c, x0c + 1]
             v10 = win[y0c + 1, x0c]; v11 = win[y0c + 1, x0c + 1]
             out[ok] = (v00 * (1 - wxf[ok]) * (1 - wyf[ok]) + v01 * wxf[ok] * (1 - wyf[ok])
                        + v10 * (1 - wxf[ok]) * wyf[ok] + v11 * wxf[ok] * wyf[ok])
-        else:
-            raise ValueError(f"unknown kernel {kernel!r}")
+        elif kernel == "cubic":
+            fx, fy = spx - 0.5, spy - 0.5
+            x0 = np.floor(fx).astype(np.int64)
+            y0 = np.floor(fy).astype(np.int64)
+            txf, tyf = fx - x0, fy - y0
+            # full 4x4 support must sit inside the raster (else nodata)
+            ok = ((x0 - 1 >= 0) & (x0 + 2 < src.width)
+                  & (y0 - 1 >= 0) & (y0 + 2 < src.height))
+            xc, yc = x0[ok] - wx0, y0[ok] - wy0
+            wx_ = _cubic_weights(txf[ok])
+            wy_ = _cubic_weights(tyf[ok])
+            # fixed association: rows left-assoc, then columns —
+            # mirrored exactly by the SQL oracle expression
+            rows = []
+            for j in range(4):
+                r = ((win[yc + j - 1, xc - 1] * wx_[0]
+                      + win[yc + j - 1, xc] * wx_[1])
+                     + win[yc + j - 1, xc + 1] * wx_[2]) \
+                    + win[yc + j - 1, xc + 2] * wx_[3]
+                rows.append(r)
+            acc = ((rows[0] * wy_[0] + rows[1] * wy_[1])
+                   + rows[2] * wy_[2]) + rows[3] * wy_[3]
+            out[ok] = acc
+        else:  # average
+            # pixels whose CENTER (i + 0.5) falls in [lo, hi):
+            # i in [ceil(lo - 0.5), ceil(hi - 0.5) - 1]. An empty range
+            # (footprint narrower than a pixel — upsampling) degrades
+            # to the pixel under the footprint center, like GDAL's
+            # GWKAverageOrMode which always visits >= 1 source pixel.
+            xlo = np.ceil(exlo - 0.5).astype(np.int64)
+            xhi = (np.ceil(exhi - 0.5) - 1).astype(np.int64)
+            ylo = np.ceil(eylo - 0.5).astype(np.int64)
+            yhi = (np.ceil(eyhi - 0.5) - 1).astype(np.int64)
+            cx_ = np.floor(spx).astype(np.int64)
+            cy_ = np.floor(spy).astype(np.int64)
+            ex = xhi < xlo
+            xlo[ex] = cx_[ex]; xhi[ex] = cx_[ex]
+            ey = yhi < ylo
+            ylo[ey] = cy_[ey]; yhi[ey] = cy_[ey]
+            xlo = np.maximum(xlo, 0)
+            xhi = np.minimum(xhi, src.width - 1)
+            ylo = np.maximum(ylo, 0)
+            yhi = np.minimum(yhi, src.height - 1)
+            ok = (xlo <= xhi) & (ylo <= yhi)
+            # integral image: box sums exact for integer-valued bands
+            S = np.zeros((win.shape[0] + 1, win.shape[1] + 1))
+            S[1:, 1:] = win.cumsum(0).cumsum(1)
+            xl, xh = xlo[ok] - wx0, xhi[ok] - wx0
+            yl, yh = ylo[ok] - wy0, yhi[ok] - wy0
+            ssum = (S[yh + 1, xh + 1] - S[yl, xh + 1]
+                    - S[yh + 1, xl] + S[yl, xl])
+            cnt = (xh - xl + 1) * (yh - yl + 1)
+            out[ok] = ssum / cnt
         return pd.DataFrame({"tile_y": [ty], "tile_x": [tx],
                              "px": [out.tolist()]})
 

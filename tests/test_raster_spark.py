@@ -133,8 +133,8 @@ def test_warp_3857_to_4326_near_matches_oracle(spark, sf_dir):
     # single-node oracle: same inverse mapping on the full canvases
     src_canvas = tiles_to_canvas(src_tiles, src_spec)
     gy, gx = np.mgrid[0:96, 0:192]
-    spx, spy = W._dst_center_in_src_px(dst_spec, src_spec,
-                                       gx.ravel().astype(float), gy.ravel().astype(float))
+    spx, spy = W._dst_pos_in_src_px(dst_spec, src_spec,
+                                    gx.ravel().astype(float), gy.ravel().astype(float))
     ix, iy = np.floor(spx).astype(int), np.floor(spy).astype(int)
     ok = (ix >= 0) & (ix < src_spec.width) & (iy >= 0) & (iy < src_spec.height)
     want = np.zeros(96 * 192)

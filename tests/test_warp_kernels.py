@@ -1,0 +1,103 @@
+"""Warp cubic + average kernels (gdalwarper.h GRA_Cubic/GRA_Average)
+pinned by independent mathematical invariants, plus the driver-free
+dependency relation."""
+
+import numpy as np
+
+from gdal_spark.raster import grid as G
+from gdal_spark.raster import warp as W
+from tests.test_raster_spark import tiles_to_canvas
+from tests.test_sieve import _tiles
+
+
+def _ramp_canvas(h, w):
+    gy, gx = np.mgrid[0:h, 0:w]
+    return 3.0 * gx + 2.0 * gy + 5.0
+
+
+def test_cubic_constant_preserved(spark):
+    """Partition of unity: a constant raster warps to the constant
+    wherever the 4x4 support is interior."""
+    src_spec = G.GridSpec(64, 64, (0.0, 1.0, 0.0, 64.0, 0.0, -1.0), tile=16)
+    dst_spec = G.GridSpec(48, 48, (2.0, 1.25, 0.0, 62.0, 0.0, -1.25),
+                          crs=src_spec.crs, tile=16)
+    tiles = _tiles(spark, np.full((64, 64), 7.5), src_spec)
+    got = tiles_to_canvas(W.warp(tiles, src_spec, dst_spec, kernel="cubic"),
+                          dst_spec)
+    np.testing.assert_allclose(got[2:-2, 2:-2], 7.5, rtol=1e-12)
+
+
+def test_cubic_reproduces_linear_ramp(spark):
+    """Catmull-Rom (a=-0.5) reproduces linear functions exactly."""
+    src_spec = G.GridSpec(64, 64, (0.0, 1.0, 0.0, 64.0, 0.0, -1.0), tile=16)
+    dst_spec = G.GridSpec(40, 40, (3.0, 1.3, 0.0, 61.0, 0.0, -1.3),
+                          crs=src_spec.crs, tile=16)
+    canvas = _ramp_canvas(64, 64)
+    tiles = _tiles(spark, canvas, src_spec)
+    got = tiles_to_canvas(W.warp(tiles, src_spec, dst_spec, kernel="cubic"),
+                          dst_spec)
+    # expected: the ramp evaluated at each dst pixel-center's src coords
+    gy, gx = np.mgrid[0:40, 0:40]
+    spx, spy = W._dst_pos_in_src_px(dst_spec, src_spec,
+                                    gx.ravel().astype(float),
+                                    gy.ravel().astype(float))
+    want = (3.0 * (spx - 0.5) + 2.0 * (spy - 0.5) + 5.0).reshape(40, 40)
+    interior = (spx.reshape(40, 40) > 2) & (spx.reshape(40, 40) < 61) & \
+               (spy.reshape(40, 40) > 2) & (spy.reshape(40, 40) < 61)
+    np.testing.assert_allclose(got[interior], want[interior], rtol=1e-10)
+
+
+def test_average_equals_block_mean_on_aligned_2x(spark):
+    """An exactly-aligned 2x downsample's footprints are the 2x2 blocks,
+    so GRA_Average must equal the block mean (independent oracle)."""
+    rng = np.random.default_rng(8)
+    src_spec = G.GridSpec(64, 64, (0.0, 1.0, 0.0, 64.0, 0.0, -1.0), tile=16)
+    dst_spec = G.GridSpec(32, 32, (0.0, 2.0, 0.0, 64.0, 0.0, -2.0),
+                          crs=src_spec.crs, tile=16)
+    canvas = rng.integers(0, 100, size=(64, 64)).astype(np.float64)
+    tiles = _tiles(spark, canvas, src_spec)
+    got = tiles_to_canvas(W.warp(tiles, src_spec, dst_spec, kernel="average"),
+                          dst_spec)
+    want = canvas.reshape(32, 2, 32, 2).mean(axis=(1, 3))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_average_4326_to_3857_mass_plausible(spark):
+    """Cross-CRS average: values stay within the source value range and
+    constants are preserved."""
+    src_spec = G.world_3857(1, 16)  # 32x32 world
+    tiles = _tiles(spark, np.full((32, 32), 3.0), src_spec)
+    dst_spec = G.world_4326(64, 32, tile=16)
+    got = tiles_to_canvas(W.warp(tiles, src_spec, dst_spec, kernel="average"),
+                          dst_spec)
+    # rows within the mercator lat range are fully covered (narrow
+    # footprints degrade to the center pixel, GDAL-style)
+    mid = got[8:24, :]
+    assert (mid == 3.0).all()
+
+
+def test_dep_ranges_cover_legacy_enumeration(spark):
+    """The column-math dependency relation must be a superset of the
+    per-tile corner enumeration (the round-1 driver loop)."""
+    src_spec = G.world_3857(3, 32)   # 256px world, 8x8 tiles
+    dst_spec = G.world_4326(192, 96, tile=32)
+    dep = (W._dep_ranges(spark, src_spec, dst_spec).collect())
+    got = {}
+    for r in dep:
+        got[(r["d_ty"], r["d_tx"])] = (r["sy0"], r["sy1"], r["sx0"], r["sx1"])
+    # legacy enumeration (corner centers, +-1 margin)
+    for ty in range(dst_spec.tiles_y):
+        for tx in range(dst_spec.tiles_x):
+            h, w = dst_spec.tile_shape(ty, tx)
+            gx = np.array([tx * 32, tx * 32 + w - 1], float)
+            gy = np.array([ty * 32, ty * 32 + h - 1], float)
+            cx, cy = np.meshgrid(gx, gy)
+            spx, spy = W._dst_pos_in_src_px(dst_spec, src_spec,
+                                            cx.ravel(), cy.ravel())
+            sx0 = int(np.floor(spx.min() - 1)) // 32
+            sx1 = int(np.floor(spx.max() + 1)) // 32
+            sy0 = int(np.floor(spy.min() - 1)) // 32
+            sy1 = int(np.floor(spy.max() + 1)) // 32
+            g = got[(ty, tx)]
+            assert g[0] <= max(0, sy0) and g[1] >= min(7, sy1)
+            assert g[2] <= max(0, sx0) and g[3] >= min(7, sx1)
