@@ -25,7 +25,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from ..geo import geom, wkb
+from ..geo import geom, overlay, wkb
 
 
 def _each(series: pd.Series, fn, dtype=object):
@@ -203,6 +203,158 @@ def st_clip_bbox(g: pd.Series, minx: pd.Series, miny: pd.Series,
         for b, a, c, d, e in zip(g, minx, miny, maxx, maxy)])
 
 
+# ------------------------------------------------- geometry construction
+# (OGRGeometry::Intersection/Union/Difference/SymDifference,
+#  ogr/ogr_geometry.h:567-575; layer algebra ogrlayer.cpp:5385/5803/6340.
+#  Results are MULTIPOLYGON — PROMOTE_TO_MULTI semantics.)
+
+def _polys_of(b: bytes):
+    return [overlay.normalize(p) for p in wkb.polygon_rings(b)]
+
+
+def _multi_intersection(pa, pb):
+    out = []
+    for A in pa:
+        for B in pb:
+            out.extend(overlay.intersection(A, B))
+    return out
+
+
+def _multi_difference(pa, pb):
+    cur = list(pa)
+    for B in pb:
+        cur = [piece for A in cur for piece in overlay.difference(A, B)]
+    return cur
+
+
+def _multi_union(pa, pb):
+    if len(pa) == 1 and len(pb) == 1:
+        return overlay.union(pa[0], pb[0])
+    # multi inputs: the disjoint decomposition (A - B) |+| B — same
+    # coverage/area; parts may touch along former shared boundaries
+    return _multi_difference(pa, pb) + list(pb)
+
+
+def _binary_geom_udf(op):
+    def fn(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for ga, gb in zip(a, b):
+            if ga is None or gb is None:
+                out.append(None)
+                continue
+            polys = op(_polys_of(bytes(ga)), _polys_of(bytes(gb)))
+            out.append(wkb.multipolygon(polys))
+        return pd.Series(out)
+    return pandas_udf(T.BinaryType())(fn)
+
+
+st_intersection = _binary_geom_udf(_multi_intersection)
+st_union = _binary_geom_udf(_multi_union)
+st_difference = _binary_geom_udf(_multi_difference)
+st_symdifference = _binary_geom_udf(
+    lambda pa, pb: _multi_difference(pa, pb) + _multi_difference(pb, pa))
+
+
+def _relate_udf(key):
+    """Areal predicate via overlay.relate; multi inputs fold the
+    pairwise matrix the way the layer-algebra row loop does."""
+    def fn(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for ga, gb in zip(a, b):
+            if ga is None or gb is None:
+                out.append(None)
+                continue
+            pa, pb = _polys_of(bytes(ga)), _polys_of(bytes(gb))
+            if len(pa) == 1 and len(pb) == 1:
+                out.append(bool(overlay.relate(pa[0], pb[0])[key]))
+                continue
+            # multi fold: derive from areas of the multi-aware ops
+            ai = overlay.multi_area(_multi_intersection(pa, pb))
+            ar = overlay.multi_area(_multi_difference(pa, pb))
+            br = overlay.multi_area(_multi_difference(pb, pa))
+            bnd = any(overlay._boundaries_intersect(A, B)
+                      for A in pa for B in pb)
+            has_i = ai > 0.0
+            vals = {
+                "intersects": has_i or bnd,
+                "disjoint": not (has_i or bnd),
+                "touches": bnd and not has_i,
+                "within": has_i and ar == 0.0,
+                "contains": has_i and br == 0.0,
+                "equals": has_i and ar == 0.0 and br == 0.0,
+                "overlaps": has_i and ar > 0.0 and br > 0.0,
+                "crosses": False,
+            }
+            out.append(bool(vals[key]))
+        return pd.Series(out, dtype="boolean")
+    return pandas_udf(T.BooleanType())(fn)
+
+
+st_intersects = _relate_udf("intersects")
+st_disjoint = _relate_udf("disjoint")
+st_touches = _relate_udf("touches")
+st_within = _relate_udf("within")
+st_contains = _relate_udf("contains")
+st_overlaps = _relate_udf("overlaps")
+st_equals = _relate_udf("equals")
+st_crosses = _relate_udf("crosses")
+
+
+@pandas_udf(T.BinaryType())
+def st_makevalid(g: pd.Series) -> pd.Series:
+    """OGRGeometry::MakeValid (ogr_geometry.h:430): self-intersecting
+    rings split into simple loops; valid input passes through."""
+    def mv(b):
+        polys = wkb.polygon_rings(b)
+        fixed = [q for p in polys for q in overlay.make_valid(p)]
+        return wkb.multipolygon(fixed)
+    return _each(g, mv)
+
+
+@pandas_udf(T.BinaryType())
+def st_convexhull(g: pd.Series) -> pd.Series:
+    """ConvexHull over all vertices of any polygonal geometry
+    (ogr_geometry.h:566)."""
+    def hull(b):
+        polys = wkb.polygon_rings(b)
+        pts = np.vstack([r[:, :2] for p in polys for r in p])
+        return wkb.polygon([geom.convex_hull(pts[:, 0], pts[:, 1])])
+    return _each(g, hull)
+
+
+@pandas_udf(T.DoubleType())
+def st_distance(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Poly-poly distance: 0 when intersecting, else the min segment-
+    segment distance between boundaries (OGRGeometry::Distance)."""
+    def seg_seg(p1, p2, q1, q2):
+        def pt_seg(p, a_, b_):
+            ab = b_ - a_
+            L = float(ab @ ab)
+            t = 0.0 if L == 0 else float(np.clip((p - a_) @ ab / L, 0, 1))
+            d = p - (a_ + t * ab)
+            return float(np.hypot(d[0], d[1]))
+        return min(pt_seg(p1, q1, q2), pt_seg(p2, q1, q2),
+                   pt_seg(q1, p1, p2), pt_seg(q2, p1, p2))
+
+    out = []
+    for ga, gb in zip(a, b):
+        if ga is None or gb is None:
+            out.append(None)
+            continue
+        pa = _polys_of(bytes(ga))
+        pb = _polys_of(bytes(gb))
+        if overlay.multi_area(_multi_intersection(pa, pb)) > 0.0 or any(
+                overlay._boundaries_intersect(A, B) for A in pa for B in pb):
+            out.append(0.0)
+            continue
+        ea = [e for A in pa for e in overlay._ring_edges(A)]
+        eb = [e for B in pb for e in overlay._ring_edges(B)]
+        out.append(min(seg_seg(np.asarray(p1), np.asarray(p2),
+                               np.asarray(q1), np.asarray(q2))
+                       for p1, p2 in ea for q1, q2 in eb))
+    return pd.Series(out, dtype="float64")
+
+
 _REGISTRY = {
     "st_area": st_area,
     "st_length": st_length,
@@ -221,6 +373,21 @@ _REGISTRY = {
     "st_simplify": st_simplify,
     "st_segmentize": st_segmentize,
     "st_clip_bbox": st_clip_bbox,
+    "st_intersection": st_intersection,
+    "st_union": st_union,
+    "st_difference": st_difference,
+    "st_symdifference": st_symdifference,
+    "st_intersects": st_intersects,
+    "st_disjoint": st_disjoint,
+    "st_touches": st_touches,
+    "st_within": st_within,
+    "st_contains": st_contains,
+    "st_overlaps": st_overlaps,
+    "st_equals": st_equals,
+    "st_crosses": st_crosses,
+    "st_makevalid": st_makevalid,
+    "st_convexhull": st_convexhull,
+    "st_distance": st_distance,
 }
 
 

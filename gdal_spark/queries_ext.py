@@ -31,6 +31,123 @@ def knn_ring(spark, sf_dir):
     return knn.knn_join(pts, qs, k=5).orderBy("q_id", "rank")
 
 
+# ---------------------------------------------------------------------
+# Layer algebra WITH geometry output (ogrlayer.cpp:5385 Intersection)
+# ---------------------------------------------------------------------
+
+_LSTEP = 0.2  # lattice step (deg) for the construction-verifying oracle
+
+
+def _lattice_range(minx, miny, maxx, maxy):
+    """Integer (k, l) index ranges of the 0.2-degree lattice covering a
+    bbox — computed ONCE in Python from fixture literals and shared by
+    the Spark query and the SQL oracle, so there is zero cross-engine
+    float drift in the lattice itself."""
+    import math
+
+    k0 = int(math.ceil((minx + 180.0) / _LSTEP))
+    k1 = int(math.floor((maxx + 180.0) / _LSTEP))
+    l0 = int(math.ceil((miny + 90.0) / _LSTEP))
+    l1 = int(math.floor((maxy + 90.0) / _LSTEP))
+    return k0, k1, l0, l1
+
+
+def _overlay_pairs():
+    """Bbox-overlapping fixture pairs with their shared lattice range."""
+    rings = admin.overlay_rings()
+    out = []
+    for i, (pa, _na, ra) in enumerate(rings):
+        ba = geom.bbox_of_ring(ra)
+        for pb, _nb, rb in rings[i + 1:]:
+            bb = geom.bbox_of_ring(rb)
+            ib = (max(ba[0], bb[0]), max(ba[1], bb[1]),
+                  min(ba[2], bb[2]), min(ba[3], bb[3]))
+            if ib[0] >= ib[2] or ib[1] >= ib[3]:
+                continue
+            k0, k1, l0, l1 = _lattice_range(*ib)
+            if k0 > k1 or l0 > l1:
+                continue
+            out.append((pa, pb, ra, rb, (k0, k1, l0, l1)))
+    return out
+
+
+def _overlay_oracle() -> str:
+    subqs = []
+    for pa, pb, ra, rb, (k0, k1, l0, l1) in _overlay_pairs():
+        pred_a = geom.convex_halfplane_sql(ra, "lon", "lat")
+        pred_b = geom.convex_halfplane_sql(rb, "lon", "lat")
+        subqs.append(f"""
+        SELECT {pa} AS a_id, {pb} AS b_id,
+               count(*) AS n_pts,
+               CAST(sum(k) AS BIGINT) AS sum_k,
+               CAST(sum(l) AS BIGINT) AS sum_l
+        FROM (SELECT k, l, (-180.0 + 0.2 * k) AS lon, (-90.0 + 0.2 * l) AS lat
+              FROM (SELECT range AS k FROM range({k0}, {k1 + 1})),
+                   (SELECT range AS l FROM range({l0}, {l1 + 1})))
+        WHERE {pred_a} AND {pred_b}
+        HAVING count(*) > 0""")
+    return ("SELECT * FROM (\n" + "\nUNION ALL\n".join(subqs)
+            + "\n) ORDER BY a_id, b_id")
+
+
+@register("geo_overlay_intersection", oracle=_overlay_oracle())
+def overlay_intersection_q(spark, sf_dir):
+    """Geometry-CONSTRUCTING layer algebra (OGRLayer::Intersection,
+    ogrlayer.cpp:5385): self-overlay of the admin fixture layer via the
+    cell equi-join + per-pair Weiler-Atherton construction
+    (operators/overlay_join.py). Verified against an independent oracle:
+    every 0.2-degree lattice point inside the CONSTRUCTED geometry
+    (even-odd on the result rings) must be exactly the set satisfying
+    both polygons' half-plane predicates in DuckDB."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .geo import geom as _g
+    from .geo import wkb as _wkb
+    from .operators.overlay_join import overlay_intersection_join
+
+    polys = admin.overlay_df(spark)
+    pairs = overlay_intersection_join(polys, polys, same_layer=True)
+    ranges = [(pa, pb, k0, k1, l0, l1)
+              for pa, pb, _ra, _rb, (k0, k1, l0, l1) in _overlay_pairs()]
+    rdf = spark.createDataFrame(
+        ranges, "a_id int, b_id int, k0 long, k1 long, l0 long, l1 long")
+    j = pairs.join(F.broadcast(rdf), ["a_id", "b_id"], "inner")
+
+    out_schema = T.StructType([
+        T.StructField("a_id", T.IntegerType(), False),
+        T.StructField("b_id", T.IntegerType(), False),
+        T.StructField("n_pts", T.LongType(), False),
+        T.StructField("sum_k", T.LongType(), False),
+        T.StructField("sum_l", T.LongType(), False),
+    ])
+
+    def lattice_count(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                ks = np.arange(int(r["k0"]), int(r["k1"]) + 1)
+                ls = np.arange(int(r["l0"]), int(r["l1"]) + 1)
+                kk, ll = np.meshgrid(ks, ls)
+                kk, ll = kk.ravel(), ll.ravel()
+                lon = -180.0 + 0.2 * kk
+                lat = -90.0 + 0.2 * ll
+                inside = np.zeros(len(kk), dtype=bool)
+                for part in _wkb.polygon_rings(bytes(r["geom"])):
+                    inside |= _g.points_in_polygon(lon, lat, part)
+                if inside.any():
+                    rows.append((int(r["a_id"]), int(r["b_id"]),
+                                 int(inside.sum()),
+                                 int(kk[inside].sum()),
+                                 int(ll[inside].sum())))
+            yield pd.DataFrame(
+                rows, columns=["a_id", "b_id", "n_pts", "sum_k", "sum_l"])
+
+    return (j.mapInPandas(lattice_count, out_schema)
+            .orderBy("a_id", "b_id"))
+
+
 def _zonal_oracle() -> str:
     zones = "\nUNION ALL\n".join(
         f"SELECT {pid} AS poly_id, doc_id FROM pts WHERE "

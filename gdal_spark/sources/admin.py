@@ -49,6 +49,50 @@ def admin_rings(n_polys: int = 24) -> list[tuple[int, str, np.ndarray]]:
     return out
 
 
+def overlay_rings(n_groups: int = 8) -> list[tuple[int, str, np.ndarray]]:
+    """Fixture layer for the geometry-constructing layer algebra: pairs
+    (and one triple) of convex polygons that genuinely OVERLAP — each
+    group is a base polygon plus a sibling shifted by a fraction of its
+    radius. Same literal-float convention as admin_rings, so DuckDB
+    oracles embed identical half-plane predicates."""
+    out = []
+    pid = 0
+    for i in range(n_groups):
+        # irrational-ish offsets everywhere: no vertex, edge, or center
+        # may coincide with the 0.2-degree oracle lattice
+        cx = ((i * 360.0 * 0.6180339887498949) % 300.0) - 149.8712335
+        cy = ((i * 160.0 * 0.7548776662466927) % 110.0) - 54.9137221
+        r = 4.1231056256176605 + (i * 5.436563656918090) % 9.0
+        nv = 5 + i % 5
+        rot = 0.4142135623730951 + i * 1.1102392266268373
+        members = [(cx, cy, r, nv, rot),
+                   (cx + 0.6180339887 * r, cy + 0.4142135623 * r,
+                    0.8 * r, 5 + (i + 2) % 5, rot + 0.7548776662)]
+        if i % 3 == 0:  # a triple: one more sibling crossing both
+            members.append((cx + 0.3 * r, cy - 0.5 * r, 0.9 * r,
+                            5 + (i + 4) % 5, rot + 1.9102392266))
+        for (mx, my, mr, mnv, mrot) in members:
+            angles = [mrot + 2.0 * math.pi * k / mnv for k in range(mnv)]
+            ring = np.array(
+                [[mx + mr * math.cos(a), my + 0.75 * mr * math.sin(a)]
+                 for a in angles], dtype=np.float64)
+            ring = np.vstack([ring, ring[:1]])
+            out.append((pid, f"ovl_{pid:03d}", ring))
+            pid += 1
+    return out
+
+
+def overlay_df(spark: SparkSession) -> DataFrame:
+    rows = [(pid, name, bytearray(wkb.polygon([ring])))
+            for pid, name, ring in overlay_rings()]
+    schema = T.StructType([
+        T.StructField("poly_id", T.IntegerType(), False),
+        T.StructField("name", T.StringType(), False),
+        T.StructField("geom", T.BinaryType(), False),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
 def admin_df(spark: SparkSession, n_polys: int = 24,
              res: int = cells.DEFAULT_RES) -> DataFrame:
     """Polygon DataFrame: (poly_id, name, geom WKB, bbox cols, covering
