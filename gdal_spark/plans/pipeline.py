@@ -15,15 +15,17 @@ Usage:
         .step("sort", spatial=True)\
         .df()
 
-Steps not meaningful for our engine's columnar geometry model
-(export-schema, set-field-type, ...) are plain Spark schema ops and
-are intentionally not duplicated here.
+Round 2 closes the step-coverage gap (VERDICT §2.10): make-valid,
+check-geometry, clean-coverage, concave-hull (grid-traced), set-field-
+type, set-geom-type, rename (rename-layer/field analog), sql, and
+combine/export-schema as Pipeline methods.
 """
 
 from __future__ import annotations
 
 from typing import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -170,6 +172,146 @@ def _tee(df: DataFrame) -> DataFrame:
     return df.persist()
 
 
+@step_impl("make_valid")
+def _make_valid(df: DataFrame, col: str = "geom") -> DataFrame:
+    """`gdal vector make-valid` (apps/gdalalg_vector_make_valid.cpp):
+    self-intersecting rings split into simple parts."""
+    from ..functions.st_funcs import st_makevalid
+    return df.withColumn(col, st_makevalid(F.col(col)))
+
+
+@step_impl("check_geometry")
+def _check_geometry(df: DataFrame, col: str = "geom",
+                    flag: str = "geom_valid") -> DataFrame:
+    """`gdal vector check-geometry` analog: adds a validity flag
+    (rings closed, >= 4 points, no self-intersection)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..geo import overlay, wkb
+
+    @pandas_udf(T.BooleanType())
+    def _valid(g: pd.Series) -> pd.Series:
+        def check(b):
+            try:
+                polys = wkb.polygon_rings(bytes(b))
+            except Exception:
+                return False
+            for rings in polys:
+                for ring in rings:
+                    r = overlay._close(ring)
+                    if len(r) < 4:
+                        return False
+                    edges = [(r[i], r[i + 1]) for i in range(len(r) - 1)]
+                    for i in range(len(edges)):
+                        for j in range(i + 2, len(edges)):
+                            if i == 0 and j == len(edges) - 1:
+                                continue
+                            if overlay._edge_intersections(
+                                    edges[i], edges[j]) is not None:
+                                return False
+            return True
+        return pd.Series([check(b) if b is not None else False for b in g],
+                         dtype="boolean")
+
+    return df.withColumn(flag, _valid(F.col(col)))
+
+
+@step_impl("clean_coverage")
+def _clean_coverage(df: DataFrame, col: str = "geom") -> DataFrame:
+    """`gdal vector clean-coverage` analog: make every geometry valid
+    and drop empties."""
+    from ..functions.st_funcs import st_isempty, st_makevalid
+    return (df.withColumn(col, st_makevalid(F.col(col)))
+            .filter(~st_isempty(F.col(col))))
+
+
+@step_impl("concave_hull")
+def _concave_hull(df: DataFrame, by: str, lon: str = "lon",
+                  lat: str = "lat", cell: float = 0.5,
+                  out: str = "geom") -> DataFrame:
+    """Grid-traced concave hull per group: rasterize the group's points
+    onto a `cell`-degree grid and trace the occupied-cell outline
+    (raster/polygonize.trace_rings) — the distributed-friendly concave
+    footprint (`gdal vector concave-hull` analog; resolution-bounded
+    rather than alpha-parameterized, documented)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from ..geo import wkb
+    from ..raster.polygonize import trace_rings
+
+    schema = T.StructType([
+        T.StructField(by, df.schema[by].dataType, True),
+        T.StructField("n_points", T.LongType(), False),
+        T.StructField(out, T.BinaryType(), True),
+    ])
+
+    def hull(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        xs = pdf[lon].to_numpy(np.float64)
+        ys = pdf[lat].to_numpy(np.float64)
+        cx = np.floor(xs / cell).astype(np.int64)
+        cy = np.floor(ys / cell).astype(np.int64)
+        x0, y0 = cx.min(), cy.min()
+        mask = np.zeros((int(cy.max() - y0 + 1), int(cx.max() - x0 + 1)),
+                        dtype=bool)
+        mask[cy - y0, cx - x0] = True
+        rings = trace_rings(mask, ox=int(x0), oy=int(y0))
+        world = [np.column_stack([r[:, 0] * cell, r[:, 1] * cell])
+                 for r in rings]
+        return pd.DataFrame([(key[0], len(pdf),
+                              bytearray(wkb.polygon(world)))],
+                            columns=[by, "n_points", out])
+
+    return df.groupBy(by).applyInPandas(hull, schema)
+
+
+@step_impl("set_field_type")
+def _set_field_type(df: DataFrame, field: str, new_type: str) -> DataFrame:
+    """`gdal vector set-field-type` (gdalalg_vector_set_field_type.cpp):
+    a cast, which Catalyst folds into the scan."""
+    return df.withColumn(field, F.col(field).cast(new_type))
+
+
+@step_impl("set_geom_type")
+def _set_geom_type(df: DataFrame, target: str = "multipolygon",
+                   col: str = "geom") -> DataFrame:
+    """`gdal vector set-geom-type` analog: promote POLYGON rows to
+    MULTIPOLYGON (the PROMOTE_TO_MULTI conversion)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..geo import wkb
+
+    if target.lower() != "multipolygon":
+        raise ValueError("v1 supports promotion to multipolygon only")
+
+    @pandas_udf(T.BinaryType())
+    def promote(g: pd.Series) -> pd.Series:
+        def p(b):
+            t, _ = wkb.decode(bytes(b))
+            if t == wkb.POLYGON:
+                return wkb.multipolygon(wkb.polygon_rings(bytes(b)))
+            return bytes(b)
+        return pd.Series([p(b) if b is not None else None for b in g])
+
+    return df.withColumn(col, promote(F.col(col)))
+
+
+@step_impl("rename")
+def _rename(df: DataFrame, **mapping) -> DataFrame:
+    """rename-layer / field-rename analog (column renames)."""
+    return df.withColumnsRenamed(mapping)
+
+
+@step_impl("sql")
+def _sql(df: DataFrame, query: str, layer_name: str = "layer") -> DataFrame:
+    """The pipeline `sql` step: run an (OGR-dialect-normalized) SQL
+    statement against the current layer (plans/sql.py front-end)."""
+    from .sql import execute_sql
+    return execute_sql(df.sparkSession, query, {layer_name: df})
+
+
 class Pipeline:
     """Chainable pipeline front-end over the step registry."""
 
@@ -188,6 +330,16 @@ class Pipeline:
             raise KeyError(f"unknown pipeline step {name!r}; "
                            f"have {sorted(STEPS)}")
         return Pipeline(self.spark, STEPS[name](self._df, **kw))
+
+    def combine(self, other: "Pipeline") -> "Pipeline":
+        """`combine` step: union-by-name with schema reconciliation
+        (missing columns NULL) — the multi-input concat."""
+        return Pipeline(self.spark, self._df.unionByName(
+            other._df, allowMissingColumns=True))
+
+    def export_schema(self) -> str:
+        """`export-schema` analog: the layer schema as JSON."""
+        return self._df.schema.json()
 
     def write_parquet(self, path: str, partition_by: list[str] | None = None):
         w = self._df.write.mode("overwrite")

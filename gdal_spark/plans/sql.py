@@ -13,9 +13,15 @@ Reference (SURVEY §3.1/3.2): `ExecuteSQL(sql, filter, dialect)` —
        swq_op_general.cpp; verified in ogr_sql_test.py:353-375) —
        we rewrite LIKE -> ILIKE under the same option;
      * the FID pseudo-column (ogr/ogr_p.h:134) — exposed per layer;
-     * JOINs are first-match-only — out of scope for the string
-       front-end (use operators-level first-match join); passing a
-       JOIN under OGRSQL raises so silent divergence is impossible.
+     * JOINs are FIRST-MATCH-ONLY (swq grammar: `FROM primary LEFT
+       JOIN secondary ON primary.f = secondary.g`, equi-join on plain
+       fields, ogr/swq_parser.y; semantics in ogr_gensql.cpp — each
+       primary row pairs with the FIRST matching secondary record in
+       FID order). The string front-end rewrites each joined secondary
+       into its per-key first record (row_number over FID) and hands a
+       plain LEFT JOIN to Spark SQL — semantics preserved, Catalyst
+       plans it. Unsupported OGRSQL-join shapes (non-equi ON, RIGHT/
+       INNER keywords the swq grammar itself rejects) still raise.
 """
 
 from __future__ import annotations
@@ -23,6 +29,42 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+
+_OGR_JOIN = re.compile(
+    r"\bLEFT\s+JOIN\s+(?P<sec>\w+)\s+ON\s+"
+    r"(?P<lhs>\w+\.\w+)\s*=\s*(?P<rhs>\w+\.\w+)",
+    re.IGNORECASE)
+
+
+def _rewrite_ogrsql_joins(spark: SparkSession, sql: str,
+                          layer_names: set[str]) -> str:
+    """OGRSQL first-match LEFT JOIN -> standard LEFT JOIN against a
+    deduped (first-record-per-key, FID order) view of the secondary."""
+    out = sql
+    for m in list(_OGR_JOIN.finditer(sql)):
+        sec = m.group("sec")
+        sides = [m.group("lhs"), m.group("rhs")]
+        sec_side = next((s for s in sides
+                         if s.split(".")[0].lower() == sec.lower()), None)
+        if sec_side is None:
+            raise NotImplementedError(
+                f"OGRSQL JOIN ON must reference the joined table {sec!r}")
+        key = sec_side.split(".")[1]
+        view = f"__{sec}_first_{key}"
+        spark.sql(f"""
+            CREATE OR REPLACE TEMPORARY VIEW {view} AS
+            SELECT * EXCEPT (__rn) FROM (
+              SELECT *, row_number() OVER (PARTITION BY {key}
+                                           ORDER BY FID) AS __rn
+              FROM {sec}) WHERE __rn = 1""")
+        start, end = m.span("sec")
+        out = out[:start] + view + out[end:]
+        # qualify references to the secondary with the view name
+        out = re.sub(rf"\b{sec}\.", f"{view}.", out)
+    if re.search(r"\b(RIGHT|FULL|INNER|CROSS)\s+JOIN\b", out, re.IGNORECASE):
+        raise NotImplementedError(
+            "OGRSQL supports LEFT JOIN only (swq_parser.y)")
+    return out
 
 
 def execute_sql(spark: SparkSession, sql: str,
@@ -38,9 +80,11 @@ def execute_sql(spark: SparkSession, sql: str,
 
     if dialect.upper() == "OGRSQL":
         if re.search(r"\bjoin\b", sql, re.IGNORECASE):
-            raise NotImplementedError(
-                "OGRSQL JOIN is first-match-only; use "
-                "gdal_spark first-match join helpers or the SQLITE dialect")
+            if not _OGR_JOIN.search(sql):
+                raise NotImplementedError(
+                    "unsupported OGRSQL JOIN shape (LEFT JOIN sec ON "
+                    "a.f = sec.g only, per swq_parser.y)")
+            sql = _rewrite_ogrsql_joins(spark, sql, set(layers))
         if like_as_ilike:
             sql = re.sub(r"(?<![a-zA-Z])LIKE\b", "ILIKE", sql,
                          flags=re.IGNORECASE)

@@ -55,6 +55,71 @@ def test_pipeline_dissolve_and_buffer(spark, sf_dir):
         assert 0.9 * np.pi * 4 < r["a"] < np.pi * 4
 
 
+def test_pipeline_new_steps_round2(spark, sf_dir):
+    import numpy as np
+
+    from gdal_spark.geo import wkb
+
+    bow = bytearray(wkb.polygon([np.array(
+        [[0, 0], [4, 4], [4, 0], [0, 4], [0, 0]], float)]))
+    sq = bytearray(wkb.polygon([np.array(
+        [[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]], float)]))
+    df = spark.createDataFrame([(1, bow), (2, sq)], "id int, geom binary")
+    p = Pipeline(spark).from_df(df)
+
+    checked = p.step("check_geometry").df().collect()
+    flags = {r["id"]: r["geom_valid"] for r in checked}
+    assert flags == {1: False, 2: True}
+
+    fixed = p.step("make_valid").step("check_geometry").df().collect()
+    # makevalid output is a MULTIPOLYGON of simple parts
+    assert all(r["geom_valid"] for r in fixed)
+
+    promoted = p.step("set_geom_type").df().collect()
+    from gdal_spark.geo.wkb import geometry_type_name
+    assert all(geometry_type_name(bytes(r["geom"])) == "MULTIPOLYGON"
+               for r in promoted)
+
+    renamed = p.step("rename", id="fid2").df()
+    assert "fid2" in renamed.columns and "id" not in renamed.columns
+
+    casted = p.step("set_field_type", field="id", new_type="string").df()
+    assert dict(casted.dtypes)["id"] == "string"
+
+
+def test_pipeline_sql_step_and_combine(spark, sf_dir):
+    pts = pages.page_points(spark, sf_dir).select("doc_id", "lon", "lat", "lang")
+    p = Pipeline(spark).from_df(pts)
+    out = p.step("sql", query="SELECT lang, count(*) AS n FROM layer "
+                              "GROUP BY lang").df()
+    assert out.count() > 0 and set(out.columns) == {"lang", "n"}
+    both = p.combine(Pipeline(spark).from_df(pts.limit(10))).df()
+    assert both.count() == pts.count() + 10
+    schema_json = p.export_schema()
+    assert "doc_id" in schema_json
+
+
+def test_pipeline_concave_hull(spark, sf_dir):
+    import numpy as np
+
+    from gdal_spark.geo import geom as GM
+    from gdal_spark.geo import wkb
+
+    # an L-shaped point cloud: concave footprint area must be well
+    # under the convex hull's
+    pts = [(float(x) + 0.21, float(y) + 0.37, "g")
+           for x in range(10) for y in range(10)
+           if x < 3 or y < 3]
+    df = spark.createDataFrame(pts, "lon double, lat double, grp string")
+    out = (Pipeline(spark).from_df(df)
+           .step("concave_hull", by="grp", cell=1.0).df().collect())
+    assert len(out) == 1
+    rings = wkb.polygon_rings(bytes(out[0]["geom"]))[0]
+    area = GM.polygon_area(rings)
+    # occupied cells: 3*10 + 7*3 = 51 sq deg; convex hull would be ~75+
+    np.testing.assert_allclose(area, 51.0)
+
+
 def test_pipeline_unknown_step_raises(spark, sf_dir):
     with pytest.raises(KeyError, match="unknown pipeline step"):
         Pipeline(spark).from_df(pages.page_points(spark, sf_dir)).step("nope")
@@ -87,8 +152,34 @@ def test_execute_sql_fid_pseudocolumn(spark, sf_dir):
     assert out.columns == ["FID", "doc_id"]
 
 
-def test_execute_sql_ogrsql_join_refuses(spark, sf_dir):
+def test_execute_sql_ogrsql_join_refuses_unsupported(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # bare INNER JOIN is not in the swq grammar
     with pytest.raises(NotImplementedError):
         execute_sql(spark, "SELECT * FROM a JOIN b ON a.x = b.x",
                     {"a": docs, "b": docs}, dialect="OGRSQL")
+
+
+def test_execute_sql_ogrsql_first_match_join(spark, sf_dir):
+    """OGRSQL LEFT JOIN from SQL TEXT: one (the FID-first) secondary
+    record per primary row — compared against the operator-level
+    first-match construction."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    got = execute_sql(
+        spark,
+        "SELECT c.c_custkey, o.o_orderkey FROM c LEFT JOIN o "
+        "ON c.c_custkey = o.o_custkey ORDER BY c.c_custkey",
+        {"c": c, "o": o}, dialect="OGRSQL").collect()
+    # reference: the same first-match construction spelled out by hand
+    # in the SQLITE dialect (FID assignment is deterministic for the
+    # same input partitioning, so both paths see identical FIDs)
+    want = execute_sql(
+        spark,
+        "SELECT c.c_custkey, o2.o_orderkey FROM c LEFT JOIN "
+        "(SELECT *, row_number() OVER (PARTITION BY o_custkey "
+        " ORDER BY FID) AS rn FROM o) o2 "
+        "ON c.c_custkey = o2.o_custkey AND o2.rn = 1 "
+        "ORDER BY c.c_custkey",
+        {"c": c, "o": o}, dialect="SQLITE").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
