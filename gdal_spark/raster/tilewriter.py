@@ -9,21 +9,26 @@ This is the engine's `gdal raster tile` (apps/gdalalg_raster_tile.cpp):
    the checkpoint module's manifest anti-join, so a partially-written
    level resumes idempotently (north-rule lineage requirement);
  - tile payloads are stored as parquet rows (zoom, tile_y, tile_x,
-   px) bucketed by tile key — the cloud-scale stand-in for individual
-   PNG files (a PNG encoder is a per-row codec away; the grid math,
-   parallelism, and resume semantics are what the reference's tests
-   gate on).
+   px) bucketed by tile key — the cloud-scale form — AND can emit the
+   reference's actual artifact: one PNG file per tile in the XYZ
+   z/x/y.png layout (write_tiles_png; pure-Python codec raster/png.py,
+   the artifact gdal2tiles' tests checksum,
+   autotest/pyscripts/test_gdal2tiles.py:101-143).
 """
 
 from __future__ import annotations
 
 import os
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .. import checkpoint as CP
 from . import density as D
+from . import png as PNG
 from . import pyramid as P
 
 
@@ -51,6 +56,51 @@ def write_pyramid(points: DataFrame, out_dir: str, base_zoom: int,
         return stats
     finally:
         base.unpersist()
+
+
+_PNG_OUT = T.StructType([
+    T.StructField("zoom", T.IntegerType(), False),
+    T.StructField("tile_x", T.IntegerType(), False),
+    T.StructField("tile_y", T.IntegerType(), False),
+    T.StructField("path", T.StringType(), False),
+    T.StructField("n_bytes", T.LongType(), False),
+])
+
+
+def write_tiles_png(tiles: DataFrame, out_dir: str, zoom: int,
+                    tile: int = 256) -> DataFrame:
+    """Write one PNG per tile in the XYZ `z/x/y.png` layout (the
+    reference tile pipeline's artifact). Pixel values encode as 16-bit
+    grayscale — EXACT for integer bands in [0, 65535] (density counts),
+    clipped otherwise — so decoded pixels round-trip to the parquet
+    tile rows bit-for-bit. Executor-side file writes (one per tile, no
+    driver funnel); returns the written-file manifest (collect/count it
+    to force the write)."""
+
+    def write(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                ty, tx = int(r["tile_y"]), int(r["tile_x"])
+                px = np.asarray(r["px"], np.float64)
+                n = int(np.sqrt(len(px)))
+                arr = np.clip(np.rint(px), 0, 65535).astype(np.uint16)
+                blob = PNG.encode(arr.reshape(n, n))
+                d = os.path.join(out_dir, str(zoom), str(tx))
+                os.makedirs(d, exist_ok=True)
+                path = os.path.join(d, f"{ty}.png")
+                with open(path, "wb") as f:
+                    f.write(blob)
+                rows.append((zoom, tx, ty, path, len(blob)))
+            yield pd.DataFrame(rows, columns=[f.name for f in _PNG_OUT])
+
+    return tiles.select("tile_y", "tile_x", "px").mapInPandas(write, _PNG_OUT)
+
+
+def read_tile_png(out_dir: str, zoom: int, tx: int, ty: int) -> np.ndarray:
+    with open(os.path.join(out_dir, str(zoom), str(tx), f"{ty}.png"),
+              "rb") as f:
+        return PNG.decode(f.read())
 
 
 def read_level(spark: SparkSession, out_dir: str, zoom: int) -> DataFrame:
