@@ -619,6 +619,65 @@ def footprint_components(spark, sf_dir):
             .orderBy("min_y", "min_x"))
 
 
+GN_ZOOM, GN_TILE = 1, 32
+GN_N = (1 << GN_ZOOM) * GN_TILE
+GN_RADIUS = 3.0e6  # meters
+
+
+def _grid_nearest_oracle() -> str:
+    spec = G.world_3857(GN_ZOOM, GN_TILE)
+    r2 = GN_RADIUS * GN_RADIUS
+    nx = f"({spec.gt[0]!r} + (x + 0.5) * {spec.gt[1]!r})"
+    ny = f"({spec.gt[3]!r} + (y + 0.5) * ({spec.gt[5]!r}))"
+    ppx = f"({pages.LON_SQL} * {mercator.LON2M!r})"
+    ppy = mercator.merc_y_sql(pages.LAT_SQL)
+    return f"""
+    WITH p AS (SELECT {ppx} AS px, {ppy} AS py,
+                      CAST(n_chars AS DOUBLE) AS v
+               FROM documents),
+    nodes AS (
+      SELECT x, y, {nx} AS nx, {ny} AS ny
+      FROM (SELECT range AS x FROM range({GN_N})),
+           (SELECT range AS y FROM range({GN_N}))),
+    cand AS (
+      SELECT n.x, n.y,
+             ((n.nx - p.px) * (n.nx - p.px)
+              + (n.ny - p.py) * (n.ny - p.py)) AS d2, p.v
+      FROM nodes n, p),
+    dm AS (SELECT x, y, min(d2) AS dmin FROM cand
+           WHERE d2 <= {r2!r} GROUP BY x, y),
+    val AS (SELECT c.x, c.y, min(c.v) AS v
+            FROM cand c JOIN dm ON c.x = dm.x AND c.y = dm.y
+                              AND c.d2 = dm.dmin
+            GROUP BY c.x, c.y),
+    px AS (SELECT n.x AS gx, n.y AS gy, coalesce(val.v, 0.0) AS v
+           FROM nodes n LEFT JOIN val ON val.x = n.x AND val.y = n.y)
+    {_tile_checksum_sql(GN_N, GN_TILE)}
+    """
+
+
+@register("raster_grid_nearest", oracle=_grid_nearest_oracle())
+def grid_nearest_q(spark, sf_dir):
+    """GDALGridNearestNeighbor (alg/gdalgrid.cpp): each z1 node takes
+    its nearest page point's n_chars within a 3000 km radius (mercator
+    meters); distance ties break to the smallest value. Pure value
+    selection (no float accumulation), so the SQL oracle reproduces the
+    grid bit-for-bit; runs on the scatter (per-point tile fan-out)
+    physical path."""
+    from .raster import gridding as GR
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pts = d.select(
+        F.col("n_chars").cast("double").alias("v"),
+        mercator.merc_x_col(pages.lon_col(F.col("doc_id"))).alias("x"),
+        mercator.merc_y_col(pages.lat_col(F.col("doc_id"))).alias("y"))
+    spec = G.world_3857(GN_ZOOM, GN_TILE)
+    out = GR.grid_nearest(pts, spec, radius=GN_RADIUS)
+    return (R.tiles_checksum(out, spec)
+            .filter(F.col("n_nonzero") > 0)
+            .orderBy("tile_y", "tile_x"))
+
+
 @register("raster_grid_idw")  # rows-only: see tests/test_fill_grid.py
 def grid_idw_q(spark, sf_dir):
     """Grid interpolation (alg/gdalgrid.cpp IDW): scattered page points
@@ -673,24 +732,96 @@ def band_statistics(spark, sf_dir):
     )
 
 
-@register("raster_contour_segments")  # rows-only: see tests/test_contour.py
+def _contour_oracle() -> str:
+    """Marching squares IN SQL: the crossing-point SET per square is
+    determined by the corner >= level bits alone (saddle pairing only
+    changes which points pair into segments, never the points), so the
+    endpoint multiset, segment count, and extrema are all relational.
+    Interpolation mirrors contour._interp's float ops exactly."""
+    return f"""
+    WITH {_px_cte(FZOOM, FTILE)},
+    sq AS (
+      SELECT DISTINCT gx + dx AS sx, gy + dy AS sy
+      FROM px, (VALUES (0, 0), (-1, 0), (0, -1), (-1, -1)) AS d(dx, dy)
+      WHERE gx + dx BETWEEN 0 AND {NF - 2}
+        AND gy + dy BETWEEN 0 AND {NF - 2}
+    ),
+    c AS (
+      SELECT s.sx, s.sy,
+             coalesce(p00.v, 0.0) AS c00, coalesce(p10.v, 0.0) AS c10,
+             coalesce(p01.v, 0.0) AS c01, coalesce(p11.v, 0.0) AS c11
+      FROM sq s
+      LEFT JOIN px p00 ON p00.gx = s.sx     AND p00.gy = s.sy
+      LEFT JOIN px p10 ON p10.gx = s.sx + 1 AND p10.gy = s.sy
+      LEFT JOIN px p01 ON p01.gx = s.sx     AND p01.gy = s.sy + 1
+      LEFT JOIN px p11 ON p11.gx = s.sx + 1 AND p11.gy = s.sy + 1
+    ),
+    b AS (SELECT *, (c00 >= 0.5) AS g00, (c10 >= 0.5) AS g10,
+                 (c01 >= 0.5) AS g01, (c11 >= 0.5) AS g11 FROM c),
+    act AS (SELECT * FROM b
+            WHERE NOT (g00 = g10 AND g10 = g01 AND g01 = g11)),
+    mpts AS (
+      SELECT sx, sy,
+        CASE WHEN g00 <> g10 THEN (CAST(sx AS DOUBLE) + 0.5)
+             + (0.5 - c00) / (c10 - c00) END AS topx,
+        CASE WHEN g01 <> g11 THEN (CAST(sx AS DOUBLE) + 0.5)
+             + (0.5 - c01) / (c11 - c01) END AS botx,
+        CASE WHEN g00 <> g01 THEN (CAST(sy AS DOUBLE) + 0.5)
+             + (0.5 - c00) / (c01 - c00) END AS lefty,
+        CASE WHEN g10 <> g11 THEN (CAST(sy AS DOUBLE) + 0.5)
+             + (0.5 - c10) / (c11 - c10) END AS righty,
+        CASE WHEN (g00 AND g11 AND NOT g10 AND NOT g01)
+               OR (g10 AND g01 AND NOT g00 AND NOT g11)
+             THEN 2 ELSE 1 END AS nseg
+      FROM act),
+    ep AS (
+      SELECT topx AS x, CAST(sy AS DOUBLE) + 0.5 AS y FROM mpts
+      WHERE topx IS NOT NULL
+      UNION ALL SELECT botx, CAST(sy AS DOUBLE) + 1.5 FROM mpts
+      WHERE botx IS NOT NULL
+      UNION ALL SELECT CAST(sx AS DOUBLE) + 0.5, lefty FROM mpts
+      WHERE lefty IS NOT NULL
+      UNION ALL SELECT CAST(sx AS DOUBLE) + 1.5, righty FROM mpts
+      WHERE righty IS NOT NULL)
+    SELECT 0.5 AS level,
+           (SELECT CAST(sum(nseg) AS BIGINT) FROM mpts) AS n_segments,
+           min(x) AS min_x, max(x) AS max_x,
+           min(y) AS min_y, max(y) AS max_y,
+           {dsum_sql('x')} AS sum_x, {dsum_sql('y')} AS sum_y
+    FROM ep
+    """
+
+
+@register("raster_contour_segments", oracle=_contour_oracle())
 def contour_segments_q(spark, sf_dir):
     """Contour (alg/contour.cpp marching squares): iso-line segments of
     the z3 density raster at level 0.5 (the occupied-region outline),
     emitted in global pixel coordinates via the halo-exchange square
-    ownership rule. Exactness gate: tests/test_contour.py (distributed
-    segment set == single-node, saddle + on-level rules)."""
+    ownership rule. The oracle re-derives the marching-squares crossing
+    points relationally (the endpoint SET is saddle-pairing-independent)
+    with identical float interpolation; tests/test_contour.py
+    additionally pins the full segment pairing distributed ==
+    single-node."""
+    from .queries import dsum
     from .raster import contour as CN
 
     pts = pages.page_points(spark, sf_dir)
     spec = G.world_3857(FZOOM, FTILE)
     tiles = D.density_tiles(pts, FZOOM, FTILE)
-    segs = CN.contour(tiles, spec, levels=[0.5])
-    return (segs.groupBy("level")
-            .agg(F.count(F.lit(1)).alias("n_segments"),
-                 F.min("x1").alias("min_x"), F.max("x2").alias("max_x"),
-                 F.min(F.least("y1", "y2")).alias("min_y"),
-                 F.max(F.greatest("y1", "y2")).alias("max_y"))
+    segs = CN.contour(tiles, spec, levels=[0.5]).persist()
+    eps = (segs.select("level", F.col("x1").alias("x"), F.col("y1").alias("y"))
+           .unionByName(
+               segs.select("level", F.col("x2").alias("x"),
+                           F.col("y2").alias("y"))))
+    n = segs.groupBy("level").agg(F.count(F.lit(1)).alias("n_segments"))
+    agg = (eps.groupBy("level")
+           .agg(F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+                F.min("y").alias("min_y"), F.max("y").alias("max_y"),
+                dsum(F.col("x")).alias("sum_x"),
+                dsum(F.col("y")).alias("sum_y")))
+    return (n.join(agg, "level")
+            .select("level", "n_segments", "min_x", "max_x",
+                    "min_y", "max_y", "sum_x", "sum_y")
             .orderBy("level"))
 
 
@@ -698,10 +829,18 @@ def contour_segments_q(spark, sf_dir):
 def sieve_checksum(spark, sf_dir):
     """Sieve filter (alg/gdalsievefilter.cpp:178): sub-threshold
     components of the z3 density raster merge into their largest
-    neighbour; per-tile checksums of the sieved band. No SQL oracle —
-    the smallest-first merge cascade is not relationally expressible;
-    the exactness gate is tests/test_sieve.py's distributed ==
-    single-node equality."""
+    neighbour; per-tile checksums of the sieved band.
+
+    Why no SQL oracle (the documented proof): the smallest-first
+    cascade is an ITERATED priority process — each merge mutates the
+    component sizes that later merge decisions compare (sizes[target]
+    += sizes[lab] inside the loop), and equal-size candidates pop in
+    label order. A relational (recursive-CTE) formulation would need
+    an ordered fold over a mutating aggregate, which SQL recursion
+    (monotone set semantics) cannot express; GDAL itself runs this as
+    a sequential loop (gdalsievefilter.cpp:381-478). The exactness
+    gate is tests/test_sieve.py's distributed == single-node equality
+    (both merge strategies), which pins every rule the cascade uses."""
     from .raster import sieve as SV
 
     pts = pages.page_points(spark, sf_dir)

@@ -112,6 +112,11 @@ def _kernel_np(win: np.ndarray, op: str, ewres: float, nsres: float,
         return stack.max(axis=0) - stack.min(axis=0)
     if op == "mean3x3":
         return (a + b + c + d + e + f + g + h + i) / 9.0
+    if op == "gauss3x3":
+        # the normalized 3x3 gaussian of GDAL's GAUSS overview kernel
+        # (gcore/overview.cpp:1996: 1-2-1 / 2-4-2 / 1-2-1, /16)
+        return (a + 2.0 * b + c + 2.0 * d + 4.0 * e + 2.0 * f
+                + g + 2.0 * h + i) / 16.0
     if op == "sum3x3":
         return a + b + c + d + e + f + g + h + i
     if op == "fillnodata_step":

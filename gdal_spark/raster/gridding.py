@@ -169,6 +169,126 @@ def _grid_idw_broadcast(points, spec, value_col, x_col, y_col,
     return kdf.groupBy("tile_y", "tile_x").applyInPandas(run, G.TILE_SCHEMA)
 
 
+def nearest_np(nodes_x: np.ndarray, nodes_y: np.ndarray,
+               pts_x: np.ndarray, pts_y: np.ndarray, pts_v: np.ndarray,
+               radius: float, nodata: float = 0.0) -> np.ndarray:
+    """GDALGridNearestNeighbor (alg/gdalgrid.cpp): each node takes the
+    value of its nearest point within `radius`; ties on distance break
+    to the SMALLEST value (deterministic, relationally expressible).
+    Pure value selection — no float accumulation — so a SQL oracle
+    reproduces it bit-for-bit."""
+    out = np.full(nodes_x.shape, nodata, dtype=np.float64)
+    if len(pts_x) == 0:
+        return out
+    r2 = radius * radius
+    step = max(1, int(4_000_000 // max(len(pts_x), 1)))
+    for i in range(0, len(nodes_x), step):
+        dx = nodes_x[i:i + step, None] - pts_x[None, :]
+        dy = nodes_y[i:i + step, None] - pts_y[None, :]
+        d2 = dx * dx + dy * dy
+        d2w = np.where(d2 <= r2, d2, np.inf)
+        dmin = d2w.min(axis=1)
+        has = np.isfinite(dmin)
+        vm = np.where(d2w == dmin[:, None], pts_v[None, :], np.inf).min(axis=1)
+        chunk = out[i:i + step]
+        chunk[has] = vm[has]
+        out[i:i + step] = chunk
+    return out
+
+
+def grid_nearest(points: DataFrame, spec: G.GridSpec,
+                 value_col: str = "v", x_col: str = "x", y_col: str = "y",
+                 radius: float = np.inf, nodata: float = 0.0,
+                 force_broadcast: bool = False) -> DataFrame:
+    """Nearest-neighbour gridding over the same scatter/broadcast
+    physical strategies as grid_idw."""
+    kern = lambda wx, wy, px, py, pv: nearest_np(  # noqa: E731
+        wx, wy, px, py, pv, radius, nodata)
+    if force_broadcast or np.isinf(radius):
+        return _grid_broadcast(points, spec, value_col, x_col, y_col,
+                               radius, nodata, kern)
+    return _grid_scatter(points, spec, value_col, x_col, y_col,
+                         radius, nodata, kern)
+
+
+def _grid_broadcast(points, spec, value_col, x_col, y_col,
+                    radius, nodata, kernel) -> DataFrame:
+    rows = points.select(x_col, y_col, value_col).collect()
+    if len(rows) > MAX_BROADCAST_POINTS:
+        raise ValueError("point set exceeds broadcast budget; pass a "
+                         "finite radius to take the scatter path")
+    px = np.array([r[x_col] for r in rows], np.float64)
+    py = np.array([r[y_col] for r in rows], np.float64)
+    pv = np.array([r[value_col] for r in rows], np.float64)
+    px, py, pv = sort_points(px, py, pv)
+    b = points.sparkSession.sparkContext.broadcast((px, py, pv))
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bx, by, bv = b.value
+        ty, tx = int(key[0]), int(key[1])
+        wx, wy = _tile_nodes(spec, ty, tx)
+        out = kernel(wx, wy, bx, by, bv)
+        return pd.DataFrame({"tile_y": [ty], "tile_x": [tx],
+                             "px": [out.tolist()]})
+
+    kdf = _key_grid(points.sparkSession, spec)
+    return kdf.groupBy("tile_y", "tile_x").applyInPandas(run, G.TILE_SCHEMA)
+
+
+def _grid_scatter(points, spec, value_col, x_col, y_col,
+                  radius, nodata, kernel) -> DataFrame:
+    """Generic scatter-gather gridding (see _grid_idw_scatter for the
+    plan shape; `kernel` computes the per-tile node values)."""
+    spark = points.sparkSession
+    t = spec.tile
+    gt = spec.gt
+    if gt[2] != 0.0 or gt[4] != 0.0:
+        raise NotImplementedError("rotated geotransforms out of scope v1")
+    ppx = (F.col(x_col) - F.lit(gt[0])) / F.lit(gt[1])
+    ppy = (F.col(y_col) - F.lit(gt[3])) / F.lit(gt[5])
+    rx = abs(radius / gt[1])
+    ry = abs(radius / gt[5])
+
+    def tile_span(p, r, n_tiles):
+        jlo = F.ceil(p - F.lit(0.5 + r)).cast("long")
+        jhi = F.floor(p - F.lit(0.5) + F.lit(r)).cast("long")
+        tlo = F.greatest(F.floor(jlo / t).cast("int"), F.lit(0))
+        thi = F.least(F.floor(jhi / t).cast("int"), F.lit(n_tiles - 1))
+        return tlo, thi
+
+    txlo, txhi = tile_span(ppx, rx, spec.tiles_x)
+    tylo, tyhi = tile_span(ppy, ry, spec.tiles_y)
+    scattered = (points.select(
+        F.col(x_col).alias("x"), F.col(y_col).alias("y"),
+        F.col(value_col).alias("v"),
+        txlo.alias("txlo"), txhi.alias("txhi"),
+        tylo.alias("tylo"), tyhi.alias("tyhi"))
+        .filter((F.col("txlo") <= F.col("txhi"))
+                & (F.col("tylo") <= F.col("tyhi")))
+        .withColumn("tile_y", F.explode(F.sequence("tylo", "tyhi")))
+        .withColumn("tile_x", F.explode(F.sequence("txlo", "txhi")))
+        .select("tile_y", "tile_x", "x", "y", "v"))
+    empties = (_key_grid(spark, spec)
+               .withColumn("x", F.lit(None).cast("double"))
+               .withColumn("y", F.lit(None).cast("double"))
+               .withColumn("v", F.lit(None).cast("double")))
+    allrows = scattered.unionByName(empties)
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ty, tx = int(key[0]), int(key[1])
+        cand = pdf.dropna(subset=["x"])
+        px = cand["x"].to_numpy(np.float64)
+        py = cand["y"].to_numpy(np.float64)
+        pv = cand["v"].to_numpy(np.float64)
+        px, py, pv = sort_points(px, py, pv)
+        wx, wy = _tile_nodes(spec, ty, tx)
+        out = kernel(wx, wy, px, py, pv)
+        return pd.DataFrame({"tile_y": [ty], "tile_x": [tx],
+                             "px": [out.tolist()]})
+
+    return allrows.groupBy("tile_y", "tile_x").applyInPandas(run, G.TILE_SCHEMA)
+
+
 def _grid_idw_scatter(points, spec, value_col, x_col, y_col,
                       power, radius, nodata) -> DataFrame:
     """Explode each point to its influenced tile keys (column math),

@@ -57,7 +57,26 @@ def downsample_2x2_np(block: np.ndarray, kernel: str = "average",
 
 def overview_level(tiles: DataFrame, zoom: int, kernel: str = "average",
                    tile: int = 256, nodata: float | None = None) -> DataFrame:
-    """One pyramid step: tiles at `zoom` -> tiles at `zoom - 1`."""
+    """One pyramid step: tiles at `zoom` -> tiles at `zoom - 1`.
+
+    Kernels: near/average/sum/rms/mode reduce each 2x2 block directly;
+    'gauss' (gcore/overview.cpp:1996) composes the existing focal halo
+    pass (3x3 gaussian smooth) with even-index decimation — GDAL's
+    gauss overview IS convolve-then-sample; 'cubic' (overview.cpp:3393)
+    delegates to the warp operator's 4x4 cubic convolution between the
+    two zoom grids (dst centers map to src t=0.5, the uniform cubic
+    decimation stencil). Both reuse already-exact machinery; edge
+    pixels whose support leaves the raster emit 0 (density rasters are
+    zero there; GDAL renormalizes instead — documented difference)."""
+    if kernel == "gauss":
+        from .focal import focal
+        spec = G.world_3857(zoom, tile)
+        smoothed = focal(tiles, spec, "gauss3x3")
+        return overview_level(smoothed, zoom, "near", tile, nodata)
+    if kernel == "cubic":
+        from . import warp as W
+        return W.warp(tiles, G.world_3857(zoom, tile),
+                      G.world_3857(zoom - 1, tile), kernel="cubic")
     parented = tiles.select(
         (F.col("tile_y") / 2).cast("int").alias("p_ty"),
         (F.col("tile_x") / 2).cast("int").alias("p_tx"),

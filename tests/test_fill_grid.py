@@ -81,6 +81,28 @@ def test_grid_idw_scatter_matches_broadcast_bitexact(spark):
     np.testing.assert_allclose(scatter, want, rtol=1e-12)
 
 
+def test_grid_nearest_matches_oracle_and_ties(spark):
+    spec = G.GridSpec(16, 16, (0.0, 1.0, 0.0, 16.0, 0.0, -1.0), tile=8)
+    # two points equidistant from node center (8.5, 7.5): tie -> min v
+    pts = [(6.5, 7.5, 9.0), (10.5, 7.5, 4.0), (2.0, 14.0, 7.0)]
+    pdf = spark.createDataFrame(pts, "x double, y double, v double")
+    got = tiles_to_canvas(
+        GR.grid_nearest(pdf, spec, radius=5.0, nodata=-1.0), spec)
+    gx, gy = np.meshgrid(np.arange(16, dtype=float), np.arange(16, dtype=float))
+    wx, wy = spec.pixel_center_world(gx.ravel(), gy.ravel())
+    sx, sy, sv = GR.sort_points(np.array([p[0] for p in pts]),
+                                np.array([p[1] for p in pts]),
+                                np.array([p[2] for p in pts]))
+    want = GR.nearest_np(wx, wy, sx, sy, sv, radius=5.0,
+                         nodata=-1.0).reshape(16, 16)
+    np.testing.assert_array_equal(got, want)
+    assert got[8, 8] == 4.0  # the tie at (8.5, 7.5) breaks to min v
+    bcast = tiles_to_canvas(
+        GR.grid_nearest(pdf, spec, radius=5.0, nodata=-1.0,
+                        force_broadcast=True), spec)
+    np.testing.assert_array_equal(got, bcast)
+
+
 def test_grid_idw_scatter_all_nodata_region(spark):
     """Tiles no point can reach still emit (full-surface contract)."""
     spec = G.GridSpec(32, 32, (0.0, 1.0, 0.0, 32.0, 0.0, -1.0), tile=8)
