@@ -111,8 +111,10 @@ def main():
     for qname in ["tpch_q1_pricing_summary", "tpch_q3_shipping",
                   "tpch_q5_local_supplier", "geo_pip_join_broadcast",
                   "geo_pip_join_shuffle", "geo_knn_ring",
-                  "dedup_minhash_pairs", "text_stats_by_lang",
-                  "raster_density_checksum_z5", "raster_warp_checksum"]:
+                  "dedup_minhash_pairs", "dedup_clusters",
+                  "text_stats_by_lang",
+                  "raster_density_checksum_z5", "raster_warp_checksum",
+                  "raster_warp_cubic_checksum", "geo_overlay_intersection"]:
         fn = Q.QUERIES[qname]
         timed(qname, lambda f=fn: f(spark, SF_DIR).count())
 

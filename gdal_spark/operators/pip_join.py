@@ -211,6 +211,77 @@ def pip_join_codegen(points: DataFrame, convex_polys, lon_col: str,
     return points.withColumn("poly_id", F.explode_outer(hits))
 
 
+def _hof_polys_literal(poly_rows) -> F.Column:
+    """Polygon set -> ONE literal array<struct<pid, bbox, edges>> for
+    the higher-order-function PIP path."""
+    items = []
+    for pid, blob in poly_rows:
+        polys_rings, (minx, miny, maxx, maxy) = _prepare_one(blob)
+        edges = []
+        for rings in polys_rings:
+            for ring in rings:
+                r = ring
+                if (r[0] != r[-1]).any():
+                    r = np.vstack([r, r[:1]])
+                for i in range(len(r) - 1):
+                    edges.append(F.struct(
+                        F.lit(float(r[i, 0])).alias("x1"),
+                        F.lit(float(r[i, 1])).alias("y1"),
+                        F.lit(float(r[i + 1, 0])).alias("x2"),
+                        F.lit(float(r[i + 1, 1])).alias("y2")))
+        items.append(F.struct(
+            F.lit(int(pid)).alias("pid"),
+            F.lit(float(minx)).alias("minx"), F.lit(float(miny)).alias("miny"),
+            F.lit(float(maxx)).alias("maxx"), F.lit(float(maxy)).alias("maxy"),
+            F.array(*edges).alias("edges")))
+    return F.array(*items)
+
+
+def pip_join_jvm(points: DataFrame, polys: DataFrame,
+                 lon_col: str = "lon", lat_col: str = "lat",
+                 how: str = "inner") -> DataFrame:
+    """Whole-JVM PIP join via higher-order functions — the branch-free
+    alternative to both the Arrow path and the convex-only when-chain
+    codegen: the polygon set compiles to ONE literal array and each row
+    evaluates
+
+        filter(polys, p -> bbox_hit(p) AND
+               odd(aggregate(p.edges, crossings(lon, lat))))
+
+    entirely inside the JVM (no Python exchange, no expression-tree
+    blowup with polygon count, general even-odd semantics including
+    holes and multipolygons — every ring's edges count crossings
+    together). Crossing math mirrors geom.points_in_ring exactly, so
+    results match the Arrow path bit-for-bit. Intended for dim-sized
+    polygon sets like the broadcast path; see BASELINE.md for the A/B
+    measurement against the Arrow path on this host."""
+    poly_rows = [(int(r["poly_id"]), bytes(r["geom"]))
+                 for r in polys.select("poly_id", "geom").collect()]
+    arr = _hof_polys_literal(poly_rows)
+    lon, lat = F.col(lon_col), F.col(lat_col)
+
+    def inside(p):
+        cross = F.aggregate(
+            p["edges"], F.lit(0),
+            lambda acc, e: acc + F.when(
+                ((e["y1"] > lat) != (e["y2"] > lat))
+                & (lon < e["x1"] + (lat - e["y1"]) / (e["y2"] - e["y1"])
+                   * (e["x2"] - e["x1"])),
+                F.lit(1)).otherwise(F.lit(0)))
+        bbox = ((lon >= p["minx"]) & (lon <= p["maxx"])
+                & (lat >= p["miny"]) & (lat <= p["maxy"]))
+        return bbox & (F.pmod(cross, F.lit(2)) == 1)
+
+    hits = F.transform(F.filter(arr, inside), lambda p: p["pid"])
+    if how == "semi":
+        return points.filter(F.size(hits) > 0)
+    if how == "anti":
+        return points.filter(F.size(hits) == 0)
+    if how == "inner":
+        return points.withColumn("poly_id", F.explode(hits))
+    return points.withColumn("poly_id", F.explode_outer(hits))
+
+
 def pip_join_broadcast(
     points: DataFrame,
     polys: DataFrame,

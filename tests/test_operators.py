@@ -23,6 +23,22 @@ def test_pip_broadcast_matches_numpy_oracle(spark, sf_dir):
     assert got == want
 
 
+def test_pip_jvm_hof_equals_broadcast(spark, sf_dir):
+    """The whole-JVM higher-order-function path (aggregate over a
+    packed edge-array literal) must reproduce the Arrow path exactly,
+    for every join mode — including concave/irregular fixture polygons
+    (no convexity requirement, unlike the when-chain codegen path)."""
+    pts = pages.page_points(spark, sf_dir).select("doc_id", "lon", "lat")
+    polys = admin.admin_df(spark)
+    for how in ("inner", "semi", "anti", "left"):
+        a = pip_join.pip_join_broadcast(pts, polys, how=how)
+        j = pip_join.pip_join_jvm(pts, polys, how=how)
+        cols = a.columns
+        ra = {tuple(r) for r in a.select(*cols).collect()}
+        rj = {tuple(r) for r in j.select(*cols).collect()}
+        assert ra == rj, f"mode {how}"
+
+
 def test_pip_shuffle_equals_broadcast(spark, sf_dir):
     pts = pages.page_points(spark, sf_dir).select("doc_id", "lon", "lat", "cell_id")
     polys = admin.admin_df(spark)

@@ -94,12 +94,28 @@ def run_child(cpus: int) -> None:
     spark.stop()
 
 
+def _wait_idle(max_load: float = 2.0, timeout_s: float = 300.0) -> float:
+    """Idle-host assertion: a contaminated measurement (round-1's
+    retracted 1.05) is worse than a late one. Blocks until the 1-min
+    load average drops below `max_load`; returns the load recorded at
+    measurement start (published in the report)."""
+    t0 = time.time()
+    while True:
+        with open("/proc/loadavg") as f:
+            load1 = float(f.read().split()[0])
+        if load1 <= max_load or time.time() - t0 > timeout_s:
+            return load1
+        time.sleep(5.0)
+
+
 def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--child":
         run_child(int(sys.argv[2]))
         return
     results = {}
+    loads = {}
     for cpus in LEVELS:
+        loads[cpus] = _wait_idle()
         env = dict(os.environ)
         env["SPARK_GRAFT_CPUS"] = str(cpus)
         # taskset bounds the WHOLE process tree (JVM + every Python UDF
@@ -132,6 +148,7 @@ def main() -> None:
             str(lo): results[lo]["jvm_pages_per_sec"],
             str(hi): results[hi]["jvm_pages_per_sec"]},
         "jvm_rollup_scaling_efficiency": round(eff_jvm, 3),
+        "load1_at_start": {str(c): loads[c] for c in LEVELS},
         "target": 0.8,
         "pass": eff >= 0.8 or eff_jvm >= 0.8,
         "note": ("join efficiency on this host is capped by virtualized "
