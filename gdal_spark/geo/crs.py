@@ -1,0 +1,145 @@
+"""CRS registry + from-scratch projection math (no PROJ in this
+environment).
+
+Reference contract: OGRCoordinateTransformation (ogr/ogrct.cpp:2263)
+transforms between arbitrary CRS pairs via PROJ. Our v2 surface covers
+the pairs the engine's operators use, routed through a lon/lat hub:
+
+  EPSG:4326          identity hub
+  EPSG:3857          spherical web-mercator (geo/mercator.py — the
+                     gdal2tiles formulas, bit-stable across numpy/
+                     Column/SQL forms)
+  EPSG:326xx/327xx   WGS84 UTM north/south zones — ellipsoidal
+                     transverse Mercator by the Krüger/Karney series
+                     (C.F.F. Karney, "Transverse Mercator with an
+                     accuracy of a few nanometers", J. Geodesy 85,
+                     2011; series to n^4, sub-mm for |λ−λ0| ≤ 3°),
+                     implemented from the published formulas.
+
+All functions are vectorized numpy (float64), used inside Arrow-batched
+tile tasks; adding a CRS is registering two functions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import mercator
+
+# WGS84
+_A = 6378137.0
+_F = 1.0 / 298.257223563
+_E = np.sqrt(_F * (2.0 - _F))
+_N = _F / (2.0 - _F)
+_K0 = 0.9996
+_E0 = 500000.0
+_N0_SOUTH = 10000000.0
+
+# Krüger/Karney alpha (forward) and beta (inverse) series, terms to n^4
+_n = _N
+_ALPHA = (
+    _n / 2.0 - 2.0 * _n**2 / 3.0 + 5.0 * _n**3 / 16.0 + 41.0 * _n**4 / 180.0,
+    13.0 * _n**2 / 48.0 - 3.0 * _n**3 / 5.0 + 557.0 * _n**4 / 1440.0,
+    61.0 * _n**3 / 240.0 - 103.0 * _n**4 / 140.0,
+    49561.0 * _n**4 / 161280.0,
+)
+_BETA = (
+    _n / 2.0 - 2.0 * _n**2 / 3.0 + 37.0 * _n**3 / 96.0 - _n**4 / 360.0,
+    _n**2 / 48.0 + _n**3 / 15.0 - 437.0 * _n**4 / 1440.0,
+    17.0 * _n**3 / 480.0 - 37.0 * _n**4 / 840.0,
+    4397.0 * _n**4 / 161280.0,
+)
+_ABAR = _A / (1.0 + _n) * (1.0 + _n**2 / 4.0 + _n**4 / 64.0)
+
+
+def utm_zone_lon0(zone: int) -> float:
+    return -183.0 + 6.0 * zone
+
+
+def lonlat_to_utm_np(lon: np.ndarray, lat: np.ndarray, zone: int,
+                     south: bool = False):
+    """WGS84 lon/lat (deg) -> UTM easting/northing (m)."""
+    lam = np.radians(np.asarray(lon, np.float64) - utm_zone_lon0(zone))
+    phi = np.radians(np.asarray(lat, np.float64))
+    s = np.sin(phi)
+    t = np.sinh(np.arctanh(s) - _E * np.arctanh(_E * s))
+    xi_p = np.arctan2(t, np.cos(lam))
+    eta_p = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
+    xi = xi_p.copy()
+    eta = eta_p.copy()
+    for j, a in enumerate(_ALPHA, start=1):
+        xi += a * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+        eta += a * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+    E = _E0 + _K0 * _ABAR * eta
+    Nn = _K0 * _ABAR * xi + (_N0_SOUTH if south else 0.0)
+    return E, Nn
+
+
+def utm_to_lonlat_np(E: np.ndarray, Nn: np.ndarray, zone: int,
+                     south: bool = False):
+    """UTM easting/northing (m) -> WGS84 lon/lat (deg)."""
+    xi = (np.asarray(Nn, np.float64)
+          - (_N0_SOUTH if south else 0.0)) / (_K0 * _ABAR)
+    eta = (np.asarray(E, np.float64) - _E0) / (_K0 * _ABAR)
+    xi_p = xi.copy()
+    eta_p = eta.copy()
+    for j, b in enumerate(_BETA, start=1):
+        xi_p -= b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        eta_p -= b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    tau_p = np.sin(xi_p) / np.sqrt(np.sinh(eta_p) ** 2 + np.cos(xi_p) ** 2)
+    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    # invert tau' = tau * sqrt(1+sigma^2) - sigma * sqrt(1+tau^2) by
+    # Newton iteration (Karney 2011, eq. 19-21)
+    tau = tau_p / np.sqrt(1.0 - _E * _E)  # first guess
+    for _ in range(6):
+        sig = np.sinh(_E * np.arctanh(_E * tau / np.sqrt(1.0 + tau * tau)))
+        taup_of = (tau * np.sqrt(1.0 + sig * sig)
+                   - sig * np.sqrt(1.0 + tau * tau))
+        dtau = ((tau_p - taup_of) * (1.0 + (1.0 - _E * _E) * tau * tau)
+                / ((1.0 - _E * _E)
+                   * np.sqrt((1.0 + taup_of ** 2) * (1.0 + tau * tau))))
+        tau = tau + dtau
+    phi = np.arctan(tau)
+    return (np.degrees(lam) + utm_zone_lon0(zone), np.degrees(phi))
+
+
+def _parse(crs: str):
+    c = crs.upper().replace("EPSG:", "")
+    return c
+
+
+def to_lonlat_np(crs: str, x: np.ndarray, y: np.ndarray):
+    c = _parse(crs)
+    if c == "4326":
+        return np.asarray(x, np.float64), np.asarray(y, np.float64)
+    if c == "3857":
+        return mercator.meters_to_lonlat_np(x, y)
+    if c.startswith("326") and len(c) == 5:
+        return utm_to_lonlat_np(x, y, int(c[3:]), south=False)
+    if c.startswith("327") and len(c) == 5:
+        return utm_to_lonlat_np(x, y, int(c[3:]), south=True)
+    raise NotImplementedError(f"CRS {crs} not registered (geo/crs.py)")
+
+
+def from_lonlat_np(crs: str, lon: np.ndarray, lat: np.ndarray):
+    c = _parse(crs)
+    if c == "4326":
+        return np.asarray(lon, np.float64), np.asarray(lat, np.float64)
+    if c == "3857":
+        return mercator.lonlat_to_meters_np(
+            lon, np.clip(lat, -mercator.MERCATOR_MAX_LAT,
+                         mercator.MERCATOR_MAX_LAT))
+    if c.startswith("326") and len(c) == 5:
+        return lonlat_to_utm_np(lon, lat, int(c[3:]), south=False)
+    if c.startswith("327") and len(c) == 5:
+        return lonlat_to_utm_np(lon, lat, int(c[3:]), south=True)
+    raise NotImplementedError(f"CRS {crs} not registered (geo/crs.py)")
+
+
+def transform_np(src_crs: str, dst_crs: str, x: np.ndarray, y: np.ndarray):
+    """src -> dst through the lon/lat hub (OGRCreateCoordinate-
+    Transformation analog for the registered CRS set)."""
+    if _parse(src_crs) == _parse(dst_crs):
+        return np.asarray(x, np.float64), np.asarray(y, np.float64)
+    lon, lat = to_lonlat_np(src_crs, x, y)
+    return from_lonlat_np(dst_crs, lon, lat)

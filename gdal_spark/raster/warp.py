@@ -65,14 +65,10 @@ def suggested_warp_output(src: G.GridSpec, dst_crs: str,
     """Choose the destination grid the way GDALSuggestedWarpOutput2
     does: transform the edge-walk ring, take the bbox, keep the source
     diagonal pixel count."""
+    from ..geo import crs as _crs
+
     xs, ys = edge_walk_points(src, samples_per_edge)
-    if src.crs == "EPSG:3857" and dst_crs == "EPSG:4326":
-        tx, ty = mercator.meters_to_lonlat_np(xs, ys)
-    elif src.crs == "EPSG:4326" and dst_crs == "EPSG:3857":
-        tx, ty = mercator.lonlat_to_meters_np(
-            xs, np.clip(ys, -mercator.MERCATOR_MAX_LAT, mercator.MERCATOR_MAX_LAT))
-    else:
-        raise NotImplementedError(f"{src.crs} -> {dst_crs}")
+    tx, ty = _crs.transform_np(src.crs, dst_crs, xs, ys)
     minx, maxx = float(tx.min()), float(tx.max())
     miny, maxy = float(ty.min()), float(ty.max())
     diag_px = float(np.hypot(src.width, src.height))
@@ -87,17 +83,14 @@ def suggested_warp_output(src: G.GridSpec, dst_crs: str,
 def _dst_pos_in_src_px(dst: G.GridSpec, src: G.GridSpec,
                        gx: np.ndarray, gy: np.ndarray):
     """Global dest pixel POSITIONS (fractional allowed; position p has
-    center-world at p + 0.5) -> fractional source pixel coords."""
+    center-world at p + 0.5) -> fractional source pixel coords. Any
+    CRS pair the geo/crs.py registry knows (4326, 3857, UTM zones) —
+    the 4326<->3857 fast pair routes through the identical mercator
+    functions as round 1, so oracle float math is unchanged."""
+    from ..geo import crs as _crs
+
     wx, wy = dst.pixel_center_world(gx, gy)
-    if dst.crs == src.crs:
-        sx, sy = wx, wy
-    elif dst.crs == "EPSG:4326" and src.crs == "EPSG:3857":
-        sx, sy = mercator.lonlat_to_meters_np(
-            wx, np.clip(wy, -mercator.MERCATOR_MAX_LAT, mercator.MERCATOR_MAX_LAT))
-    elif dst.crs == "EPSG:3857" and src.crs == "EPSG:4326":
-        sx, sy = mercator.meters_to_lonlat_np(wx, wy)
-    else:
-        raise NotImplementedError(f"{dst.crs} -> {src.crs}")
+    sx, sy = _crs.transform_np(dst.crs, src.crs, wx, wy)
     return src.world_to_pixel(sx, sy)
 
 
@@ -144,17 +137,25 @@ def _dep_ranges(spark, src: G.GridSpec, dst: G.GridSpec,
             w = np.minimum(t, dst.width - tx * t)
             h = np.minimum(t, dst.height - ty * t)
             # tile edge positions in center-space: edge at pixel index
-            # k sits at position k - 0.5
-            gx_lo = tx * t - 0.5
-            gx_hi = tx * t + w - 0.5
-            gy_lo = ty * t - 0.5
-            gy_hi = ty * t + h - 0.5
-            ax, ay = _dst_pos_in_src_px(dst, src, gx_lo, gy_lo)
-            bx, by = _dst_pos_in_src_px(dst, src, gx_hi, gy_hi)
-            sxmin = np.minimum(ax, bx)
-            sxmax = np.maximum(ax, bx)
-            symin = np.minimum(ay, by)
-            symax = np.maximum(ay, by)
+            # k sits at position k - 0.5. Sample a 3x3 position grid
+            # (corners + edge midpoints + center): for non-separable
+            # projections (UTM) the per-axis extremes sit on the tile
+            # BOUNDARY, not necessarily at corners — 9-point sampling
+            # plus the margin is a safe superset for every registered
+            # CRS; for the separable 4326/3857 pairs it reduces to the
+            # corner extremes exactly
+            gx3 = [tx * t - 0.5, tx * t + w / 2.0 - 0.5, tx * t + w - 0.5]
+            gy3 = [ty * t - 0.5, ty * t + h / 2.0 - 0.5, ty * t + h - 0.5]
+            sxs, sys_ = [], []
+            for gxp in gx3:
+                for gyp in gy3:
+                    sx, sy = _dst_pos_in_src_px(dst, src, gxp, gyp)
+                    sxs.append(sx)
+                    sys_.append(sy)
+            sxmin = np.minimum.reduce(sxs)
+            sxmax = np.maximum.reduce(sxs)
+            symin = np.minimum.reduce(sys_)
+            symax = np.maximum.reduce(sys_)
             sx0 = np.clip(np.floor((np.floor(sxmin) - margin) / src.tile),
                           0, src.tiles_x - 1).astype(np.int32)
             sx1 = np.clip(np.floor((np.floor(sxmax) + margin) / src.tile),
