@@ -41,10 +41,15 @@ from ..geo import cells, mercator
 
 
 def _ring_offsets(spark, ring: int) -> DataFrame:
-    """(dx, dy) Chebyshev-disk offset table, generated JVM-side
-    (spark.range cross product) so a large ring never materializes a
-    driver-side list."""
+    """(dx, dy) Chebyshev-disk offset table. Small rings build from a
+    driver-local list (cheapest to broadcast, no extra stage); large
+    rings generate JVM-side (spark.range cross product) so the
+    full-coverage passes never materialize a huge driver list."""
     side = 2 * ring + 1
+    if side * side <= 66_000:
+        offs = [(dx, dy) for dx in range(-ring, ring + 1)
+                for dy in range(-ring, ring + 1)]
+        return spark.createDataFrame(offs, "dx int, dy int")
     dxs = spark.range(side).select((F.col("id") - ring).cast("int").alias("dx"))
     dys = spark.range(side).select((F.col("id") - ring).cast("int").alias("dy"))
     return dxs.crossJoin(dys)

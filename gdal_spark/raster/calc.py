@@ -55,6 +55,48 @@ def reclassify(tiles: DataFrame, bounds: list[float],
     return calc(tiles, remap)
 
 
+def color_relief(tiles: DataFrame,
+                 ramp: list[tuple[float, tuple[int, int, int]]],
+                 nearest: bool = False) -> DataFrame:
+    """gdaldem color-relief (apps/gdaldem_lib.cpp color-relief mode):
+    map pixel values to RGB through a color ramp — linear interpolation
+    between ramp stops (the default) or nearest-entry when
+    `nearest=True` (-nearest_color_entry). Values below/above the ramp
+    clamp to the first/last color. Output: (tile_y, tile_x, r, g, b)
+    byte-valued double arrays — pure JVM F.transform per channel, ready
+    for tilewriter.write_tiles_png_rgb."""
+    stops = sorted(ramp)
+
+    def channel(ch: int):
+        def fn(v: Column) -> Column:
+            if nearest:
+                # nearest stop by |v - stop|; ties to the lower stop
+                expr = F.lit(float(stops[0][1][ch]))
+                for i in range(1, len(stops)):
+                    mid = (stops[i - 1][0] + stops[i][0]) / 2.0
+                    expr = F.when(v > F.lit(float(mid)),
+                                  F.lit(float(stops[i][1][ch]))).otherwise(expr)
+                return expr
+            expr = F.lit(float(stops[-1][1][ch]))
+            for i in range(len(stops) - 1, 0, -1):
+                v0, c0 = float(stops[i - 1][0]), float(stops[i - 1][1][ch])
+                v1, c1 = float(stops[i][0]), float(stops[i][1][ch])
+                t = (v - F.lit(v0)) / F.lit(v1 - v0)
+                expr = F.when(v <= F.lit(v1),
+                              F.round(F.lit(c0) + t * F.lit(c1 - c0))
+                              ).otherwise(expr)
+            expr = F.when(v <= F.lit(float(stops[0][0])),
+                          F.lit(float(stops[0][1][ch]))).otherwise(expr)
+            return expr
+        return fn
+
+    return (tiles
+            .withColumn("r", F.transform(F.col("px"), channel(0)))
+            .withColumn("g", F.transform(F.col("px"), channel(1)))
+            .withColumn("b", F.transform(F.col("px"), channel(2)))
+            .drop("px"))
+
+
 def mosaic(sources: list[DataFrame], method: str = "sum") -> DataFrame:
     """Combine overlapping tile sets: per (tile, pixel) reduce with
     sum/max/min/mean/first (first = first source wins, by source

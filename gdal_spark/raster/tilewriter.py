@@ -97,6 +97,35 @@ def write_tiles_png(tiles: DataFrame, out_dir: str, zoom: int,
     return tiles.select("tile_y", "tile_x", "px").mapInPandas(write, _PNG_OUT)
 
 
+def write_tiles_png_rgb(tiles_rgb: DataFrame, out_dir: str, zoom: int,
+                        tile: int = 256) -> DataFrame:
+    """RGB tile rows (tile_y, tile_x, r, g, b byte-valued arrays — e.g.
+    calc.color_relief output) -> z/x/y.png 8-bit RGB files (the
+    gdal2tiles artifact for colored overlays)."""
+
+    def write(batches):
+        for pdf in batches:
+            rows = []
+            for _, rrow in pdf.iterrows():
+                ty, tx = int(rrow["tile_y"]), int(rrow["tile_x"])
+                n = int(np.sqrt(len(rrow["r"])))
+                arr = np.stack([
+                    np.clip(np.rint(np.asarray(rrow[c], np.float64)),
+                            0, 255).astype(np.uint8).reshape(n, n)
+                    for c in ("r", "g", "b")], axis=2)
+                blob = PNG.encode(arr)
+                d = os.path.join(out_dir, str(zoom), str(tx))
+                os.makedirs(d, exist_ok=True)
+                path = os.path.join(d, f"{ty}.png")
+                with open(path, "wb") as f:
+                    f.write(blob)
+                rows.append((zoom, tx, ty, path, len(blob)))
+            yield pd.DataFrame(rows, columns=[f.name for f in _PNG_OUT])
+
+    return (tiles_rgb.select("tile_y", "tile_x", "r", "g", "b")
+            .mapInPandas(write, _PNG_OUT))
+
+
 def read_tile_png(out_dir: str, zoom: int, tx: int, ty: int) -> np.ndarray:
     with open(os.path.join(out_dir, str(zoom), str(tx), f"{ty}.png"),
               "rb") as f:

@@ -47,6 +47,33 @@ def test_png_decoder_unfilters_sub_and_up():
     assert a.tolist() == [[10, 15, 20, 25], [11, 16, 21, 26]]
 
 
+def test_color_relief_and_rgb_png(spark, tmp_path):
+    """gdaldem color-relief ramp (linear + nearest) -> RGB PNG tiles."""
+    from gdal_spark.raster import calc as C
+
+    spec = G.GridSpec(16, 16, (0, 1, 0, 16, 0, -1), tile=16)
+    gy, gx = np.mgrid[0:16, 0:16]
+    canvas = (gx + gy).astype(np.float64)  # values 0..30
+    tiles = _tiles(spark, canvas, spec)
+    ramp = [(0.0, (0, 0, 255)), (15.0, (0, 255, 0)), (30.0, (255, 0, 0))]
+    rgb = C.color_relief(tiles, ramp)
+    out = str(tmp_path / "rgb")
+    TW.write_tiles_png_rgb(rgb, out, zoom=0, tile=16).collect()
+    img = TW.read_tile_png(out, 0, 0, 0)
+    assert img.shape == (16, 16, 3)
+    # v=0 -> blue, v=15 -> green, v=30 -> red, midpoints interpolate
+    assert tuple(img[0, 0]) == (0, 0, 255)
+    assert tuple(img[7, 8]) == (0, 255, 0)     # gx+gy = 15
+    assert tuple(img[15, 15]) == (255, 0, 0)
+    mid = img[0, 7]  # v = 7 -> between blue and green
+    assert mid[2] > 100 and mid[1] > 100 and mid[0] == 0
+    # nearest mode snaps to ramp entries
+    near = C.color_relief(tiles, ramp, nearest=True)
+    row = near.filter("tile_y = 0 AND tile_x = 0").collect()[0]
+    px0 = (row["r"][3], row["g"][3], row["b"][3])  # v=3 -> nearest stop 0
+    assert px0 == (0.0, 0.0, 255.0)
+
+
 def test_write_tiles_png_roundtrip(spark, tmp_path):
     spec = G.GridSpec(32, 32, (0, 1, 0, 32, 0, -1), tile=16)
     rng = np.random.default_rng(5)
