@@ -92,18 +92,22 @@ _ERASE_OUT = T.StructType([
 
 
 def overlay_erase(a: DataFrame, b: DataFrame,
-                  res: int = cells.DEFAULT_RES) -> DataFrame:
+                  res: int = cells.DEFAULT_RES,
+                  same_layer: bool = False) -> DataFrame:
     """Erase (ogrlayer.cpp:7846) WITH geometry: each a-feature minus
     every overlapping b-feature (sequential multi-polygon difference).
-    a-features matching nothing pass through unchanged."""
+    a-features matching nothing pass through unchanged. same_layer=True
+    erases each feature by its SIBLINGS (self-pairs excluded)."""
     ac = explode_polys_to_cells(a, res).select(
         "cell_id", F.col("poly_id").alias("a_id"),
         F.col("geom").alias("a_geom"))
     bc = explode_polys_to_cells(b, res).select(
         "cell_id", F.col("poly_id").alias("b_id"),
         F.col("geom").alias("b_geom"))
-    cand = (ac.join(bc, "cell_id").drop("cell_id")
-            .dropDuplicates(["a_id", "b_id"]))
+    cand = ac.join(bc, "cell_id").drop("cell_id")
+    if same_layer:
+        cand = cand.filter(F.col("a_id") != F.col("b_id"))
+    cand = cand.dropDuplicates(["a_id", "b_id"])
 
     def erase(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pa = _decode(pdf["a_geom"].iloc[0])

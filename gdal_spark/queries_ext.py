@@ -148,6 +148,166 @@ def overlay_intersection_q(spark, sf_dir):
             .orderBy("a_id", "b_id"))
 
 
+def _predicates_oracle() -> str:
+    subqs = []
+    for pa, pb, ra, rb, (k0, k1, l0, l1) in _overlay_pairs():
+        pred_a = geom.convex_halfplane_sql(ra, "lon", "lat")
+        pred_b = geom.convex_halfplane_sql(rb, "lon", "lat")
+        subqs.append(f"""
+        SELECT {pa} AS a_id, {pb} AS b_id,
+               (count(*) FILTER (WHERE in_a AND in_b) > 0) AS intersects,
+               (count(*) FILTER (WHERE in_a AND in_b) > 0
+                AND count(*) FILTER (WHERE in_a AND NOT in_b) > 0
+                AND count(*) FILTER (WHERE in_b AND NOT in_a) > 0) AS overlaps,
+               (count(*) FILTER (WHERE in_a AND in_b) > 0
+                AND count(*) FILTER (WHERE in_a AND NOT in_b) = 0) AS within_ab,
+               (count(*) FILTER (WHERE in_a AND in_b) > 0
+                AND count(*) FILTER (WHERE in_b AND NOT in_a) = 0) AS contains_ab
+        FROM (SELECT {pred_a} AS in_a, {pred_b} AS in_b
+              FROM (SELECT (-180.0 + 0.2 * k) AS lon, (-90.0 + 0.2 * l) AS lat
+                    FROM (SELECT range AS k FROM range({k0}, {k1 + 1})),
+                         (SELECT range AS l FROM range({l0}, {l1 + 1}))))
+        HAVING count(*) FILTER (WHERE in_a AND in_b) > 0""")
+    return ("SELECT * FROM (\n" + "\nUNION ALL\n".join(subqs)
+            + "\n) ORDER BY a_id, b_id")
+
+
+@register("geo_predicates_matrix", oracle=_predicates_oracle())
+def predicates_matrix_q(spark, sf_dir):
+    """The areal predicate matrix (ogr_geometry.h:547-566) evaluated by
+    the geometry engine (overlay-derived relate()) on every overlapping
+    fixture pair, cross-checked against the lattice/half-plane
+    reformulation of the same predicates in DuckDB. Fixture overlaps
+    are lattice-visible by construction, so the discretization is
+    faithful."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .geo import overlay as _ov
+    from .geo import wkb as _wkb
+    from .operators.overlay_join import overlay_intersection_join
+
+    polys = admin.overlay_df(spark)
+    pairs = overlay_intersection_join(polys, polys, same_layer=True)
+    geoms = polys.select(F.col("poly_id"), F.col("geom"))
+    j = (pairs.select("a_id", "b_id")
+         .join(geoms.withColumnsRenamed(
+             {"poly_id": "a_id", "geom": "a_geom"}), "a_id")
+         .join(geoms.withColumnsRenamed(
+             {"poly_id": "b_id", "geom": "b_geom"}), "b_id"))
+
+    schema = T.StructType([
+        T.StructField("a_id", T.IntegerType(), False),
+        T.StructField("b_id", T.IntegerType(), False),
+        T.StructField("intersects", T.BooleanType(), False),
+        T.StructField("overlaps", T.BooleanType(), False),
+        T.StructField("within_ab", T.BooleanType(), False),
+        T.StructField("contains_ab", T.BooleanType(), False),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                pa = _ov.normalize(_wkb.polygon_rings(bytes(r["a_geom"]))[0])
+                pb = _ov.normalize(_wkb.polygon_rings(bytes(r["b_geom"]))[0])
+                rel = _ov.relate(pa, pb)
+                rows.append((int(r["a_id"]), int(r["b_id"]),
+                             bool(rel["intersects"]), bool(rel["overlaps"]),
+                             bool(rel["within"]), bool(rel["contains"])))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return j.mapInPandas(run, schema).orderBy("a_id", "b_id")
+
+
+def _erase_oracle() -> str:
+    """Per a-feature lattice count of (in A) and (in A minus every
+    overlapping B) — the Erase layer op's coverage, relationally."""
+    rings = {pid: ring for pid, _n, ring in admin.overlay_rings()}
+    by_a: dict[int, list[int]] = {}
+    for pa, pb, _ra, _rb, _rng in _overlay_pairs():
+        by_a.setdefault(pa, []).append(pb)
+        by_a.setdefault(pb, []).append(pa)
+    subqs = []
+    for a_id, others in sorted(by_a.items()):
+        ra = rings[a_id]
+        bbox = geom.bbox_of_ring(ra)
+        k0, k1, l0, l1 = _lattice_range(*bbox)
+        pred_a = geom.convex_halfplane_sql(ra, "lon", "lat")
+        not_bs = " AND ".join(
+            f"NOT {geom.convex_halfplane_sql(rings[b], 'lon', 'lat')}"
+            for b in sorted(others))
+        subqs.append(f"""
+        SELECT {a_id} AS a_id,
+               count(*) FILTER (WHERE {pred_a}) AS n_in_a,
+               count(*) FILTER (WHERE {pred_a} AND {not_bs}) AS n_remaining
+        FROM (SELECT (-180.0 + 0.2 * k) AS lon, (-90.0 + 0.2 * l) AS lat
+              FROM (SELECT range AS k FROM range({k0}, {k1 + 1})),
+                   (SELECT range AS l FROM range({l0}, {l1 + 1})))""")
+    return ("SELECT * FROM (\n" + "\nUNION ALL\n".join(subqs)
+            + "\n) ORDER BY a_id")
+
+
+@register("geo_overlay_erase", oracle=_erase_oracle())
+def overlay_erase_q(spark, sf_dir):
+    """Erase WITH constructed geometry (ogrlayer.cpp:7846): each
+    overlay-fixture feature minus all its overlapping siblings; the
+    lattice count inside the CONSTRUCTED difference must equal DuckDB's
+    in-A-and-in-no-B count (boundary-exact lattice points excluded by
+    the irrational fixture)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .geo import geom as _g
+    from .geo import wkb as _wkb
+    from .operators.overlay_join import overlay_erase
+
+    import numpy as np
+
+    polys = admin.overlay_df(spark)
+    rings = {pid: ring for pid, _n, ring in admin.overlay_rings()}
+    by_a: dict[int, list[int]] = {}
+    for pa, pb, _ra, _rb, _rng in _overlay_pairs():
+        by_a.setdefault(pa, []).append(pb)
+        by_a.setdefault(pb, []).append(pa)
+    participants = polys.join(
+        spark.createDataFrame([(a,) for a in by_a], "poly_id int"),
+        "poly_id", "left_semi")
+    erased = overlay_erase(participants, participants, same_layer=True)
+
+    ranges = [(a, *_lattice_range(*_g.bbox_of_ring(rings[a])))
+              for a in sorted(by_a)]
+    rdf = spark.createDataFrame(
+        ranges, "a_id int, k0 long, k1 long, l0 long, l1 long")
+    j = erased.join(F.broadcast(rdf), "a_id", "inner")
+
+    schema = T.StructType([
+        T.StructField("a_id", T.IntegerType(), False),
+        T.StructField("n_in_a", T.LongType(), False),
+        T.StructField("n_remaining", T.LongType(), False),
+    ])
+
+    def count_lattice(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                ks = np.arange(int(r["k0"]), int(r["k1"]) + 1)
+                ls = np.arange(int(r["l0"]), int(r["l1"]) + 1)
+                kk, ll = np.meshgrid(ks, ls)
+                lon = -180.0 + 0.2 * kk.ravel()
+                lat = -90.0 + 0.2 * ll.ravel()
+                a_id = int(r["a_id"])
+                in_a = _g.points_in_convex(lon, lat, rings[a_id])
+                rem = np.zeros(len(lon), dtype=bool)
+                if r["geom"] is not None:
+                    for part in _wkb.polygon_rings(bytes(r["geom"])):
+                        rem |= _g.points_in_polygon(lon, lat, part)
+                rows.append((a_id, int(in_a.sum()), int(rem.sum())))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return j.mapInPandas(count_lattice, schema).orderBy("a_id")
+
+
 def _zonal_oracle() -> str:
     zones = "\nUNION ALL\n".join(
         f"SELECT {pid} AS poly_id, doc_id FROM pts WHERE "
