@@ -96,33 +96,84 @@ def _topk_cosine_numpy(data: DataFrame, queries: DataFrame, k: int,
             .select("q_id", "rank", "neighbor_id"))
 
 
+def _plane_dots(vec, n_planes: int, dim: int, seed: int = 7):
+    """Dot products with `n_planes` deterministic pseudo-random
+    hyperplanes, as JVM Column expressions."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    dots = []
+    for p in range(n_planes):
+        coeffs = F.array(*[F.lit(float(c)) for c in planes[p]])
+        dots.append(_dot_col(vec.cast("array<double>"), coeffs))
+    return dots
+
+
 def hyperplane_bucket_col(vec, n_planes: int, dim: int, seed: int = 7):
     """Random-hyperplane LSH bucket id as a JVM expression: sign bits of
     dot products with `n_planes` deterministic pseudo-random planes."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
     bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
-        coeffs = F.array(*[F.lit(float(c)) for c in planes[p]])
-        dot = _dot_col(vec.cast("array<double>"), coeffs)
+    for p, dot in enumerate(_plane_dots(vec, n_planes, dim, seed)):
         bucket = bucket.bitwiseOR(
             F.shiftleft(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), p))
     return bucket
 
 
+def probe_buckets_col(vec, n_planes: int, dim: int, n_probes: int,
+                      seed: int = 7):
+    """Multi-probe LSH (Lv et al., VLDB 2007), single-bit perturbation
+    tier: the query's own bucket plus the buckets reached by flipping
+    the sign bits with the SMALLEST |margin| (the planes the vector
+    sits closest to — the likeliest side-errors). Probes are capped at
+    n_planes + 1 buckets (the Hamming-1 ball); the multi-bit
+    perturbation sequence is the next refinement tier. -> array<long>
+    of min(n_probes, n_planes + 1) bucket ids, all JVM expressions."""
+    n_probes = min(n_probes, n_planes + 1)
+    dots = _plane_dots(vec, n_planes, dim, seed)
+    bucket = F.lit(0).cast("long")
+    for p, dot in enumerate(dots):
+        bucket = bucket.bitwiseOR(
+            F.shiftleft(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), p))
+    margins = F.array_sort(F.array(*[
+        F.struct(F.abs(d).alias("m"), F.lit(p).alias("p"))
+        for p, d in enumerate(dots)]))
+    flips = F.slice(margins, 1, n_probes - 1)
+    powers = F.array(*[F.lit(1 << p).cast("long") for p in range(n_planes)])
+    probed = F.transform(
+        flips, lambda s: bucket.bitwiseXOR(
+            F.element_at(powers, s["p"] + 1)))
+    return F.concat(F.array(bucket), probed)
+
+
 def lsh_bucketed_topk(data: DataFrame, queries: DataFrame, k: int = 10,
                       id_col: str = "vec_id", vec_col: str = "embedding",
-                      n_planes: int = 8, dim: int = 64) -> DataFrame:
+                      n_planes: int = 8, dim: int = 64,
+                      n_probes: int = 1) -> DataFrame:
     """Approximate top-k: score only pairs sharing an LSH bucket.
     Recall < 1 by design; pair generation is an equi-join on bucket id,
-    so the work scales with bucket occupancy, not |data| x |queries|."""
-    b = lambda df, alias: df.select(  # noqa: E731
-        F.col(id_col).alias(alias),
-        F.col(vec_col).cast("array<double>").alias(f"{alias}_vec"),
-        hyperplane_bucket_col(F.col(vec_col), n_planes, dim).alias("bucket"),
-    )
-    d, q = b(data, "neighbor_id"), b(queries, "q_id")
-    j = d.join(F.broadcast(q), "bucket").filter(F.col("neighbor_id") != F.col("q_id"))
+    so the work scales with bucket occupancy, not |data| x |queries|.
+
+    n_probes > 1 enables multi-probe refinement: each query also joins
+    the buckets whose smallest-margin sign bits flip — recall rises
+    toward brute force at the cost of ~n_probes x candidate volume,
+    still never a cross product (the IVF-style nprobe knob)."""
+    d = data.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("neighbor_id_vec"),
+        hyperplane_bucket_col(F.col(vec_col), n_planes, dim).alias("bucket"))
+    if n_probes <= 1:
+        q = queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).cast("array<double>").alias("q_id_vec"),
+            hyperplane_bucket_col(F.col(vec_col), n_planes, dim).alias("bucket"))
+    else:
+        q = queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).cast("array<double>").alias("q_id_vec"),
+            F.explode(probe_buckets_col(
+                F.col(vec_col), n_planes, dim, n_probes)).alias("bucket"))
+    j = (d.join(F.broadcast(q), "bucket")
+         .filter(F.col("neighbor_id") != F.col("q_id"))
+         .dropDuplicates(["q_id", "neighbor_id"]))
     cos = _dot_col(F.col("neighbor_id_vec"), F.col("q_id_vec")) / (
         _norm_col(F.col("neighbor_id_vec")) * _norm_col(F.col("q_id_vec")))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))

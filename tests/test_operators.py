@@ -239,6 +239,26 @@ def test_lsh_topk_recall(spark, sf_dir):
     assert recall > 0.15
 
 
+def test_lsh_multiprobe_raises_recall(spark, sf_dir):
+    """Multi-probe (flip the smallest-margin sign bits) must strictly
+    widen the candidate set: recall is monotone in n_probes and reaches
+    brute force when every bucket is probed."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    exact = {(r["q_id"], r["neighbor_id"])
+             for r in similarity.topk_cosine(e, q, k=5).collect()}
+
+    def recall(n_probes):
+        approx = {(r["q_id"], r["neighbor_id"])
+                  for r in similarity.lsh_bucketed_topk(
+                      e, q, k=5, n_planes=3, n_probes=n_probes).collect()}
+        return len(exact & approx) / len(exact)
+
+    r1, r2, r4 = recall(1), recall(2), recall(4)
+    assert r1 <= r2 + 1e-9 <= r4 + 2e-9
+    assert r4 > r1  # probing the Hamming-1 ball must add candidates
+
+
 def test_text_byte_identity_invariant(spark, sf_dir):
     """North-rule invariant: extracted text per url is byte-identical
     to the source text (html wraps text; decode(html) strips back)."""
