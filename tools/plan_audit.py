@@ -102,6 +102,53 @@ def main() -> None:
     check("first_match join no-cartesian", plan_of(fm),
           must=[r"Window"], must_not=[r"CartesianProduct"])
 
+    # ---- round-2 operators ----
+    import numpy as np
+
+    from gdal_spark.raster import grid as G
+    from gdal_spark.raster import gridding as GR
+    from gdal_spark.raster import proximity as PX
+    from gdal_spark.raster import warp as W
+
+    # 6. IDW scatter path: per-point tile fan-out is a JVM Generate
+    #    (explode over sequence), no driver collect, no cross join
+    pts3 = spark.range(10_000).select(
+        (F.rand(1) * 100).alias("x"), (F.rand(2) * 100).alias("y"),
+        F.rand(3).alias("v"))
+    spec = G.GridSpec(128, 128, (0.0, 1.0, 0.0, 128.0, 0.0, -1.0), tile=32)
+    gi = GR.grid_idw(pts3, spec, radius=5.0)
+    check("grid_idw scatter JVM fan-out", plan_of(gi),
+          must=[r"Generate", r"FlatMapGroupsInPandas"],
+          must_not=[r"CartesianProduct|BroadcastNestedLoopJoin"])
+
+    # 7. proximity ring phase-2 gather: equi-join on tile keys
+    tiles_df = spark.createDataFrame(
+        [(0, 0, np.eye(8).ravel().tolist())],
+        "tile_y int, tile_x int, px array<double>")
+    pspec = G.GridSpec(8, 8, (0, 1, 0, 8, 0, -1), tile=8)
+    pr = PX.proximity_ring(tiles_df, pspec)
+    check("proximity ring equi-join gather", plan_of(pr),
+          must=[r"FlatMapGroupsInPandas"],
+          must_not=[r"CartesianProduct"])
+
+    # 8. warp dependency relation: computed by a vectorized Python map
+    #    over a Range scan (never a driver loop), exploded JVM-side
+    dep = W._dep_ranges(spark, G.world_3857(5, 64), G.world_4326(500, 250, tile=125))
+    check("warp dep relation from Range", plan_of(dep),
+          must=[r"Range", r"MapInPandas"])
+
+    # 9. dedup_clusters: the CC loop and pair join stay equi-joins
+    dc = Q.QUERIES["dedup_clusters"](spark, SF_DIR)
+    check("dedup_clusters no-cartesian", plan_of(dc),
+          must_not=[r"CartesianProduct"], must=[r"AdaptiveSparkPlan"])
+
+    # 10. overlay layer algebra: candidate pairing is a cell equi-join
+    from gdal_spark.operators.overlay_join import overlay_intersection_join
+    ov = overlay_intersection_join(admin.overlay_df(spark),
+                                   admin.overlay_df(spark), same_layer=True)
+    check("overlay join cell equi-join", plan_of(ov),
+          must=[r"MapInPandas"], must_not=[r"CartesianProduct"])
+
     header = (
         "# PLANS — physical-plan audit evidence\n\n"
         f"Generated by tools/plan_audit.py at sf dir {SF_DIR}.\n"
