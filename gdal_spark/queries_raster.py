@@ -678,6 +678,36 @@ def grid_nearest_q(spark, sf_dir):
             .orderBy("tile_y", "tile_x"))
 
 
+@register("raster_viewshed_counts")  # rows-only: see tests/test_viewshed.py
+def viewshed_counts_q(spark, sf_dir):
+    """Viewshed (alg/viewshed/viewshed.cpp:124) over the z3 density
+    raster as terrain, observer at the grid center 50 px up: per-tile
+    visible-pixel counts + visible-distance extrema.
+
+    Why no SQL oracle (documented proof): visibility is a max over an
+    ITERATED interpolation chain — each ray walks its intermediate
+    samples, and every sample is a bilinear blend of four pixels at a
+    ray-dependent fractional position; expressing the per-ray walk
+    relationally needs a recursive join whose float accumulation order
+    SQL does not pin. The exactness gate is tests/test_viewshed.py:
+    the distributed path and the single-node oracle share the LOS
+    kernel and are bit-identical."""
+    from .raster import viewshed as VS
+
+    pts = pages.page_points(spark, sf_dir)
+    spec = G.world_3857(FZOOM, FTILE)
+    tiles = D.density_tiles(pts, FZOOM, FTILE)
+    vis = VS.viewshed(tiles, spec, ox=NF // 2, oy=NF // 2,
+                      obs_height=50.0, max_distance=200.0,
+                      out_of_range=-1.0)
+    return (vis.select(
+        "tile_y", "tile_x",
+        F.size(F.filter("px", lambda x: x == 1.0)).cast("long").alias("n_visible"),
+        F.size(F.filter("px", lambda x: x == 0.0)).cast("long").alias("n_hidden"))
+        .filter((F.col("n_visible") > 0) | (F.col("n_hidden") > 0))
+        .orderBy("tile_y", "tile_x"))
+
+
 @register("raster_grid_idw")  # rows-only: see tests/test_fill_grid.py
 def grid_idw_q(spark, sf_dir):
     """Grid interpolation (alg/gdalgrid.cpp IDW): scattered page points
