@@ -2,22 +2,28 @@
 
 The training-data pipeline treats images/audio/video as opaque
 `binary` columns with typed metadata extracted by Arrow-batched UDFs
-(SURVEY training-data ops). This container has no image/audio codecs,
-so the DECODE step is stubbed — but the Spark-side plumbing (schema,
-batching, partitioning, UDF signature) is real and tested:
+(SURVEY training-data ops):
 
  - `extract_meta` runs `mapInPandas` over (id, payload) batches and
    returns (id, n_bytes, is_html, feat): byte length, a magic-prefix
    probe, and a deterministic feature derived from the real bytes —
    the stand-in for an embedding/feature vector.
- - `decode_image` is the marked stub: it validates the batch path and
-   raises NotImplementedError at the point a codec would run.
+ - `decode_image` REALLY decodes PNG payloads (the engine's own
+   pure-Python codec, raster/png.py — no external imaging libs in
+   this container) and emits typed image features: dimensions,
+   channel count, per-channel means, a downsampled 8x8 luma
+   fingerprint (the perceptual-hash front half). Non-PNG payloads
+   fail loudly per-format (JPEG/WebP codecs genuinely absent —
+   that remaining stub is explicit, not silent).
+ - `resize_image` / `sample_frames`-style ops compose from the same
+   decoded arrays; `thumbnail8` below is the canonical example.
 """
 
 from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -51,17 +57,96 @@ def extract_meta(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, bin_col).mapInPandas(run, _META)
 
 
-def decode_image(df: DataFrame, bin_col: str = "payload"):
-    """STUB: the real decode (PIL/libjpeg) is unavailable in this
-    environment. The mapInPandas harness below is the production
-    shape; it fails loudly at the codec call."""
+_IMG = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), False),
+    T.StructField("height", T.IntegerType(), False),
+    T.StructField("channels", T.IntegerType(), False),
+    T.StructField("mean", T.ArrayType(T.DoubleType()), False),
+    T.StructField("luma8", T.ArrayType(T.DoubleType()), False),
+])
+
+
+def _to_hwc(arr: np.ndarray) -> np.ndarray:
+    if arr.ndim == 2:
+        return arr[:, :, None]
+    return arr
+
+
+def _luma(a: np.ndarray) -> np.ndarray:
+    """(h, w, c) -> luma plane (Rec.601 for RGB; identity for gray)."""
+    a = a.astype(np.float64)
+    if a.shape[2] >= 3:
+        return 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+    return a[:, :, 0]
+
+
+def _box_resize(plane: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Area (box-filter) downsample to (out_h, out_w) — the resize
+    kernel for thumbnails/fingerprints (partial boxes at edges)."""
+    h, w = plane.shape
+    ye = np.linspace(0, h, out_h + 1)
+    xe = np.linspace(0, w, out_w + 1)
+    out = np.empty((out_h, out_w))
+    for i in range(out_h):
+        for j in range(out_w):
+            y0, y1 = int(np.floor(ye[i])), int(np.ceil(ye[i + 1]))
+            x0, x1 = int(np.floor(xe[j])), int(np.ceil(xe[j + 1]))
+            out[i, j] = plane[y0:y1, x0:x1].mean()
+    return out
+
+
+def decode_image(df: DataFrame, id_col: str = "doc_id",
+                 bin_col: str = "payload") -> DataFrame:
+    """Decode PNG payloads (raster/png.py) -> typed image features:
+    (doc_id, width, height, channels, per-channel mean, 8x8 luma
+    fingerprint). Non-PNG payloads raise NotImplementedError naming
+    the missing codec — loud, not silent."""
+    from ..raster import png as PNG
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if len(pdf):
-                raise NotImplementedError(
-                    "image decode requires a codec library not present "
-                    "in this environment; plug a decoder into "
-                    "operators.multimodal.decode_image")
-            yield pd.DataFrame({"doc_id": []})
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(blob)
+                if b[:8] != b"\x89PNG\r\n\x1a\n":
+                    sig = b[:4].hex()
+                    raise NotImplementedError(
+                        f"payload {int(i)} (magic {sig}) is not PNG; "
+                        "JPEG/WebP codecs are unavailable in this "
+                        "environment — plug a decoder into "
+                        "operators.multimodal.decode_image")
+                arr = _to_hwc(PNG.decode(b))
+                h, w, c = arr.shape
+                means = [float(arr[:, :, k].mean()) for k in range(c)]
+                luma8 = _box_resize(_luma(arr), 8, 8).ravel().tolist()
+                rows.append((int(i), w, h, c, means, luma8))
+            yield pd.DataFrame(rows, columns=[f.name for f in _IMG])
 
-    return df.mapInPandas(run, T.StructType([T.StructField("doc_id", T.LongType())]))
+    return df.select(id_col, bin_col).mapInPandas(run, _IMG)
+
+
+_THUMB = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("thumb_png", T.BinaryType(), False),
+])
+
+
+def thumbnail8(df: DataFrame, size: int = 8, id_col: str = "doc_id",
+               bin_col: str = "payload") -> DataFrame:
+    """Decode -> box-resize to (size, size) grayscale -> re-encode PNG.
+    The canonical decode/transform/encode image pipeline, end to end
+    inside Arrow batches."""
+    from ..raster import png as PNG
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[bin_col]):
+                arr = _to_hwc(PNG.decode(bytes(blob)))
+                small = np.clip(np.rint(_box_resize(_luma(arr), size, size)),
+                                0, 255).astype(np.uint8)
+                rows.append((int(i), bytearray(PNG.encode(small))))
+            yield pd.DataFrame(rows, columns=[f.name for f in _THUMB])
+
+    return df.select(id_col, bin_col).mapInPandas(run, _THUMB)

@@ -64,7 +64,9 @@ def test_entry_smoke(spark):
     assert df.columns == ["poly_id", "tile_x", "tile_y", "n_pages", "first_url"]
 
 
-def test_multimodal_decode_stub_raises(spark, sf_dir):
+def test_multimodal_decode_non_png_raises(spark, sf_dir):
+    """Formats with no codec in this container (HTML bytes standing in
+    for JPEG/WebP) must fail loudly, never silently."""
     from gdal_spark.operators import multimodal
     from gdal_spark.sources import pages
 
@@ -72,3 +74,29 @@ def test_multimodal_decode_stub_raises(spark, sf_dir):
         .selectExpr("doc_id", "html as payload")
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         multimodal.decode_image(p).collect()
+
+
+def test_multimodal_decode_png_real(spark, sf_dir):
+    """decode_image REALLY decodes PNG payloads (engine's own codec):
+    dimensions, channel means, and the 8x8 luma fingerprint check out;
+    thumbnail8 re-encodes a decodable 8x8 PNG."""
+    import numpy as np
+
+    from gdal_spark.operators import multimodal
+    from gdal_spark.raster import png as PNG
+
+    rng = np.random.default_rng(9)
+    imgs = {1: rng.integers(0, 256, (24, 16, 3)).astype(np.uint8),
+            2: rng.integers(0, 256, (10, 10)).astype(np.uint8)}
+    rows = [(i, bytearray(PNG.encode(a))) for i, a in imgs.items()]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in multimodal.decode_image(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (16, 24, 3)
+    assert (got[2]["width"], got[2]["height"], got[2]["channels"]) == (10, 10, 1)
+    np.testing.assert_allclose(got[2]["mean"][0], imgs[2].mean(), rtol=1e-12)
+    assert len(got[1]["luma8"]) == 64
+
+    thumbs = {r["doc_id"]: bytes(r["thumb_png"])
+              for r in multimodal.thumbnail8(df).collect()}
+    t = PNG.decode(thumbs[1])
+    assert t.shape == (8, 8) and t.dtype == np.uint8
