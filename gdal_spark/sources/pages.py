@@ -102,6 +102,21 @@ def read_cell_pruned(spark: SparkSession, path: str,
                     & F.col("lat").between(min_lat, max_lat)))
 
 
+def write_cell_bucketed(df: DataFrame, table: str, n_buckets: int = 32,
+                        key: str = "cell_id") -> None:
+    """Persist a relation BUCKETED by its cell key (Spark bucketBy +
+    sortBy saved table). Two tables bucketed the same way co-locate:
+    joins and aggregations on the bucket key run with NO shuffle
+    exchange on either side — the 'pre-partitioned co-located join'
+    of the 100 TB plan (the brief's bucketing lever; the Iceberg
+    analog is bucket-partition transforms). See
+    tests/test_plans.py::test_bucketed_join_elides_shuffle for the
+    plan-level proof."""
+    (df.write.mode("overwrite")
+     .bucketBy(n_buckets, key).sortBy(key)
+     .format("parquet").saveAsTable(table))
+
+
 def synth_pages(spark: SparkSession, n: int, skew_hot_fraction: float = 0.0,
                 res: int = cells.DEFAULT_RES) -> DataFrame:
     """Synthesize n pages from spark.range — the benchmark input.

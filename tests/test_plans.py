@@ -120,6 +120,43 @@ def test_pipeline_concave_hull(spark, sf_dir):
     np.testing.assert_allclose(area, 51.0)
 
 
+def test_bucketed_join_elides_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed by cell_id must join with NO Exchange on
+    either side (co-located join — the 100 TB shuffle-elision lever)."""
+    import shutil
+
+    for t in ("pts_a_bkt", "pts_b_bkt"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(
+            spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+            + f"/{t}", ignore_errors=True)
+    pts0 = pages.page_points(spark, sf_dir)
+    pts = pts0.select("doc_id", "cell_id", "lon")
+    pages.write_cell_bucketed(pts, "pts_a_bkt", n_buckets=8)
+    pages.write_cell_bucketed(
+        pts0.select("cell_id", "lat"), "pts_b_bkt", n_buckets=8)
+    a = spark.table("pts_a_bkt")
+    b = spark.table("pts_b_bkt")
+    # force the non-broadcast strategy (at 100 TB neither side is
+    # dim-sized; broadcast would mask the property under test)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, "cell_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() > 0
+        # contrast: the un-bucketed join DOES shuffle
+        plain = pts.join(pts0.select("cell_id", "lat"), "cell_id")
+        pplan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" in pplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS pts_a_bkt")
+        spark.sql("DROP TABLE IF EXISTS pts_b_bkt")
+
+
 def test_pipeline_unknown_step_raises(spark, sf_dir):
     with pytest.raises(KeyError, match="unknown pipeline step"):
         Pipeline(spark).from_df(pages.page_points(spark, sf_dir)).step("nope")
