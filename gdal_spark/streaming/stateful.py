@@ -74,3 +74,52 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
             .applyInPandasWithState(
                 _sessionize_group, SESSION_SCHEMA, STATE_SCHEMA,
                 "update", GroupStateTimeout.NoTimeout))
+
+
+# ------------------------------------------------ streaming exact dedup
+
+DEDUP_OUT = T.StructType([
+    T.StructField("text_hash", T.StringType()),
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_seen", T.LongType()),
+    T.StructField("first_batch", T.BooleanType()),
+])
+
+DEDUP_STATE = T.StructType([
+    T.StructField("keeper", T.LongType()),
+    T.StructField("n", T.LongType()),
+])
+
+
+def _dedup_group(key: Tuple, pdfs: Iterator[pd.DataFrame],
+                 state: GroupState) -> Iterator[pd.DataFrame]:
+    (text_hash,) = key
+    if state.exists:
+        keeper, n = state.get
+        first = False
+    else:
+        keeper, n = None, 0
+        first = True
+    for pdf in pdfs:
+        for did in sorted(int(v) for v in pdf["doc_id"]):
+            if keeper is None or did < keeper:
+                keeper = did
+            n += 1
+    state.update((keeper, n))
+    yield pd.DataFrame([(text_hash, keeper, n, first)],
+                       columns=["text_hash", "doc_id", "n_seen",
+                                "first_batch"])
+
+
+def dedup_stream(docs: DataFrame) -> DataFrame:
+    """STREAMING exact dedup: docs(doc_id long, text_hash string) ->
+    per content hash, the keeper (min doc_id seen so far) and the
+    running duplicate count; the hash set lives in the state store so
+    duplicates are recognized ACROSS micro-batches (the incremental
+    form of operators/dedup.exact_dedup — what a continuously-ingesting
+    training-data pipeline runs; `first_batch` marks the batch where a
+    hash was first seen, i.e. the rows a keep-first policy would emit)."""
+    return (docs.groupBy("text_hash")
+            .applyInPandasWithState(
+                _dedup_group, DEDUP_OUT, DEDUP_STATE,
+                "update", GroupStateTimeout.NoTimeout))
