@@ -1,0 +1,96 @@
+"""Hypothesis property tests over the foundational pure-numpy kernels
+(no Spark session — these run per-example)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gdal_spark.geo import geom, overlay
+from gdal_spark.raster import checksum as CK
+from gdal_spark.raster import png as PNG
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 40), st.integers(1, 40),
+       st.sampled_from(["u8", "u16", "rgb", "rgba"]),
+       st.integers(0, 2**32 - 1))
+def test_png_roundtrip_property(h, w, mode, seed):
+    rng = np.random.default_rng(seed)
+    if mode == "u8":
+        a = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    elif mode == "u16":
+        a = rng.integers(0, 65536, (h, w)).astype(np.uint16)
+    elif mode == "rgb":
+        a = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    else:
+        a = rng.integers(0, 256, (h, w, 4)).astype(np.uint8)
+    back = PNG.decode(PNG.encode(a))
+    assert back.dtype == a.dtype and back.shape == a.shape
+    assert (back == a).all()
+
+
+def _star(rng, cx, cy, r, n):
+    th = np.sort(rng.uniform(0, 2 * np.pi, n))
+    rr = rng.uniform(0.35, 1.0, n) * r
+    ring = np.column_stack([cx + rr * np.cos(th), cy + rr * np.sin(th)])
+    return [np.vstack([ring, ring[:1]])]
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(0, 2**32 - 1))
+def test_overlay_inclusion_exclusion_property(seed):
+    """area(AuB) + area(AnB) == area(A) + area(B) and the difference
+    identities, for random star polygons."""
+    rng = np.random.default_rng(seed)
+    A = _star(rng, rng.uniform(-1, 1), rng.uniform(-1, 1),
+              rng.uniform(1, 3), rng.integers(5, 12))
+    B = _star(rng, rng.uniform(-1, 1), rng.uniform(-1, 1),
+              rng.uniform(1, 3), rng.integers(5, 12))
+    aa, ab = geom.polygon_area(A), geom.polygon_area(B)
+    ai = overlay.multi_area(overlay.intersection(A, B))
+    au = overlay.multi_area(overlay.union(A, B))
+    ad = overlay.multi_area(overlay.difference(A, B))
+    scale = max(aa, ab, 1e-9)
+    assert abs((au + ai) - (aa + ab)) < 1e-9 * scale
+    assert abs(ad - (aa - ai)) < 1e-9 * scale
+    # predicates stay consistent with the measured areas
+    rel = overlay.relate(A, B)
+    assert rel["intersects"] == (ai > 0 or rel["touches"])
+    if ai > 0 and ad > 1e-12 and (ab - ai) > 1e-12:
+        assert rel["overlaps"]
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 12), st.integers(1, 12), st.integers(0, 2**32 - 1),
+       st.booleans())
+def test_checksum_distributive_property(th, tw, seed, is_float):
+    """Splitting a band into arbitrary tiles and summing the partial
+    checksums must equal the whole-band checksum (the reformulation
+    the distributed engine rests on)."""
+    rng = np.random.default_rng(seed)
+    h, w = th * 3, tw * 4
+    if is_float:
+        band = rng.uniform(-50, 50, (h, w))
+    else:
+        band = rng.integers(-1000, 1000, (h, w)).astype(np.int64)
+    whole = CK.checksum_np(band, 0, 0, w)
+    parts = []
+    for y0 in range(0, h, th):
+        for x0 in range(0, w, tw):
+            parts.append(CK.checksum_np(band[y0:y0 + th, x0:x0 + tw],
+                                        x0, y0, w))
+    assert CK.checksum_combine(parts) == whole
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(3, 20), st.integers(0, 2**32 - 1))
+def test_convex_hull_contains_points_property(n, seed):
+    rng = np.random.default_rng(seed)
+    px = rng.uniform(-10, 10, n)
+    py = rng.uniform(-10, 10, n)
+    hull = geom.convex_hull(px, py)
+    if len(hull) < 4:
+        return  # degenerate (collinear) inputs
+    inside = geom.points_in_convex(px, py, hull)
+    # hull vertices themselves sit on the boundary (>= passes)
+    assert inside.all()
