@@ -144,6 +144,79 @@ def probe_buckets_col(vec, n_planes: int, dim: int, n_probes: int,
     return F.concat(F.array(bucket), probed)
 
 
+def train_ivf_centroids(data: DataFrame, n_centroids: int = 16,
+                        vec_col: str = "embedding",
+                        sample_rows: int = 20_000, iters: int = 10,
+                        seed: int = 7) -> np.ndarray:
+    """IVF coarse quantizer: k-means on a bounded driver sample
+    (deterministic seed + Lloyd iterations). At 100 TB the sample stays
+    `sample_rows` regardless of corpus size — training cost is constant;
+    only assignment scales, and that is a broadcast argmin."""
+    rows = (data.select(vec_col).limit(sample_rows).collect())
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        sims = X @ C.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                v = X[m].mean(axis=0)
+                C[c] = v / max(np.linalg.norm(v), 1e-30)
+    return C
+
+
+def _ivf_assign_udf(bc, nprobe: int):
+    schema = T.ArrayType(T.IntegerType())
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(schema)
+    def assign(vec: pd.Series) -> pd.Series:
+        C = bc.value
+        out = []
+        for v in vec:
+            x = np.asarray(v, np.float64)
+            x /= max(np.linalg.norm(x), 1e-30)
+            sims = C @ x
+            top = np.argsort(-sims)[:nprobe]
+            out.append([int(t) for t in top])
+        return pd.Series(out)
+
+    return assign
+
+
+def ivf_topk(data: DataFrame, queries: DataFrame, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_centroids: int = 16, nprobe: int = 2) -> DataFrame:
+    """IVF approximate top-k (the FAISS IVF-flat shape): a k-means
+    coarse quantizer partitions the corpus into `n_centroids` inverted
+    lists; data rows join their OWN list, queries probe their `nprobe`
+    nearest lists, and exact cosine runs only within probed lists —
+    an equi-join on list id, never a cross product. nprobe ->
+    n_centroids converges to brute force."""
+    C = train_ivf_centroids(data, n_centroids, vec_col)
+    bc = data.sparkSession.sparkContext.broadcast(C)
+    d = data.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("neighbor_id_vec"),
+        F.explode(_ivf_assign_udf(bc, 1)(F.col(vec_col))).alias("list_id"))
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).cast("array<double>").alias("q_id_vec"),
+        F.explode(_ivf_assign_udf(bc, nprobe)(F.col(vec_col))).alias("list_id"))
+    j = (d.join(F.broadcast(q), "list_id")
+         .filter(F.col("neighbor_id") != F.col("q_id"))
+         .dropDuplicates(["q_id", "neighbor_id"]))
+    cos = _dot_col(F.col("neighbor_id_vec"), F.col("q_id_vec")) / (
+        _norm_col(F.col("neighbor_id_vec")) * _norm_col(F.col("q_id_vec")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (j.withColumn("cos", cos).withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k).select("q_id", "rank", "neighbor_id"))
+
+
 def lsh_bucketed_topk(data: DataFrame, queries: DataFrame, k: int = 10,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       n_planes: int = 8, dim: int = 64,

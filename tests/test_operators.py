@@ -259,6 +259,26 @@ def test_lsh_multiprobe_raises_recall(spark, sf_dir):
     assert r4 > r1  # probing the Hamming-1 ball must add candidates
 
 
+def test_ivf_topk_recall_monotone_in_nprobe(spark, sf_dir):
+    """IVF inverted lists: recall rises with nprobe and reaches brute
+    force when every list is probed."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    exact = {(r["q_id"], r["neighbor_id"])
+             for r in similarity.topk_cosine(e, q, k=5).collect()}
+
+    def recall(nprobe):
+        approx = {(r["q_id"], r["neighbor_id"])
+                  for r in similarity.ivf_topk(
+                      e, q, k=5, n_centroids=8, nprobe=nprobe).collect()}
+        return len(exact & approx) / len(exact)
+
+    r1, r4, r8 = recall(1), recall(4), recall(8)
+    assert r1 <= r4 + 1e-9 <= r8 + 2e-9
+    assert r8 == 1.0  # all 8 lists probed = exact
+    assert r1 > 0.1   # the coarse quantizer is doing real work
+
+
 def test_text_byte_identity_invariant(spark, sf_dir):
     """North-rule invariant: extracted text per url is byte-identical
     to the source text (html wraps text; decode(html) strips back)."""
