@@ -338,6 +338,41 @@ def multi_area(polys: list[Polygon]) -> float:
     return float(sum(geom.polygon_area(p) for p in polys))
 
 
+def union_all(polys: list) -> list:
+    """n-way dissolved union: overlapping/adjacent polygons merge into
+    single blobs (internal boundaries removed), disjoint ones stay
+    separate parts — the aggregate the reference's dissolve / cascaded
+    ST_Union performs. Each incoming polygon absorbs every existing
+    blob it merges with, iterated to fixpoint (a grown blob may reach
+    blobs it previously missed)."""
+    blobs: list = []
+    for p in polys:
+        parts = [normalize(p)]
+        remaining = list(blobs)
+        changed = True
+        while changed:
+            changed = False
+            still = []
+            for b in remaining:
+                merged = False
+                for i, q in enumerate(parts):
+                    if not geom.bbox_intersects(
+                            geom.bbox_of_ring(_close(q[0])),
+                            geom.bbox_of_ring(_close(b[0]))):
+                        continue
+                    u = union(q, b)
+                    if len(u) == 1:
+                        parts[i] = u[0]
+                        merged = True
+                        changed = True
+                        break
+                if not merged:
+                    still.append(b)
+            remaining = still
+        blobs = remaining + parts
+    return blobs
+
+
 # ------------------------------------------------------------ predicates
 
 def _boundaries_intersect(pa: Polygon, pb: Polygon) -> bool:

@@ -91,6 +91,37 @@ _ERASE_OUT = T.StructType([
 ])
 
 
+def dissolve_geoms(df: DataFrame, by: str,
+                   geom_col: str = "geom") -> DataFrame:
+    """GEOMETRY dissolve (`gdal vector dissolve` / cascaded ST_Union):
+    per group, the n-way dissolved union of all (multi)polygons —
+    internal boundaries between overlapping/adjacent members removed,
+    disjoint members kept as parts of one MULTIPOLYGON. One shuffle
+    (groupBy) + per-group numpy fold; group geometry counts are the
+    scale unit (shard groups upstream if one group's members outgrow a
+    task)."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        df.schema[by],
+        T.StructField("n_members", T.LongType(), False),
+        T.StructField("n_parts", T.IntegerType(), False),
+        T.StructField("area", T.DoubleType(), False),
+        T.StructField(geom_col, T.BinaryType(), True),
+    ])
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        polys = [p for b in pdf[geom_col]
+                 for p in _decode(bytes(b))]
+        blobs = overlay.union_all(polys)
+        return pd.DataFrame(
+            [(key[0], len(pdf), len(blobs), overlay.multi_area(blobs),
+              bytearray(wkb.multipolygon(blobs)))],
+            columns=[f.name for f in out_schema])
+
+    return df.select(by, geom_col).groupBy(by).applyInPandas(run, out_schema)
+
+
 def overlay_erase(a: DataFrame, b: DataFrame,
                   res: int = cells.DEFAULT_RES,
                   same_layer: bool = False) -> DataFrame:

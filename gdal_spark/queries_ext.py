@@ -220,6 +220,94 @@ def predicates_matrix_q(spark, sf_dir):
     return j.mapInPandas(run, schema).orderBy("a_id", "b_id")
 
 
+def _dissolve_groups():
+    """Overlay fixtures grouped by poly_id % 4, each with the lattice
+    range of the group's united bbox (python literals, shared by both
+    engines)."""
+    rings = admin.overlay_rings()
+    groups: dict[int, list] = {}
+    for pid, _n, ring in rings:
+        groups.setdefault(pid % 4, []).append((pid, ring))
+    out = []
+    for g, members in sorted(groups.items()):
+        bbs = [geom.bbox_of_ring(r) for _pid, r in members]
+        bbox = (min(b[0] for b in bbs), min(b[1] for b in bbs),
+                max(b[2] for b in bbs), max(b[3] for b in bbs))
+        out.append((g, members, _lattice_range(*bbox)))
+    return out
+
+
+def _dissolve_oracle() -> str:
+    subqs = []
+    for g, members, (k0, k1, l0, l1) in _dissolve_groups():
+        pred = " OR ".join(geom.convex_halfplane_sql(r, "lon", "lat")
+                           for _pid, r in members)
+        subqs.append(f"""
+        SELECT {g} AS grp, count(*) AS n_pts,
+               CAST(sum(k) AS BIGINT) AS sum_k,
+               CAST(sum(l) AS BIGINT) AS sum_l
+        FROM (SELECT k, l, (-180.0 + 0.2 * k) AS lon, (-90.0 + 0.2 * l) AS lat
+              FROM (SELECT range AS k FROM range({k0}, {k1 + 1})),
+                   (SELECT range AS l FROM range({l0}, {l1 + 1})))
+        WHERE {pred}""")
+    return ("SELECT * FROM (\n" + "\nUNION ALL\n".join(subqs)
+            + "\n) ORDER BY grp")
+
+
+@register("geo_dissolve_union", oracle=_dissolve_oracle())
+def dissolve_union_q(spark, sf_dir):
+    """GEOMETRY dissolve (`gdal vector dissolve` / cascaded ST_Union):
+    the overlay fixtures grouped by poly_id % 4, each group's members
+    dissolved into one multipolygon (operators.overlay_join.
+    dissolve_geoms / geo.overlay.union_all). Oracle: the lattice points
+    inside the CONSTRUCTED dissolved geometry must equal the points
+    satisfying ANY member's half-plane predicates in DuckDB — union
+    coverage, boundary-free by the irrational fixture."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .geo import geom as _g
+    from .geo import wkb as _wkb
+    from .operators.overlay_join import dissolve_geoms
+
+    polys = admin.overlay_df(spark).withColumn(
+        "grp", F.pmod("poly_id", F.lit(4)).cast("int"))
+    dissolved = dissolve_geoms(polys, "grp")
+    ranges = [(g, k0, k1, l0, l1)
+              for g, _m, (k0, k1, l0, l1) in _dissolve_groups()]
+    rdf = spark.createDataFrame(
+        ranges, "grp int, k0 long, k1 long, l0 long, l1 long")
+    j = dissolved.join(F.broadcast(rdf), "grp", "inner")
+
+    schema = T.StructType([
+        T.StructField("grp", T.IntegerType(), False),
+        T.StructField("n_pts", T.LongType(), False),
+        T.StructField("sum_k", T.LongType(), False),
+        T.StructField("sum_l", T.LongType(), False),
+    ])
+
+    def lattice(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                ks = np.arange(int(r["k0"]), int(r["k1"]) + 1)
+                ls = np.arange(int(r["l0"]), int(r["l1"]) + 1)
+                kk, ll = np.meshgrid(ks, ls)
+                kk, ll = kk.ravel(), ll.ravel()
+                lon = -180.0 + 0.2 * kk
+                lat = -90.0 + 0.2 * ll
+                inside = np.zeros(len(kk), dtype=bool)
+                for part in _wkb.polygon_rings(bytes(r["geom"])):
+                    inside |= _g.points_in_polygon(lon, lat, part)
+                rows.append((int(r["grp"]), int(inside.sum()),
+                             int(kk[inside].sum()), int(ll[inside].sum())))
+            yield pd.DataFrame(
+                rows, columns=["grp", "n_pts", "sum_k", "sum_l"])
+
+    return j.mapInPandas(lattice, schema).orderBy("grp")
+
+
 def _erase_oracle() -> str:
     """Per a-feature lattice count of (in A) and (in A minus every
     overlapping B) — the Erase layer op's coverage, relationally."""

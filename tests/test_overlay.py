@@ -117,6 +117,32 @@ def test_overlay_hole_interaction():
     assert (m == want).all()
 
 
+def test_union_all_dissolve():
+    sq = lambda x0, y0, s: [np.array(
+        [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s], [x0, y0]],
+        float)]
+    # a 2x2 block of overlapping squares + one far island
+    polys = [sq(0, 0, 3), sq(2, 0, 3), sq(0, 2, 3), sq(2, 2, 3),
+             sq(100, 100, 2)]
+    blobs = overlay.union_all(polys)
+    assert len(blobs) == 2
+    areas = sorted(overlay.multi_area([b]) for b in blobs)
+    np.testing.assert_allclose(areas, [4.0, 25.0])
+    # adjacent (touching, not overlapping) squares dissolve too
+    chain = [sq(0, 0, 2), sq(2, 0, 2), sq(4, 0, 2)]
+    merged = overlay.union_all(chain)
+    assert len(merged) == 1
+    np.testing.assert_allclose(overlay.multi_area(merged), 12.0)
+    # rasterize roundtrip on random stars: the dissolved blobs cover
+    # exactly the union of the inputs
+    rng = np.random.default_rng(31)
+    stars = [_rand_poly(rng, rng.uniform(3, 7), rng.uniform(3, 7), 2.0)
+             for _ in range(4)]
+    got = _burn(overlay.union_all(stars))
+    want = _burn(stars)
+    assert (got == want).all()
+
+
 def test_relate_matrix():
     sq = lambda x0, y0, s: [np.array(
         [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s], [x0, y0]])]

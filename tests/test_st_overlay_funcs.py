@@ -94,6 +94,21 @@ def test_overlay_intersection_join_operator(spark):
     assert r["area"] == pytest.approx(4.0)
 
 
+def test_dissolve_geoms_operator(spark):
+    from gdal_spark.operators.overlay_join import dissolve_geoms
+
+    rows = [("a", bytearray(_sq(0, 0, 3))), ("a", bytearray(_sq(2, 0, 3))),
+            ("a", bytearray(_sq(50, 0, 1))),
+            ("b", bytearray(_sq(0, 0, 2)))]
+    df = spark.createDataFrame(rows, "grp string, geom binary")
+    out = {r["grp"]: r for r in dissolve_geoms(df, "grp").collect()}
+    assert out["a"]["n_members"] == 3 and out["a"]["n_parts"] == 2
+    assert out["a"]["area"] == pytest.approx(15.0 + 1.0)  # 3x5 blob + island
+    assert out["b"]["n_parts"] == 1 and out["b"]["area"] == pytest.approx(4.0)
+    parts = wkb.polygon_rings(bytes(out["a"]["geom"]))
+    assert len(parts) == 2
+
+
 def test_overlay_erase_operator(spark):
     a = spark.createDataFrame(
         [(1, bytearray(_sq(0, 0, 4))), (2, bytearray(_sq(100, 0, 2)))],
