@@ -27,15 +27,19 @@ from pyspark.sql import functions as F
 
 
 def _large_star(e: DataFrame) -> DataFrame:
+    # invariant: e arrives canonical (u > v) and distinct — initial
+    # edges are canonicalized and _small_star emits that form — so the
+    # symmetrization introduces no duplicates and large-star's output
+    # needs no dedup of its own (small-star re-canonicalizes +
+    # distincts next); this saves two shuffles per round
     sym = e.unionByName(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+        e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = (sym.groupBy("u").agg(F.min("v").alias("mv"))
             .select("u", F.least("u", "mv").alias("m")))
     return (sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .filter(F.col("u") != F.col("v"))
-            .distinct())
+            .filter(F.col("u") != F.col("v")))
 
 
 def _small_star(e: DataFrame) -> DataFrame:
@@ -72,8 +76,10 @@ def connected_components(edges: DataFrame,
     the full node universe — isolated nodes come back as their own
     component. Deterministic; every round is two shuffles.
     """
-    e = (edges.select(F.col(src).cast("long").alias("u"),
-                      F.col(dst).cast("long").alias("v"))
+    e = (edges.select(F.greatest(F.col(src).cast("long"),
+                                 F.col(dst).cast("long")).alias("u"),
+                      F.least(F.col(src).cast("long"),
+                              F.col(dst).cast("long")).alias("v"))
          .filter(F.col("u") != F.col("v"))
          .distinct())
 
