@@ -114,7 +114,8 @@ def main():
                   "dedup_minhash_pairs", "dedup_clusters",
                   "text_stats_by_lang",
                   "raster_density_checksum_z5", "raster_warp_checksum",
-                  "raster_warp_cubic_checksum", "geo_overlay_intersection"]:
+                  "raster_warp_cubic_checksum", "geo_overlay_intersection",
+                  "raster_grid_nearest", "geo_dissolve_union"]:
         fn = Q.QUERIES[qname]
         timed(qname, lambda f=fn: f(spark, SF_DIR).count())
 
