@@ -55,6 +55,24 @@ def reclassify(tiles: DataFrame, bounds: list[float],
     return calc(tiles, remap)
 
 
+def resize(tiles: DataFrame, spec: G.GridSpec, out_w: int, out_h: int,
+           kernel: str = "bilinear", tile: int | None = None) -> DataFrame:
+    """`gdal raster resize` (apps/gdalalg_raster_resize.cpp): same
+    extent, new pixel dimensions — delegated to the warp operator with
+    an identity CRS transform (resize IS a same-CRS warp), so every
+    warp kernel (near/bilinear/cubic/average) is available."""
+    from . import warp as W
+
+    x0, y0 = spec.gt[0], spec.gt[3]
+    x1 = x0 + spec.width * spec.gt[1]
+    y1 = y0 + spec.height * spec.gt[5]
+    dst = G.GridSpec(out_w, out_h,
+                     (x0, (x1 - x0) / out_w, 0.0,
+                      y0, 0.0, (y1 - y0) / out_h),
+                     crs=spec.crs, tile=tile or spec.tile)
+    return W.warp(tiles, spec, dst, kernel=kernel), dst
+
+
 def color_relief(tiles: DataFrame,
                  ramp: list[tuple[float, tuple[int, int, int]]],
                  nearest: bool = False) -> DataFrame:

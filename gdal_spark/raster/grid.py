@@ -56,16 +56,29 @@ class GridSpec:
         return h, w
 
     def world_to_pixel(self, x: np.ndarray, y: np.ndarray):
-        """Inverse geotransform -> fractional pixel coords (north-up)."""
-        if self.gt[2] != 0.0 or self.gt[4] != 0.0:
-            raise NotImplementedError("rotated geotransforms out of scope v1")
-        px = (np.asarray(x, np.float64) - self.gt[0]) / self.gt[1]
-        py = (np.asarray(y, np.float64) - self.gt[3]) / self.gt[5]
+        """Inverse geotransform -> fractional pixel coords. North-up
+        grids keep the round-1 two-division fast path (bit-stable for
+        every existing oracle); rotated geotransforms invert the full
+        2x2 affine (GDALInvGeoTransform, alg/gdaltransformer.cpp)."""
+        xv = np.asarray(x, np.float64)
+        yv = np.asarray(y, np.float64)
+        if self.gt[2] == 0.0 and self.gt[4] == 0.0:
+            return (xv - self.gt[0]) / self.gt[1], \
+                (yv - self.gt[3]) / self.gt[5]
+        det = self.gt[1] * self.gt[5] - self.gt[2] * self.gt[4]
+        dx = xv - self.gt[0]
+        dy = yv - self.gt[3]
+        px = (dx * self.gt[5] - dy * self.gt[2]) / det
+        py = (dy * self.gt[1] - dx * self.gt[4]) / det
         return px, py
 
     def pixel_center_world(self, px: np.ndarray, py: np.ndarray):
-        x = self.gt[0] + (np.asarray(px, np.float64) + 0.5) * self.gt[1]
-        y = self.gt[3] + (np.asarray(py, np.float64) + 0.5) * self.gt[5]
+        pxc = np.asarray(px, np.float64) + 0.5
+        pyc = np.asarray(py, np.float64) + 0.5
+        if self.gt[2] == 0.0 and self.gt[4] == 0.0:
+            return self.gt[0] + pxc * self.gt[1], self.gt[3] + pyc * self.gt[5]
+        x = self.gt[0] + pxc * self.gt[1] + pyc * self.gt[2]
+        y = self.gt[3] + pxc * self.gt[4] + pyc * self.gt[5]
         return x, y
 
 

@@ -101,3 +101,29 @@ def test_dep_ranges_cover_legacy_enumeration(spark):
             g = got[(ty, tx)]
             assert g[0] <= max(0, sy0) and g[1] >= min(7, sy1)
             assert g[2] <= max(0, sx0) and g[3] >= min(7, sx1)
+
+
+def test_resize_is_same_crs_warp(spark):
+    """resize == same-CRS warp: aligned 2x average downsample equals
+    the block mean; a rotated-geotransform grid inverts correctly."""
+    from gdal_spark.raster import calc as C
+
+    rng = np.random.default_rng(14)
+    spec = G.GridSpec(32, 32, (0.0, 1.0, 0.0, 32.0, 0.0, -1.0), tile=16)
+    canvas = rng.integers(0, 50, (32, 32)).astype(np.float64)
+    tiles = _tiles(spark, canvas, spec)
+    out, dst = C.resize(tiles, spec, 16, 16, kernel="average", tile=16)
+    got = tiles_to_canvas(out, dst)
+    want = canvas.reshape(16, 2, 16, 2).mean(axis=(1, 3))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_rotated_geotransform_roundtrip():
+    """Full-affine inverse (GDALInvGeoTransform analog)."""
+    spec = G.GridSpec(10, 10, (100.0, 2.0, 0.5, 50.0, -0.3, -1.5))
+    px = np.array([0.0, 3.7, 9.2])
+    py = np.array([1.0, 4.2, 8.8])
+    wx, wy = spec.pixel_center_world(px, py)
+    bx, by = spec.world_to_pixel(wx, wy)
+    np.testing.assert_allclose(bx, px + 0.5, rtol=1e-12)
+    np.testing.assert_allclose(by, py + 0.5, rtol=1e-12)
