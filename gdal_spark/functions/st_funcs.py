@@ -85,6 +85,14 @@ def st_isempty(g: pd.Series) -> pd.Series:
 
 
 @pandas_udf(T.BinaryType())
+def st_geomfromtext(w: pd.Series) -> pd.Series:
+    """ST_GeomFromText (ogrsqlitesqlfunctions.cpp registration list):
+    WKT -> WKB for POINT/LINESTRING/POLYGON/MULTIPOLYGON."""
+    return pd.Series([wkb.from_text(s) if s is not None else None
+                      for s in w])
+
+
+@pandas_udf(T.BinaryType())
 def st_makepoint(x: pd.Series, y: pd.Series) -> pd.Series:
     return pd.Series([wkb.point(float(a), float(b)) for a, b in zip(x, y)])
 
@@ -361,6 +369,7 @@ _REGISTRY = {
     "st_geometrytype": st_geometrytype,
     "st_astext": st_astext,
     "st_isempty": st_isempty,
+    "st_geomfromtext": st_geomfromtext,
     "st_makepoint": st_makepoint,
     "st_x": st_x,
     "st_y": st_y,

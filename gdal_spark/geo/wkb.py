@@ -146,3 +146,58 @@ def as_text(buf: bytes) -> str:
         polys = ["(" + ", ".join(fmt_ring(r) for r in p) + ")" for p in payload]
         return "MULTIPOLYGON (" + ", ".join(polys) + ")"
     raise ValueError(f"as_text unsupported for type {t}")
+
+
+def from_text(wkt: str) -> bytes:
+    """ST_GeomFromText analog: minimal WKT parser for POINT /
+    LINESTRING / POLYGON / MULTIPOLYGON (the inverse of as_text;
+    ogr OGRGeometryFactory::createFromWkt's 2-D subset)."""
+    import re as _re
+
+    s = wkt.strip()
+    m = _re.match(r"^([A-Za-z]+)\s*(.*)$", s, _re.DOTALL)
+    if not m:
+        raise ValueError(f"bad WKT: {wkt[:40]!r}")
+    kind = m.group(1).upper()
+    body = m.group(2).strip()
+
+    def parse_pts(txt: str) -> np.ndarray:
+        pts = []
+        for pair in txt.split(","):
+            xy = pair.split()
+            pts.append((float(xy[0]), float(xy[1])))
+        return np.array(pts, np.float64)
+
+    def split_groups(txt: str) -> list[str]:
+        """Split a parenthesized list at depth-0 commas."""
+        assert txt[0] == "(" and txt[-1] == ")", txt[:20]
+        inner = txt[1:-1]
+        out, depth, cur = [], 0, []
+        for ch in inner:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                out.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+        out.append("".join(cur).strip())
+        return out
+
+    if kind == "POINT":
+        p = parse_pts(body.strip("()"))
+        return point(float(p[0, 0]), float(p[0, 1]))
+    if kind == "LINESTRING":
+        return linestring(parse_pts(body.strip("()")))
+    if kind == "POLYGON":
+        rings = [parse_pts(g.strip("()")) for g in split_groups(body)]
+        return polygon(rings)
+    if kind == "MULTIPOLYGON":
+        polys = []
+        for grp in split_groups(body):
+            polys.append([parse_pts(g.strip("()"))
+                          for g in split_groups(grp)])
+        return multipolygon(polys)
+    raise ValueError(f"from_text unsupported for {kind}")

@@ -94,6 +94,27 @@ def test_overlay_intersection_join_operator(spark):
     assert r["area"] == pytest.approx(4.0)
 
 
+def test_st_geomfromtext_roundtrip(st):
+    df = st.createDataFrame(
+        [("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 1 2, 2 2, 2 1, 1 1))",),
+         ("POINT (3.5 -2.25)",),
+         ("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))",),
+         ("LINESTRING (0 0, 3 4)",)],
+        "w string")
+    df.createOrReplaceTempView("wkt")
+    rows = st.sql("""
+        SELECT st_geometrytype(st_geomfromtext(w)) AS t,
+               st_area(st_geomfromtext(w)) AS a,
+               st_astext(st_geomfromtext(w)) AS back
+        FROM wkt""").collect()
+    by_t = {r["t"]: r for r in rows}
+    assert by_t["POLYGON"]["a"] == pytest.approx(16.0 - 1.0)
+    assert by_t["MULTIPOLYGON"]["a"] == pytest.approx(1.0)
+    assert by_t["POINT"]["back"] == "POINT (3.5 -2.25)"
+    # textual roundtrip: parse(print(parse(w))) is stable
+    assert "LINESTRING" in by_t["LINESTRING"]["back"]
+
+
 def test_dissolve_geoms_operator(spark):
     from gdal_spark.operators.overlay_join import dissolve_geoms
 
