@@ -55,6 +55,89 @@ def reclassify(tiles: DataFrame, bounds: list[float],
     return calc(tiles, remap)
 
 
+def crop(tiles: DataFrame, spec: G.GridSpec,
+         x0: int, y0: int, w: int, h: int):
+    """`gdal raster clip` on a pixel window: -> (tiles', spec') where
+    spec' is the window's grid (geotransform shifted) and tiles'
+    re-addresses from (0, 0). Only tiles intersecting the window are
+    touched (a JVM tile-range filter prunes the rest before any Python
+    stage); window edges may cut tiles, handled per-tile in numpy.
+    Requires the window to be tile-aligned OR partial edge tiles are
+    emitted with their true (smaller) shapes via the new spec."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    t = spec.tile
+    new_spec = G.GridSpec(
+        w, h,
+        (spec.gt[0] + x0 * spec.gt[1] + y0 * spec.gt[2],
+         spec.gt[1], spec.gt[2],
+         spec.gt[3] + x0 * spec.gt[4] + y0 * spec.gt[5],
+         spec.gt[4], spec.gt[5]),
+        crs=spec.crs, tile=t)
+    tx0, tx1 = x0 // t, (x0 + w - 1) // t
+    ty0, ty1 = y0 // t, (y0 + h - 1) // t
+    cand = tiles.filter(
+        (F.col("tile_x") >= tx0) & (F.col("tile_x") <= tx1)
+        & (F.col("tile_y") >= ty0) & (F.col("tile_y") <= ty1))
+
+    def recut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # assemble the window's intersection per NEW tile key
+            pieces: dict[tuple[int, int], np.ndarray] = {}
+            for _, r in pdf.iterrows():
+                sty, stx = int(r["tile_y"]), int(r["tile_x"])
+                sh, sw = spec.tile_shape(sty, stx)
+                arr = np.asarray(r["px"], np.float64).reshape(sh, sw)
+                gy0, gx0 = sty * t, stx * t
+                iy0, iy1 = max(gy0, y0), min(gy0 + sh, y0 + h)
+                ix0, ix1 = max(gx0, x0), min(gx0 + sw, x0 + w)
+                if iy0 >= iy1 or ix0 >= ix1:
+                    continue
+                sub = arr[iy0 - gy0:iy1 - gy0, ix0 - gx0:ix1 - gx0]
+                # new-grid coords of the slice
+                ny0, nx0 = iy0 - y0, ix0 - x0
+                for nty in range(ny0 // t, (ny0 + sub.shape[0] - 1) // t + 1):
+                    for ntx in range(nx0 // t,
+                                     (nx0 + sub.shape[1] - 1) // t + 1):
+                        nh, nw = new_spec.tile_shape(nty, ntx)
+                        blk = pieces.setdefault(
+                            (nty, ntx), np.zeros((nh, nw)))
+                        oy0 = max(ny0, nty * t)
+                        ox0 = max(nx0, ntx * t)
+                        oy1 = min(ny0 + sub.shape[0], nty * t + nh)
+                        ox1 = min(nx0 + sub.shape[1], ntx * t + nw)
+                        blk[oy0 - nty * t:oy1 - nty * t,
+                            ox0 - ntx * t:ox1 - ntx * t] = \
+                            sub[oy0 - ny0:oy1 - ny0, ox0 - nx0:ox1 - nx0]
+            rows = [(nty, ntx, blk.ravel().tolist())
+                    for (nty, ntx), blk in pieces.items()]
+            yield pd.DataFrame(rows, columns=["tile_y", "tile_x", "px"])
+
+    # one source tile can contribute to up to 4 new tiles; group-merge
+    # partial contributions of the same new tile across source tiles
+    parts = cand.mapInPandas(recut, G.TILE_SCHEMA)
+    merged = (parts.groupBy("tile_y", "tile_x")
+              .applyInPandas(_merge_tile_parts_factory(new_spec),
+                             G.TILE_SCHEMA))
+    return merged, new_spec
+
+
+def _merge_tile_parts_factory(spec: G.GridSpec):
+    import pandas as pd
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ty, tx = int(key[0]), int(key[1])
+        h, w = spec.tile_shape(ty, tx)
+        acc = np.zeros((h, w))
+        for _, r in pdf.iterrows():
+            acc += np.asarray(r["px"], np.float64).reshape(h, w)
+        return pd.DataFrame({"tile_y": [ty], "tile_x": [tx],
+                             "px": [acc.ravel().tolist()]})
+
+    return merge
+
+
 def resize(tiles: DataFrame, spec: G.GridSpec, out_w: int, out_h: int,
            kernel: str = "bilinear", tile: int | None = None) -> DataFrame:
     """`gdal raster resize` (apps/gdalalg_raster_resize.cpp): same

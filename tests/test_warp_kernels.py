@@ -127,3 +127,21 @@ def test_rotated_geotransform_roundtrip():
     bx, by = spec.world_to_pixel(wx, wy)
     np.testing.assert_allclose(bx, px + 0.5, rtol=1e-12)
     np.testing.assert_allclose(by, py + 0.5, rtol=1e-12)
+
+
+def test_crop_pixel_window(spark):
+    """gdal raster clip on a non-tile-aligned pixel window: the cropped
+    canvas equals the numpy slice, re-addressed from (0, 0)."""
+    from gdal_spark.raster import calc as C
+
+    rng = np.random.default_rng(15)
+    spec = G.GridSpec(48, 48, (10.0, 0.5, 0.0, 20.0, 0.0, -0.5), tile=16)
+    canvas = rng.integers(0, 99, (48, 48)).astype(np.float64)
+    tiles = _tiles(spark, canvas, spec)
+    out, nspec = C.crop(tiles, spec, x0=5, y0=9, w=30, h=21)
+    assert (nspec.width, nspec.height) == (30, 21)
+    # geotransform shifted to the window origin
+    assert nspec.gt[0] == 10.0 + 5 * 0.5
+    assert nspec.gt[3] == 20.0 - 9 * 0.5
+    got = tiles_to_canvas(out, nspec)
+    np.testing.assert_array_equal(got, canvas[9:30, 5:35])
