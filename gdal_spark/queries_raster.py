@@ -678,6 +678,74 @@ def grid_nearest_q(spark, sf_dir):
             .orderBy("tile_y", "tile_x"))
 
 
+_RAMP = [(0.0, (0, 0, 255)), (2.0, (0, 255, 0)), (8.0, (255, 255, 0)),
+         (40.0, (255, 0, 0))]
+
+
+def _color_relief_oracle() -> str:
+    def chan_sql(ch: int) -> str:
+        stops = _RAMP
+        # mirrors calc.color_relief's nested-WHEN evaluation order and
+        # Python-folded literals exactly (v1-v0 and c1-c0 folded BEFORE
+        # the SQL, same as F.lit in the Column build)
+        branches = [f"WHEN v <= {float(stops[0][0])!r} "
+                    f"THEN {float(stops[0][1][ch])!r}"]
+        for i in range(1, len(stops)):
+            v0, c0 = float(stops[i - 1][0]), float(stops[i - 1][1][ch])
+            v1, c1 = float(stops[i][0]), float(stops[i][1][ch])
+            interp = (f"round({c0!r} + ((v - {v0!r}) / {v1 - v0!r}) "
+                      f"* {c1 - c0!r})")
+            branches.append(f"WHEN v <= {v1!r} THEN {interp}")
+        return ("CASE " + " ".join(branches)
+                + f" ELSE {float(stops[-1][1][ch])!r} END")
+
+    occ = f"""
+    occ AS (SELECT DISTINCT CAST(gy // {FTILE} AS INTEGER) AS tile_y,
+                            CAST(gx // {FTILE} AS INTEGER) AS tile_x FROM px),
+    allpx AS (
+      SELECT grid.tile_y, grid.tile_x, grid.gx, grid.gy,
+             coalesce(p.v, 0.0) AS v
+      FROM (SELECT o.tile_y, o.tile_x,
+                   o.tile_x * {FTILE} + dx.range AS gx,
+                   o.tile_y * {FTILE} + dy.range AS gy
+            FROM occ o, range({FTILE}) dx, range({FTILE}) dy) grid
+      LEFT JOIN px p ON p.gx = grid.gx AND p.gy = grid.gy)"""
+    return f"""
+    WITH {_px_cte(FZOOM, FTILE)},
+    {occ},
+    rgb AS (SELECT tile_y, tile_x, gx, gy,
+                   {chan_sql(0)} AS r, {chan_sql(1)} AS g,
+                   {chan_sql(2)} AS b
+            FROM allpx)
+    SELECT tile_y, tile_x,
+           {CK.checksum_sql('r', 'gx', 'gy', NF)} AS ck_r,
+           {CK.checksum_sql('g', 'gx', 'gy', NF)} AS ck_g,
+           {CK.checksum_sql('b', 'gx', 'gy', NF)} AS ck_b
+    FROM rgb GROUP BY tile_y, tile_x ORDER BY tile_y, tile_x
+    """
+
+
+@register("raster_color_relief_checksum", oracle=_color_relief_oracle())
+def color_relief_checksum(spark, sf_dir):
+    """gdaldem color-relief over the z3 density raster: a 4-stop ramp,
+    linear interpolation, per-tile checksums of all three channels.
+    Spark round (HALF_UP, positive domain) == DuckDB round (half away
+    from zero) on identical doubles, so the comparison is bit-exact."""
+    from .raster import calc as C
+
+    pts = pages.page_points(spark, sf_dir)
+    spec = G.world_3857(FZOOM, FTILE)
+    tiles = D.density_tiles(pts, FZOOM, FTILE)
+    rgb = C.color_relief(tiles, _RAMP)
+    out = None
+    for ch, name in (("r", "ck_r"), ("g", "ck_g"), ("b", "ck_b")):
+        one = R.tiles_checksum(
+            rgb.select("tile_y", "tile_x", F.col(ch).alias("px")), spec
+        ).select("tile_y", "tile_x", F.col("checksum").alias(name))
+        out = one if out is None else out.join(one, ["tile_y", "tile_x"])
+    return out.orderBy("tile_y", "tile_x")
+
+
 @register("raster_viewshed_counts")  # rows-only: see tests/test_viewshed.py
 def viewshed_counts_q(spark, sf_dir):
     """Viewshed (alg/viewshed/viewshed.cpp:124) over the z3 density
