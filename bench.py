@@ -115,7 +115,8 @@ def main():
                   "text_stats_by_lang",
                   "raster_density_checksum_z5", "raster_warp_checksum",
                   "raster_warp_cubic_checksum", "geo_overlay_intersection",
-                  "raster_grid_nearest", "geo_dissolve_union"]:
+                  "raster_grid_nearest", "geo_dissolve_union",
+                  "raster_color_relief_checksum"]:
         fn = Q.QUERIES[qname]
         timed(qname, lambda f=fn: f(spark, SF_DIR).count())
 
