@@ -233,10 +233,20 @@ def _keep_on(piece, partners, same_dir_keeps: bool) -> bool:
 
 def _stitch(pieces) -> list[np.ndarray]:
     """Walk directed pieces into closed loops (endpoints are bit-exact
-    shared floats, so a dict on the coordinate tuple suffices)."""
+    shared floats, so a dict on the coordinate tuple suffices).
+
+    Precision-degeneracy repair: when a walk dead-ends (possible when a
+    sliver thinner than double precision flips one midpoint
+    classification — e.g. an edge passing through the other polygon's
+    vertex within float eps), an unused piece ENDING at the stuck
+    point is traversed in reverse. Exact generic inputs never take
+    this branch; on eps-degenerate ones it recovers the principal loop
+    instead of dropping the whole result."""
     by_start: dict = {}
+    by_end: dict = {}
     for k, (p0, p1) in enumerate(pieces):
         by_start.setdefault(p0, []).append(k)
+        by_end.setdefault(p1, []).append(k)
     used = [False] * len(pieces)
     loops = []
     for k0 in range(len(pieces)):
@@ -244,18 +254,33 @@ def _stitch(pieces) -> list[np.ndarray]:
             continue
         loop = [pieces[k0][0]]
         cur = k0
+        cur_end = pieces[k0][1]
+        n_fwd, n_rev = 1, 0
         while True:
             used[cur] = True
-            end = pieces[cur][1]
-            loop.append(end)
-            if end == loop[0]:
+            loop.append(cur_end)
+            if cur_end == loop[0]:
                 break
-            nxts = [k for k in by_start.get(end, ()) if not used[k]]
-            if not nxts:
-                break  # open chain (degenerate input): drop
-            cur = nxts[0]
+            nxts = [k for k in by_start.get(cur_end, ()) if not used[k]]
+            if nxts:
+                cur = nxts[0]
+                cur_end = pieces[cur][1]
+                n_fwd += 1
+                continue
+            rev = [k for k in by_end.get(cur_end, ()) if not used[k]]
+            if rev:
+                cur = rev[0]
+                cur_end = pieces[cur][0]  # traverse reversed
+                n_rev += 1
+                continue
+            break  # open chain: drop
         if len(loop) >= 4 and loop[0] == loop[-1]:
             arr = np.array(loop, np.float64)
+            if n_rev > n_fwd:
+                # the walk entered through the flipped sliver piece and
+                # rode the rest of the cycle backwards: restore the
+                # majority (native) direction
+                arr = arr[::-1].copy()
             if geom.ring_area(arr) != 0.0:
                 loops.append(arr)
     return loops
