@@ -119,3 +119,41 @@ def test_overlay_eps_degenerate_sliver_recovers():
     au = overlay.multi_area(overlay.union(A, B))
     assert ai > 0 and au > max(aa, ab)           # nothing collapses
     assert abs((au + ai) - (aa + ab)) < 1e-2 * (aa + ab)
+
+
+@settings(max_examples=15, deadline=None, derandomize=True)
+@given(st.integers(0, 2**32 - 1))
+def test_viewshed_wall_monotonicity_property(seed):
+    """Raising terrain anywhere can only HIDE pixels, never reveal
+    them (LOS monotonicity) — a structural property of the kernel."""
+    from gdal_spark.raster import viewshed as V
+
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(0, 3, size=(24, 24))
+    ox, oy = int(rng.integers(0, 24)), int(rng.integers(0, 24))
+    v0 = V.viewshed_np(base, ox, oy, obs_height=2.0)
+    taller = base.copy()
+    y, x = int(rng.integers(0, 24)), int(rng.integers(0, 24))
+    if (y, x) == (oy, ox):
+        return
+    taller[y, x] += rng.uniform(5, 40)
+    v1 = V.viewshed_np(taller, ox, oy, obs_height=2.0)
+    # pixels visible after raising must have been visible before,
+    # except the raised pixel itself (its own target height changed)
+    mask = np.ones_like(v0, dtype=bool)
+    mask[y, x] = False
+    assert not ((v1 == 1.0) & (v0 == 0.0) & mask).any()
+
+
+@settings(max_examples=15, deadline=None, derandomize=True)
+@given(st.integers(0, 2**32 - 1))
+def test_cubic_weights_partition_of_unity_property(seed):
+    from gdal_spark.raster import warp as W
+
+    rng = np.random.default_rng(seed)
+    t = rng.uniform(0, 1, 100)
+    w0, w1, w2, w3 = W._cubic_weights(t)
+    np.testing.assert_allclose(w0 + w1 + w2 + w3, 1.0, atol=1e-12)
+    # linear precision: sum of w_i * x_i == x for offsets -1,0,1,2 at t
+    x = -1 * w0 + 0 * w1 + 1 * w2 + 2 * w3
+    np.testing.assert_allclose(x, t, atol=1e-12)
