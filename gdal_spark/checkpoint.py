@@ -97,7 +97,12 @@ def _purge_orphan_buckets(spark: SparkSession, path: str,
 
 def committed_buckets(spark: SparkSession, path: str) -> DataFrame | None:
     mpath = os.path.join(path, "_manifest")
-    if not os.path.exists(mpath):
+    # same Hadoop FS existence check as _purge_orphan_buckets: the
+    # manifest probe and the purge MUST see the same filesystem, or on
+    # a non-local FS the probe returns None and the purge then deletes
+    # every previously committed bucket before re-appending
+    fs, jmpath, _ = _hadoop_fs(spark, mpath)
+    if not fs.exists(jmpath):
         return None
     try:
         return spark.read.parquet(mpath)

@@ -21,10 +21,11 @@ sorted-neighbor expansion over ring queries":
     shrinks by cos(lat) toward the poles, so a constant-cells bound
     would be wrong off the equator;
  4. ring doubles until it covers the whole grid, at which point the
-    final pass — still the same cell equi-join, so the data side is
-    hash-partitioned once per pass rather than replicated per query —
-    completes any stragglers (sparse regions). Exact for all inputs,
-    with no cross-join cliff.
+    final pass joins the remaining stragglers against the DISTINCT
+    occupied-cell relation (bounded by the data, not by grid
+    resolution) — still the same cell equi-join, so the data side is
+    hash-partitioned once per pass rather than replicated per query.
+    Exact for all inputs, with no cross-join cliff on either side.
 
 Distances are squared-euclidean in lon/lat degrees — matching the
 DuckDB oracle's arithmetic bit-for-bit (identical doubles in, exactly
@@ -140,15 +141,24 @@ def knn_join(data: DataFrame, queries: DataFrame, k: int = 5,
     result = None
     pending = q
     while True:
-        # ring >= n covers every cell (lon wraps via pmod, the lat
-        # filter clamps rows): this is the exhaustive pass, expressed
-        # as the SAME cell equi-join — the data side is hash-shuffled
-        # ONCE per pass, never replicated per query and never
-        # cross-joined (the old max_ring cliff was pending x ALL data;
-        # on clustered data with sparse query outliers that was a
-        # scale cliff — now stragglers just keep doubling)
-        full = ring >= n
-        ring = min(ring, n)
+        if ring >= n:
+            # Exhaustive pass: pending stragglers must see every data
+            # point, so the candidate grain is pending x OCCUPIED
+            # cells (bounded by the data itself), NOT pending x
+            # (2n+1)^2 Chebyshev offsets — the offset table scales
+            # with grid resolution (multi-billion rows at z15) no
+            # matter how sparse the data is. Still the same cell
+            # equi-join: the data side is hash-shuffled once, never
+            # replicated per query; pending (few stragglers by now)
+            # is the broadcast side.
+            occ = d.select("d_cell").distinct()
+            expand = F.broadcast(
+                pending.select("q_id", "qx", "qy")).crossJoin(occ)
+            topk = topk_within(expand.join(d, "d_cell"))
+            # whole grid searched: every pending query is complete
+            # (queries with < k total data rows emit what exists)
+            rest = topk.select("q_id", "rank", "neighbor_id", "dist2")
+            return rest if result is None else result.unionByName(rest)
         offs = _ring_offsets(spark, ring)
         expand = (pending.crossJoin(F.broadcast(offs))
                   .withColumn("etx", F.pmod(F.col("qtx") + F.col("dx"), F.lit(n)))
@@ -160,11 +170,6 @@ def knn_join(data: DataFrame, queries: DataFrame, k: int = 5,
                       ["q_id", "d_cell"]))
         cand = expand.join(d, "d_cell")
         topk = topk_within(cand)
-        if full:
-            # whole grid searched: every pending query is complete
-            # (queries with < k total data rows emit what exists)
-            rest = topk.select("q_id", "rank", "neighbor_id", "dist2")
-            return rest if result is None else result.unionByName(rest)
         done_q = (topk.groupBy("q_id")
                   .agg(F.count(F.lit(1)).alias("n_hits"),
                        F.max("dist2").alias("kd"),

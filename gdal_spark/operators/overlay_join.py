@@ -57,8 +57,12 @@ def overlay_intersection_join(a: DataFrame, b: DataFrame,
         "cell_id", F.col("poly_id").alias("b_id"),
         F.col("geom").alias("b_geom"))
     pairs = ac.join(bc, "cell_id").drop("cell_id")
-    pairs = pairs.filter(F.col("a_id") < F.col("b_id") if same_layer
-                         else F.col("a_id") != F.col("b_id"))
+    if same_layer:
+        # id-based exclusion applies only to self-overlay; two distinct
+        # layers have independent id spaces, so a cross-layer pair with
+        # colliding ids is a real pair (reference OGRLayer::Intersection
+        # has no FID-equality exclusion)
+        pairs = pairs.filter(F.col("a_id") < F.col("b_id"))
     pairs = pairs.dropDuplicates(["a_id", "b_id"])
 
     def construct(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

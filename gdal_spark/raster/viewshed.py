@@ -130,6 +130,15 @@ def _hull_dep_ranges(spark, spec: G.GridSpec, ox: int, oy: int) -> DataFrame:
         T.StructField("sx1", T.IntegerType(), False),
     ])
     ocx, ocy = ox + 0.5, oy + 0.5
+    # Bilinear support margin: a ray sample at center-coord s reads
+    # integer pixels floor(s-0.5) and floor(s-0.5)+1, i.e. pixels up to
+    # 1.5 below / 0.5 above the sample coordinate. Dilating the exact
+    # ray envelope by MARGIN pixels on every side (band y-range, the
+    # per-band clip window, and the band x extremes) makes the gathered
+    # source set a superset of every pixel `_bilinear` can touch —
+    # without it a support pixel one row/col outside the hull reads as
+    # 0 and visibility flips vs the single-node oracle.
+    MARGIN = 2.0
 
     def run(batches):
         for pdf in batches:
@@ -137,19 +146,17 @@ def _hull_dep_ranges(spark, spec: G.GridSpec, ox: int, oy: int) -> DataFrame:
             for d_ty, d_tx in zip(pdf["d_ty"], pdf["d_tx"]):
                 d_ty, d_tx = int(d_ty), int(d_tx)
                 h, w = spec.tile_shape(d_ty, d_tx)
-                xs = [ocx, d_tx * t, d_tx * t + w]
                 ys = [ocy, d_ty * t, d_ty * t + h]
-                ty_lo = int(min(ys) // t)
-                ty_hi = int((max(ys) - 1e-9) // t)
+                ty_lo = int((min(ys) - MARGIN) // t)
+                ty_hi = int((max(ys) + MARGIN - 1e-9) // t)
                 # hull = segments observer -> each tile corner; per
                 # tile-row band take the x extreme of every segment
-                # clipped to the band (+ the tile's own x range where
-                # the band overlaps the tile)
+                # clipped to the band widened by the support margin
                 corners = [(d_tx * t, d_ty * t), (d_tx * t + w, d_ty * t),
                            (d_tx * t, d_ty * t + h),
                            (d_tx * t + w, d_ty * t + h)]
                 for ry in range(max(0, ty_lo), min(spec.tiles_y - 1, ty_hi) + 1):
-                    ylo, yhi = ry * t, (ry + 1) * t
+                    ylo, yhi = ry * t - MARGIN, (ry + 1) * t + MARGIN
                     band_x = []
                     for cx, cy in corners:
                         # clip segment (ocx,ocy)-(cx,cy) to [ylo, yhi]
@@ -164,8 +171,9 @@ def _hull_dep_ranges(spark, spec: G.GridSpec, ox: int, oy: int) -> DataFrame:
                             band_x.append(ocx + (cx - ocx) * s)
                     if not band_x:
                         continue
-                    sx0 = int(np.clip(min(band_x) // t, 0, spec.tiles_x - 1))
-                    sx1 = int(np.clip((max(band_x) - 1e-9) // t, 0,
+                    sx0 = int(np.clip((min(band_x) - MARGIN) // t, 0,
+                                      spec.tiles_x - 1))
+                    sx1 = int(np.clip((max(band_x) + MARGIN - 1e-9) // t, 0,
                                       spec.tiles_x - 1))
                     rows.append((d_ty, d_tx, ry, sx0, sx1))
             yield pd.DataFrame(

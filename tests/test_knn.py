@@ -47,3 +47,22 @@ def test_knn_initial_ring_estimate(spark):
     sparse = 500 / 4.0 ** 7
     est2 = (np.sqrt(3.0 * 5 / sparse) - 1.0) / 2.0
     assert np.ceil(est2) >= 8  # -> fast path at max_ring=8
+
+
+def test_knn_exhaustive_pass_via_occupied_cells(spark):
+    """Force the ring loop to reach the full-coverage pass (clustered
+    data + one far-outlier query, initial_ring pinned small): the
+    straggler must complete exactly, and the pass joins against the
+    occupied-cell relation, never an n^2 offset grid."""
+    pts = pages.synth_pages(spark, 2_000).select(
+        "doc_id", "lon", "lat", "cell_id").persist()
+    # queries include whatever outliers exist; take extreme-lon rows
+    qs = pts.orderBy(F.asc("lon")).limit(3).union(
+        pts.orderBy(F.desc("lon")).limit(3))
+    got = {(r["q_id"], r["rank"]): r["neighbor_id"]
+           for r in knn.knn_join(pts, qs, k=5, max_ring=64,
+                                 initial_ring=1).collect()}
+    want = {(r["q_id"], r["rank"]): r["neighbor_id"]
+            for r in _brute(pts, qs, 5).collect()}
+    assert got == want and len(got) == 30
+    pts.unpersist()

@@ -141,3 +141,18 @@ def test_overlay_erase_operator(spark):
     # 16 - 4 (overlap with 7) - 1 (corner overlap with 8) = 11
     assert out[1]["area"] == pytest.approx(11.0)
     assert out[2]["area"] == pytest.approx(4.0)  # untouched passthrough
+
+
+def test_overlay_intersection_join_cross_layer_id_collision(spark):
+    """Two distinct layers with colliding ids: the pair (1,1) is a real
+    cross-layer pair and must NOT be dropped (reference
+    OGRLayer::Intersection has no FID-equality exclusion)."""
+    a = spark.createDataFrame([(1, bytearray(_sq(0, 0, 4)))],
+                              "poly_id int, geom binary")
+    b = spark.createDataFrame([(1, bytearray(_sq(2, 2, 4)))],
+                              "poly_id int, geom binary")
+    out = overlay_intersection_join(a, b, same_layer=False).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["a_id"], r["b_id"]) == (1, 1)
+    assert r["area"] == pytest.approx(4.0)

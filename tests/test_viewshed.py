@@ -61,3 +61,34 @@ def test_viewshed_distributed_max_distance(spark):
     want = V.viewshed_np(canvas, 2, 10, obs_height=1.0,
                          max_distance=25.0, out_of_range=-2.0)
     np.testing.assert_array_equal(got, want)
+
+
+def test_viewshed_bilinear_support_margin(spark):
+    """ADVICE r2 repro: a terrain spike whose pixel sits one bilinear
+    support step outside the exact ray hull of a far target tile. The
+    gather must include it or those targets flip to visible."""
+    spec = G.GridSpec(64, 64, (0, 1, 0, 64, 0, -1), tile=16)
+    canvas = np.zeros((64, 64))
+    canvas[16, 48] = 80.0  # spike at pixel (x=48, y=16) = tile (1, 3)
+    tiles = _tiles(spark, canvas, spec)
+    got = tiles_to_canvas(
+        V.viewshed(tiles, spec, ox=51, oy=5, obs_height=2.0), spec)
+    want = V.viewshed_np(canvas, 51, 5, obs_height=2.0)
+    np.testing.assert_array_equal(got, want)
+    assert (want == 0.0).any()  # the spike casts a shadow
+
+
+def test_viewshed_boundary_adversarial_observers(spark):
+    """Spikes placed exactly on tile boundaries, observers near tile
+    corners: distributed must stay bit-identical to the oracle."""
+    spec = G.GridSpec(48, 48, (0, 1, 0, 48, 0, -1), tile=16)
+    canvas = np.zeros((48, 48))
+    for xy in (15, 16, 17, 31, 32, 33):
+        canvas[xy, xy] = 25.0
+        canvas[xy, 47 - xy] = 25.0
+    tiles = _tiles(spark, canvas, spec)
+    for ox, oy in ((0, 0), (15, 16), (32, 31), (47, 0), (1, 46)):
+        got = tiles_to_canvas(
+            V.viewshed(tiles, spec, ox=ox, oy=oy, obs_height=1.5), spec)
+        want = V.viewshed_np(canvas, ox, oy, obs_height=1.5)
+        np.testing.assert_array_equal(got, want)
