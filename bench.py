@@ -113,8 +113,8 @@ def main():
                   "geo_pip_join_shuffle", "geo_knn_ring",
                   "dedup_minhash_pairs", "dedup_clusters",
                   "text_stats_by_lang",
-                  "raster_density_checksum_z5", "raster_warp_checksum",
-                  "raster_warp_cubic_checksum", "geo_overlay_intersection",
+                  "raster_density_pyramid_checksum",
+                  "raster_warp_kernels_checksum", "geo_overlay_ops",
                   "raster_grid_nearest", "geo_dissolve_union",
                   "raster_color_relief_checksum"]:
         fn = Q.QUERIES[qname]

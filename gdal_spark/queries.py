@@ -288,50 +288,76 @@ _PTS_SQL = f"SELECT doc_id, {pages.LON_SQL} AS lon, {pages.LAT_SQL} AS lat FROM 
 
 
 @register(
-    "geo_cell_encode",
+    "geo_cell_tile_encode",
     oracle=f"""
-    WITH pts AS ({_PTS_SQL}),
-    txy AS (SELECT doc_id,
-                   {mercator.tile_x_sql('lon', cells.DEFAULT_RES)} AS tx,
-                   {mercator.tile_y_sql('lat', cells.DEFAULT_RES)} AS ty
-            FROM pts)
-    SELECT {cells.cell_from_tile_sql('tx', 'ty', cells.DEFAULT_RES)} AS cell_id,
-           count(*) AS n_pages, CAST(sum(doc_id) AS BIGINT) AS sum_doc
-    FROM txy GROUP BY cell_id ORDER BY cell_id
+    SELECT * FROM (
+      WITH pts AS ({_PTS_SQL}),
+      txy AS (SELECT doc_id,
+                     {mercator.tile_x_sql('lon', cells.DEFAULT_RES)} AS tx,
+                     {mercator.tile_y_sql('lat', cells.DEFAULT_RES)} AS ty
+              FROM pts)
+      SELECT 'cell' AS part,
+             CAST({cells.cell_from_tile_sql('tx', 'ty', cells.DEFAULT_RES)} AS VARCHAR) AS key,
+             count(*) AS m1, CAST(sum(doc_id) AS BIGINT) AS m2,
+             CAST(0 AS BIGINT) AS m3
+      FROM txy GROUP BY key
+      UNION ALL
+      SELECT 'tile' AS part,
+             CAST({mercator.tile_x_sql('lon', 8)} AS VARCHAR) || '/' ||
+             CAST({mercator.tile_y_sql('lat', 8)} AS VARCHAR) AS key,
+             count(*) AS m1, CAST(sum(doc_id) AS BIGINT) AS m2,
+             CAST(0 AS BIGINT) AS m3
+      FROM ({_PTS_SQL}) GROUP BY key
+      UNION ALL
+      SELECT 'dissolve_lang' AS part, lang AS key,
+             count(DISTINCT cell_id) AS m1,
+             min(cell_id) AS m2, max(cell_id) AS m3
+      FROM (
+        SELECT lang,
+               {cells.cell_from_tile_sql('tx', 'ty', cells.DEFAULT_RES)} AS cell_id
+        FROM (SELECT d.lang AS lang,
+                     {mercator.tile_x_sql(pages.LON_SQL.replace('doc_id', 'd.doc_id'), cells.DEFAULT_RES)} AS tx,
+                     {mercator.tile_y_sql(pages.LAT_SQL.replace('doc_id', 'd.doc_id'), cells.DEFAULT_RES)} AS ty
+              FROM documents d))
+      GROUP BY lang
+    ) ORDER BY part, key
     """,
 )
-def cell_encode(spark, sf_dir):
-    """Vectorized H3/S2-analog cell encoding — pure JVM column math
-    (geo.cells Morton quadkey; SURVEY §1 decision), aggregated per cell."""
+def cell_tile_encode(spark, sf_dir):
+    """Three faces of the cell index in one gate (merged so the whole
+    registry fits the driver's 50-entry CORRECTNESS window):
+    part='cell'          vectorized H3/S2-analog cell encoding (geo.cells
+                         Morton quadkey, SURVEY §1) aggregated per cell;
+    part='tile'          web-mercator XYZ tile assignment at z8
+                         (gdal2tiles math, SURVEY §2.9);
+    part='dissolve_lang' attribute dissolve on the cell coverage
+                         (apps/gdalalg_vector_dissolve.cpp: per language
+                         the dissolved footprint's cell count + extent).
+    All pure JVM column math, partial-aggregated groupBys."""
     p = pages.page_points(spark, sf_dir)
-    return (
-        p.groupBy("cell_id")
-        .agg(F.count(F.lit(1)).alias("n_pages"), F.sum("doc_id").alias("sum_doc"))
-        .orderBy("cell_id")
+    zero = F.lit(0).cast("long")
+    cell = (
+        p.groupBy(F.col("cell_id").cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).alias("m1"), F.sum("doc_id").alias("m2"))
+        .select(F.lit("cell").alias("part"), "key", "m1", "m2",
+                zero.alias("m3"))
     )
-
-
-@register(
-    "geo_tile_assign_z8",
-    oracle=f"""
-    WITH pts AS ({_PTS_SQL})
-    SELECT {mercator.tile_x_sql('lon', 8)} AS tile_x,
-           {mercator.tile_y_sql('lat', 8)} AS tile_y,
-           count(*) AS n_pages, CAST(sum(doc_id) AS BIGINT) AS sum_doc
-    FROM pts GROUP BY tile_x, tile_y ORDER BY tile_x, tile_y
-    """,
-)
-def tile_assign(spark, sf_dir):
-    """Web-mercator XYZ tile assignment at z8 (gdal2tiles math,
-    SURVEY §2.9 'gdal raster tile') as column expressions."""
-    p = pages.page_points(spark, sf_dir)
-    return (
+    tile = (
         p.withColumn("tile_x", mercator.tile_x_col(F.col("lon"), 8))
         .withColumn("tile_y", mercator.tile_y_col(F.col("lat"), 8))
-        .groupBy("tile_x", "tile_y")
-        .agg(F.count(F.lit(1)).alias("n_pages"), F.sum("doc_id").alias("sum_doc"))
-        .orderBy("tile_x", "tile_y")
+        .groupBy(F.concat(F.col("tile_x").cast("string"), F.lit("/"),
+                          F.col("tile_y").cast("string")).alias("key"))
+        .agg(F.count(F.lit(1)).alias("m1"), F.sum("doc_id").alias("m2"))
+        .select(F.lit("tile").alias("part"), "key", "m1", "m2",
+                zero.alias("m3"))
     )
+    dissolve = (
+        p.groupBy(F.col("lang").alias("key"))
+        .agg(F.countDistinct("cell_id").alias("m1"),
+             F.min("cell_id").alias("m2"), F.max("cell_id").alias("m3"))
+        .select(F.lit("dissolve_lang").alias("part"), "key", "m1", "m2", "m3")
+    )
+    return cell.unionByName(tile).unionByName(dissolve).orderBy("part", "key")
 
 
 def _pip_oracle() -> str:

@@ -90,7 +90,6 @@ def _overlay_oracle() -> str:
             + "\n) ORDER BY a_id, b_id")
 
 
-@register("geo_overlay_intersection", oracle=_overlay_oracle())
 def overlay_intersection_q(spark, sf_dir):
     """Geometry-CONSTRUCTING layer algebra (OGRLayer::Intersection,
     ogrlayer.cpp:5385): self-overlay of the admin fixture layer via the
@@ -336,7 +335,6 @@ def _erase_oracle() -> str:
             + "\n) ORDER BY a_id")
 
 
-@register("geo_overlay_erase", oracle=_erase_oracle())
 def overlay_erase_q(spark, sf_dir):
     """Erase WITH constructed geometry (ogrlayer.cpp:7846): each
     overlay-fixture feature minus all its overlapping siblings; the
@@ -396,6 +394,42 @@ def overlay_erase_q(spark, sf_dir):
     return j.mapInPandas(count_lattice, schema).orderBy("a_id")
 
 
+@register(
+    "geo_overlay_ops",
+    oracle=f"""
+    SELECT 'intersect' AS part, a_id, b_id,
+           n_pts AS m1, sum_k AS m2, sum_l AS m3
+    FROM ({_overlay_oracle()})
+    UNION ALL
+    SELECT 'erase' AS part, a_id, CAST(-1 AS INTEGER) AS b_id,
+           n_in_a AS m1, n_remaining AS m2, CAST(0 AS BIGINT) AS m3
+    FROM ({_erase_oracle()})
+    ORDER BY part, a_id, b_id
+    """,
+)
+def overlay_ops_q(spark, sf_dir):
+    """Geometry-CONSTRUCTING layer algebra, one gate for both ops
+    (merged so the registry fits the driver's 50-entry window):
+    part='intersect'  OGRLayer::Intersection (ogrlayer.cpp:5385) —
+                      lattice count + coordinate sums inside every
+                      constructed pairwise intersection;
+    part='erase'      OGRLayer::Erase (ogrlayer.cpp:7846) — per
+                      feature the lattice census of A and of the
+                      constructed A-minus-overlapping-siblings.
+    Both verified against independent half-plane reformulations in
+    DuckDB (see overlay_intersection_q / overlay_erase_q)."""
+    inter = overlay_intersection_q(spark, sf_dir).select(
+        F.lit("intersect").alias("part"), "a_id", "b_id",
+        F.col("n_pts").alias("m1"), F.col("sum_k").alias("m2"),
+        F.col("sum_l").alias("m3"))
+    erase = overlay_erase_q(spark, sf_dir).select(
+        F.lit("erase").alias("part"), "a_id",
+        F.lit(-1).cast("int").alias("b_id"),
+        F.col("n_in_a").alias("m1"), F.col("n_remaining").alias("m2"),
+        F.lit(0).cast("long").alias("m3"))
+    return inter.unionByName(erase).orderBy("part", "a_id", "b_id")
+
+
 def _zonal_oracle() -> str:
     zones = "\nUNION ALL\n".join(
         f"SELECT {pid} AS poly_id, doc_id FROM pts WHERE "
@@ -449,30 +483,9 @@ def zonal_stats(spark, sf_dir):
             .orderBy("poly_id"))
 
 
-@register(
-    "geo_dissolve_cells",
-    oracle=f"""
-    WITH pts AS (SELECT d.lang AS lang,
-                        {mercator.tile_x_sql(pages.LON_SQL.replace('doc_id', 'd.doc_id'), cells.DEFAULT_RES)} AS tx,
-                        {mercator.tile_y_sql(pages.LAT_SQL.replace('doc_id', 'd.doc_id'), cells.DEFAULT_RES)} AS ty
-                 FROM documents d),
-    cc AS (SELECT lang, {cells.cell_from_tile_sql('tx', 'ty', cells.DEFAULT_RES)} AS cell_id FROM pts)
-    SELECT lang, count(DISTINCT cell_id) AS n_cells,
-           min(cell_id) AS min_cell, max(cell_id) AS max_cell
-    FROM cc GROUP BY lang ORDER BY lang
-    """,
-)
-def dissolve_cells(spark, sf_dir):
-    """Dissolve (apps/gdalalg_vector_dissolve.cpp: group by attribute,
-    union geometries) restated on the cell coverage: per language the
-    dissolved footprint is its set of occupied cells — count + extent
-    per group, one partial-aggregated groupBy."""
-    pts = pages.page_points(spark, sf_dir)
-    return (pts.groupBy("lang")
-            .agg(F.countDistinct("cell_id").alias("n_cells"),
-                 F.min("cell_id").alias("min_cell"),
-                 F.max("cell_id").alias("max_cell"))
-            .orderBy("lang"))
+# geo_dissolve_cells was folded into queries.geo_cell_tile_encode
+# (part='dissolve_lang') so the registry fits the driver's 50-entry
+# CORRECTNESS window.
 
 
 def _special_fields_oracle() -> str:
@@ -548,17 +561,6 @@ def join_first_match(spark, sf_dir):
             .orderBy("c_custkey"))
 
 
-@register(
-    "ogr_like_ilike",
-    oracle="""
-    SELECT count(*) FILTER (WHERE p_name LIKE 'small%') AS like_lower,
-           count(*) FILTER (WHERE p_name LIKE 'SMALL%') AS like_upper,
-           count(*) FILTER (WHERE p_name ILIKE 'SMALL%') AS ilike_upper,
-           count(*) FILTER (WHERE p_name LIKE '%bolt') AS like_suffix,
-           count(*) FILTER (WHERE p_name LIKE '%l_l%') AS like_underscore
-    FROM part
-    """,
-)
 def like_ilike(spark, sf_dir):
     """LIKE is case-sensitive, ILIKE case-insensitive (swq ops
     SWQ_LIKE/SWQ_ILIKE, ogr/ogr_swq.h:53-54; matcher swq_op_general.cpp:41;
@@ -573,18 +575,6 @@ def like_ilike(spark, sf_dir):
     )
 
 
-@register(
-    "ogr_cast_substr_concat",
-    oracle="""
-    SELECT c_custkey,
-           substr(c_name, 1, 5) AS name5,
-           substr(c_name, -3, 3) AS name_tail,
-           concat(c_mktsegment, '#', CAST(c_nationkey AS VARCHAR)) AS seg_nation,
-           CAST(floor(c_acctbal) AS BIGINT) AS bal_floor,
-           upper(c_mktsegment) AS seg_upper
-    FROM customer ORDER BY c_custkey LIMIT 100
-    """,
-)
 def cast_substr_concat(spark, sf_dir):
     """Scalar string/cast surface (swq_op_registrar.cpp:28-62):
     1-based SUBSTR incl. negative start (swq_op_general.cpp SUBSTR),
@@ -599,6 +589,64 @@ def cast_substr_concat(spark, sf_dir):
         F.floor("c_acctbal").cast("long").alias("bal_floor"),
         F.upper("c_mktsegment").alias("seg_upper"),
     ).orderBy("c_custkey").limit(100))
+
+
+_LIKE_CASES = [
+    ("like_lower", "p_name LIKE 'small%'"),
+    ("like_upper", "p_name LIKE 'SMALL%'"),
+    ("ilike_upper", "p_name ILIKE 'SMALL%'"),
+    ("like_suffix", "p_name LIKE '%bolt'"),
+    ("like_underscore", "p_name LIKE '%l_l%'"),
+]
+
+
+@register(
+    "ogr_scalar_funcs",
+    oracle=f"""
+    SELECT * FROM (
+      {" UNION ALL ".join(
+          f"SELECT '{tag}' AS part, CAST(0 AS BIGINT) AS key,"
+          f" CAST(NULL AS VARCHAR) AS v1, CAST(NULL AS VARCHAR) AS v2,"
+          f" CAST(NULL AS VARCHAR) AS v3, CAST(NULL AS VARCHAR) AS v4,"
+          f" count(*) FILTER (WHERE {cond}) AS n FROM part"
+          for tag, cond in _LIKE_CASES)}
+      UNION ALL
+      SELECT 'scalar' AS part, CAST(c_custkey AS BIGINT) AS key,
+             substr(c_name, 1, 5) AS v1,
+             substr(c_name, -3, 3) AS v2,
+             concat(c_mktsegment, '#', CAST(c_nationkey AS VARCHAR)) AS v3,
+             upper(c_mktsegment) AS v4,
+             CAST(floor(c_acctbal) AS BIGINT) AS n
+      FROM (SELECT * FROM customer ORDER BY c_custkey LIMIT 100)
+    ) ORDER BY part, key
+    """,
+)
+def scalar_funcs_q(spark, sf_dir):
+    """The OGR SQL scalar surface in one gate (merged for the driver's
+    50-entry window):
+    part='like_*'/'ilike_*'  LIKE case-sensitive vs ILIKE insensitive
+                             (SWQ_LIKE/SWQ_ILIKE, ogr/ogr_swq.h:53-54;
+                             matcher swq_op_general.cpp:41);
+    part='scalar'            1-based SUBSTR incl. negative start,
+                             CONCAT, CAST, UPPER, FLOOR
+                             (swq_op_registrar.cpp:28-62)."""
+    like_row = like_ilike(spark, sf_dir)
+    stack_args = ", ".join(f"'{tag}', {tag}" for tag, _ in _LIKE_CASES)
+    likes = like_row.select(
+        F.expr(f"stack({len(_LIKE_CASES)}, {stack_args}) AS (part, n)")
+    ).select(
+        "part", F.lit(0).cast("long").alias("key"),
+        F.lit(None).cast("string").alias("v1"),
+        F.lit(None).cast("string").alias("v2"),
+        F.lit(None).cast("string").alias("v3"),
+        F.lit(None).cast("string").alias("v4"), "n")
+    scal = cast_substr_concat(spark, sf_dir).select(
+        F.lit("scalar").alias("part"),
+        F.col("c_custkey").cast("long").alias("key"),
+        F.col("name5").alias("v1"), F.col("name_tail").alias("v2"),
+        F.col("seg_nation").alias("v3"), F.col("seg_upper").alias("v4"),
+        F.col("bal_floor").alias("n"))
+    return likes.unionByName(scal).orderBy("part", "key")
 
 
 @register(
@@ -620,19 +668,6 @@ def orderby_limit_offset(spark, sf_dir):
             .offset(5).limit(20))
 
 
-@register(
-    "ogr_set_ops",
-    oracle="""
-    SELECT 'both' AS which, n FROM (
-      SELECT DISTINCT c_nationkey AS n FROM customer
-      INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
-    UNION ALL
-    SELECT 'cust_only' AS which, n FROM (
-      SELECT DISTINCT c_nationkey AS n FROM customer
-      EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
-    ORDER BY which, n
-    """,
-)
 def set_ops(spark, sf_dir):
     """Row set ops (SQLite-dialect surface, SURVEY §2.7): INTERSECT and
     EXCEPT over nation keys."""
@@ -643,17 +678,6 @@ def set_ops(spark, sf_dir):
     return both.unionByName(only).select("which", "n").orderBy("which", "n")
 
 
-@register(
-    "ogr_union_layer",
-    oracle="""
-    SELECT r_regionkey AS key, r_name AS name, CAST(NULL AS INTEGER) AS parent
-    FROM region
-    UNION ALL
-    SELECT n_nationkey AS key, n_name AS name, n_regionkey AS parent
-    FROM nation
-    ORDER BY key, name
-    """,
-)
 def union_layer(spark, sf_dir):
     """OGRUnionLayer semantics (ogr/ogrsf_frmts/generic/ogrunionlayer.h:59):
     concatenation with schema reconciliation — fields missing from one
@@ -665,6 +689,51 @@ def union_layer(spark, sf_dir):
         F.col("n_regionkey").alias("parent"))
     return (r.unionByName(n, allowMissingColumns=True)
             .select("key", "name", "parent").orderBy("key", "name"))
+
+
+@register(
+    "ogr_set_union_ops",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'setop' AS part, which, CAST(n AS BIGINT) AS key,
+             CAST(NULL AS VARCHAR) AS name, CAST(NULL AS INTEGER) AS parent
+      FROM (
+        SELECT 'both' AS which, n FROM (
+          SELECT DISTINCT c_nationkey AS n FROM customer
+          INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT 'cust_only' AS which, n FROM (
+          SELECT DISTINCT c_nationkey AS n FROM customer
+          EXCEPT SELECT DISTINCT s_nationkey FROM supplier))
+      UNION ALL
+      SELECT 'union' AS part, CAST(NULL AS VARCHAR) AS which,
+             CAST(key AS BIGINT) AS key, name, parent
+      FROM (
+        SELECT r_regionkey AS key, r_name AS name,
+               CAST(NULL AS INTEGER) AS parent FROM region
+        UNION ALL
+        SELECT n_nationkey AS key, n_name AS name, n_regionkey AS parent
+        FROM nation)
+    ) ORDER BY part, which, key, name
+    """,
+)
+def set_union_ops_q(spark, sf_dir):
+    """Set operations, one gate (merged for the 50-entry window):
+    part='setop'  INTERSECT / EXCEPT over nation keys (SQLite-dialect
+                  surface, SURVEY §2.7);
+    part='union'  OGRUnionLayer concatenation with schema
+                  reconciliation (ogrunionlayer.h:59) — fields missing
+                  from one source become NULL."""
+    so = set_ops(spark, sf_dir).select(
+        F.lit("setop").alias("part"), "which",
+        F.col("n").cast("long").alias("key"),
+        F.lit(None).cast("string").alias("name"),
+        F.lit(None).cast("int").alias("parent"))
+    ul = union_layer(spark, sf_dir).select(
+        F.lit("union").alias("part"),
+        F.lit(None).cast("string").alias("which"),
+        F.col("key").cast("long").alias("key"), "name", "parent")
+    return so.unionByName(ul).orderBy("part", "which", "key", "name")
 
 
 def _emb_cosine_oracle(threshold: float = 0.35, dim: int = 64) -> str:
@@ -752,18 +821,6 @@ def asof_purchase(spark, sf_dir):
 # Window / frames / sessionization (SURVEY §2.5)
 # =====================================================================
 
-@register(
-    "window_rolling_sum",
-    oracle="""
-    SELECT user_id, event_id,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll3,
-           count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n_in_frame
-    FROM events ORDER BY user_id, event_id
-    """,
-)
 def rolling_sum(spark, sf_dir):
     """ROWS-frame rolling aggregate (SQLite-dialect window surface).
     The sum goes through DECIMAL so frame-internal float order (Spark
@@ -817,16 +874,6 @@ def sessionize(spark, sf_dir):
             .orderBy("user_id", "session_id"))
 
 
-@register(
-    "window_rank_dense",
-    oracle="""
-    SELECT event_type, event_id,
-           rank() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rnk,
-           dense_rank() OVER (PARTITION BY event_type
-                              ORDER BY CAST(floor(value) AS BIGINT) DESC) AS drnk
-    FROM events QUALIFY rnk <= 5 ORDER BY event_type, rnk, event_id
-    """,
-)
 def rank_dense(spark, sf_dir):
     """rank/dense_rank + top-k-per-group (the OVER surface of the
     SQLite dialect, executed by Catalyst's window operator)."""
@@ -839,6 +886,51 @@ def rank_dense(spark, sf_dir):
                       F.dense_rank().over(w2).alias("drnk"))
             .filter(F.col("rnk") <= 5)
             .orderBy("event_type", "rnk", "event_id"))
+
+
+@register(
+    "window_frames",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'roll' AS part, CAST(user_id AS VARCHAR) AS key, event_id,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS d,
+             count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS m1,
+             CAST(0 AS BIGINT) AS m2
+      FROM events
+      UNION ALL
+      SELECT 'rank' AS part, event_type AS key, event_id,
+             CAST(NULL AS DOUBLE) AS d, CAST(rnk AS BIGINT) AS m1,
+             CAST(drnk AS BIGINT) AS m2
+      FROM (
+        SELECT event_type, event_id,
+               rank() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rnk,
+               dense_rank() OVER (PARTITION BY event_type
+                                  ORDER BY CAST(floor(value) AS BIGINT) DESC) AS drnk
+        FROM events QUALIFY rnk <= 5)
+    ) ORDER BY part, key, event_id
+    """,
+)
+def window_frames_q(spark, sf_dir):
+    """The Catalyst window-operator surface, one gate (merged for the
+    50-entry window):
+    part='roll'  ROWS-frame rolling DECIMAL sum + frame count
+                 (frame-internal float order pinned by DECIMAL);
+    part='rank'  rank/dense_rank + top-k-per-group."""
+    roll = rolling_sum(spark, sf_dir).select(
+        F.lit("roll").alias("part"),
+        F.col("user_id").cast("string").alias("key"), "event_id",
+        F.col("roll3").alias("d"), F.col("n_in_frame").alias("m1"),
+        F.lit(0).cast("long").alias("m2"))
+    rk = rank_dense(spark, sf_dir).select(
+        F.lit("rank").alias("part"), F.col("event_type").alias("key"),
+        "event_id", F.lit(None).cast("double").alias("d"),
+        F.col("rnk").cast("long").alias("m1"),
+        F.col("drnk").cast("long").alias("m2"))
+    return roll.unionByName(rk).orderBy("part", "key", "event_id")
 
 
 @register(
@@ -899,23 +991,6 @@ def _count_kw_col(kw: str):
             - F.length(F.replace(F.col("text"), F.lit(kw), F.lit("")))) / F.lit(len(kw))
 
 
-@register(
-    "text_langid_stopwords",
-    oracle=f"""
-    WITH scored AS (
-      SELECT lang,
-             ({' + '.join(_count_kw_sql(k) for k in _LANG_KW['en'])}) AS s_en,
-             ({' + '.join(_count_kw_sql(k) for k in _LANG_KW['de'])}) AS s_de,
-             ({' + '.join(_count_kw_sql(k) for k in _LANG_KW['fr'])}) AS s_fr
-      FROM documents),
-    pred AS (SELECT lang,
-                    CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
-                         WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang
-             FROM scored)
-    SELECT lang, pred_lang, count(*) AS n_docs
-    FROM pred GROUP BY lang, pred_lang ORDER BY lang, pred_lang
-    """,
-)
 def langid_stopwords(spark, sf_dir):
     """Heuristic language ID by stopword-hit scoring (the n-gram
     heuristic of SURVEY's training-data ops) — occurrence counting via
@@ -939,9 +1014,7 @@ def langid_stopwords(spark, sf_dir):
             .orderBy("lang", "pred_lang"))
 
 
-@register(
-    "text_quality_buckets",
-    oracle="""
+_QUALITY_ORACLE = """
     WITH q AS (
       SELECT doc_id,
              (length(text) - length(replace(text, ' ', '')) + 1) AS n_tok,
@@ -956,9 +1029,10 @@ def langid_stopwords(spark, sf_dir):
            count(*) AS n_docs,
            CAST(floor(10000.0 * min(filler_ratio)) AS BIGINT) AS min_filler_bp,
            CAST(floor(10000.0 * max(filler_ratio)) AS BIGINT) AS max_filler_bp
-    FROM s GROUP BY len_bucket ORDER BY len_bucket
-    """,
-)
+    FROM s GROUP BY len_bucket
+"""
+
+
 def quality_buckets(spark, sf_dir):
     """Document quality scoring: token-length and filler-word ratios
     (length/stopword-ratio features of SURVEY's training-data ops),
@@ -978,18 +1052,17 @@ def quality_buckets(spark, sf_dir):
             .orderBy("len_bucket"))
 
 
-@register(
-    "text_fingerprint",
-    oracle="""
+_FP_ORACLE = """
     WITH pos AS (
       SELECT doc_id, text,
              unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
       FROM documents),
     g AS (SELECT doc_id, md5(substr(text, CAST(i AS INTEGER), 8)) AS h FROM pos)
     SELECT doc_id, min(h) AS fingerprint, count(DISTINCT h) AS n_shingles
-    FROM g GROUP BY doc_id ORDER BY doc_id
-    """,
-)
+    FROM g GROUP BY doc_id
+"""
+
+
 def fingerprint(spark, sf_dir):
     """Document fingerprinting: winnowing-style minimum over the
     character-8-gram hash set (rolling-hash family of SURVEY's
@@ -1005,6 +1078,69 @@ def fingerprint(spark, sf_dir):
             .agg(F.min("h").alias("fingerprint"),
                  F.countDistinct("h").alias("n_shingles"))
             .orderBy("doc_id"))
+
+
+def _langid_oracle_core() -> str:
+    return f"""
+    SELECT lang, pred_lang, count(*) AS n_docs FROM (
+      SELECT lang,
+             CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+                  WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang
+      FROM (
+        SELECT lang,
+               ({' + '.join(_count_kw_sql(k) for k in _LANG_KW['en'])}) AS s_en,
+               ({' + '.join(_count_kw_sql(k) for k in _LANG_KW['de'])}) AS s_de,
+               ({' + '.join(_count_kw_sql(k) for k in _LANG_KW['fr'])}) AS s_fr
+        FROM documents))
+    GROUP BY lang, pred_lang
+    """
+
+
+@register(
+    "text_metrics",
+    oracle=f"""
+    SELECT * FROM (
+      SELECT 'langid' AS part, lang AS key, pred_lang AS s,
+             n_docs AS m1, CAST(0 AS BIGINT) AS m2, CAST(0 AS BIGINT) AS m3
+      FROM ({_langid_oracle_core()})
+      UNION ALL
+      SELECT 'quality' AS part, CAST(len_bucket AS VARCHAR) AS key,
+             CAST(NULL AS VARCHAR) AS s,
+             n_docs AS m1, min_filler_bp AS m2, max_filler_bp AS m3
+      FROM ({_QUALITY_ORACLE})
+      UNION ALL
+      SELECT 'fp' AS part, CAST(doc_id AS VARCHAR) AS key,
+             fingerprint AS s, n_shingles AS m1,
+             CAST(0 AS BIGINT) AS m2, CAST(0 AS BIGINT) AS m3
+      FROM ({_FP_ORACLE})
+    ) ORDER BY part, key
+    """,
+)
+def text_metrics_q(spark, sf_dir):
+    """Text-analysis training-data ops, one gate (merged for the
+    50-entry window):
+    part='langid'   stopword-scored language-ID confusion matrix;
+    part='quality'  token-length / filler-ratio quality buckets;
+    part='fp'       winnowing-style 8-gram fingerprint + shingle
+                    cardinality per document.
+    All JVM string expressions, no Python UDFs."""
+    zero = F.lit(0).cast("long")
+    lid = langid_stopwords(spark, sf_dir).select(
+        F.lit("langid").alias("part"), F.col("lang").alias("key"),
+        F.col("pred_lang").alias("s"), F.col("n_docs").alias("m1"),
+        zero.alias("m2"), zero.alias("m3"))
+    qb = quality_buckets(spark, sf_dir).select(
+        F.lit("quality").alias("part"),
+        F.col("len_bucket").cast("string").alias("key"),
+        F.lit(None).cast("string").alias("s"),
+        F.col("n_docs").alias("m1"), F.col("min_filler_bp").alias("m2"),
+        F.col("max_filler_bp").alias("m3"))
+    fp = fingerprint(spark, sf_dir).select(
+        F.lit("fp").alias("part"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("fingerprint").alias("s"), F.col("n_shingles").alias("m1"),
+        zero.alias("m2"), zero.alias("m3"))
+    return lid.unionByName(qb).unionByName(fp).orderBy("part", "key")
 
 
 @register(

@@ -47,10 +47,6 @@ def _tile_checksum_sql(width: int, tile: int) -> str:
     """
 
 
-@register(
-    "raster_density_checksum_z5",
-    oracle=f"WITH {_px_cte(ZOOM, TILE)}\n{_tile_checksum_sql(N5, TILE)}",
-)
 def density_checksum(spark, sf_dir):
     """Page-density raster at z5 (the rasterized point layer of the
     north star), gated by per-tile GDAL checksums. Pixel assignment is
@@ -63,10 +59,6 @@ def density_checksum(spark, sf_dir):
             .orderBy("tile_y", "tile_x"))
 
 
-@register(
-    "raster_pyramid_checksum_z3",
-    oracle=f"WITH {_px_cte(3, TILE)}\n{_tile_checksum_sql((1 << 3) * TILE, TILE)}",
-)
 def pyramid_checksum(spark, sf_dir):
     """Overview pyramid z5 -> z3 with the SUM kernel (counts stay
     counts). Oracle identity: sum-downsampling density == computing
@@ -80,6 +72,33 @@ def pyramid_checksum(spark, sf_dir):
     return (R.tiles_checksum(levels[3], spec)
             .filter(F.col("n_nonzero") > 0)
             .orderBy("tile_y", "tile_x"))
+
+
+@register(
+    "raster_density_pyramid_checksum",
+    oracle=f"""
+    SELECT 5 AS zoom, tile_y, tile_x, checksum, n_nonzero FROM (
+      WITH {_px_cte(ZOOM, TILE)}
+      {_tile_checksum_sql(N5, TILE)})
+    UNION ALL
+    SELECT 3 AS zoom, tile_y, tile_x, checksum, n_nonzero FROM (
+      WITH {_px_cte(3, TILE)}
+      {_tile_checksum_sql((1 << 3) * TILE, TILE)})
+    ORDER BY zoom, tile_y, tile_x
+    """,
+)
+def density_pyramid_checksum(spark, sf_dir):
+    """The density raster family, one gate (merged for the 50-entry
+    window): zoom=5 the base page-density raster (rasterized point
+    layer of the north star), zoom=3 the overview pyramid built from
+    it with the SUM kernel — gated by per-tile GDAL checksums; the
+    pyramid oracle is the exact floor-composition identity
+    (sum-downsampling density == density on the coarser grid)."""
+    z5 = density_checksum(spark, sf_dir).select(
+        F.lit(5).alias("zoom"), "tile_y", "tile_x", "checksum", "n_nonzero")
+    z3 = pyramid_checksum(spark, sf_dir).select(
+        F.lit(3).alias("zoom"), "tile_y", "tile_x", "checksum", "n_nonzero")
+    return z5.unionByName(z3).orderBy("zoom", "tile_y", "tile_x")
 
 
 # ------------------------------------------------------------- rasterize
@@ -165,7 +184,6 @@ def _warp_oracle() -> str:
     """
 
 
-@register("raster_warp_checksum", oracle=_warp_oracle())
 def warp_checksum(spark, sf_dir):
     """gdalwarp analog: reproject the z5 density raster from
     EPSG:3857 to a 1000x500 EPSG:4326 grid with the NEAR kernel;
@@ -322,7 +340,6 @@ def _warp_kernel_query(spark, sf_dir, kernel: str):
             .orderBy("tile_y", "tile_x"))
 
 
-@register("raster_warp_cubic_checksum", oracle=_warp_cubic_oracle())
 def warp_cubic_checksum(spark, sf_dir):
     """gdalwarp -r cubic (gdalwarper.h GRA_Cubic, a = -0.5 cubic
     convolution): z5 density 3857 -> 4326, per-tile checksums. The
@@ -331,13 +348,45 @@ def warp_cubic_checksum(spark, sf_dir):
     return _warp_kernel_query(spark, sf_dir, "cubic")
 
 
-@register("raster_warp_average_checksum", oracle=_warp_average_oracle())
 def warp_average_checksum(spark, sf_dir):
     """gdalwarp -r average (GRA_Average): mean of source pixels in the
     dst pixel's source-space footprint (integer-valued band -> exact
     integer box sums on both engines; empty footprints degrade to the
     center pixel, GDAL-style)."""
     return _warp_kernel_query(spark, sf_dir, "average")
+
+
+def _warp_kernels_oracle() -> str:
+    branches = [
+        f"SELECT 'near' AS kernel, tile_y, tile_x, checksum, n_nonzero"
+        f" FROM ({_warp_oracle()})",
+        f"SELECT 'cubic' AS kernel, tile_y, tile_x, checksum, n_nonzero"
+        f" FROM ({_warp_cubic_oracle()})",
+        f"SELECT 'average' AS kernel, tile_y, tile_x, checksum, n_nonzero"
+        f" FROM ({_warp_average_oracle()})",
+    ]
+    return ("\nUNION ALL\n".join(branches)
+            + "\nORDER BY kernel, tile_y, tile_x")
+
+
+@register("raster_warp_kernels_checksum", oracle=_warp_kernels_oracle())
+def warp_kernels_checksum(spark, sf_dir):
+    """gdalwarp resampling kernels, one gate (merged for the 50-entry
+    window): the z5 density raster reprojected EPSG:3857 -> EPSG:4326
+    with NEAR (1000x500 grid), CUBIC and AVERAGE (500x250 grid), each
+    branch checksummed per tile against its bit-exact SQL oracle (see
+    warp_checksum / warp_cubic_checksum / warp_average_checksum)."""
+    near = warp_checksum(spark, sf_dir).select(
+        F.lit("near").alias("kernel"), "tile_y", "tile_x",
+        "checksum", "n_nonzero")
+    cub = warp_cubic_checksum(spark, sf_dir).select(
+        F.lit("cubic").alias("kernel"), "tile_y", "tile_x",
+        "checksum", "n_nonzero")
+    avg = warp_average_checksum(spark, sf_dir).select(
+        F.lit("average").alias("kernel"), "tile_y", "tile_x",
+        "checksum", "n_nonzero")
+    return (near.unionByName(cub).unionByName(avg)
+            .orderBy("kernel", "tile_y", "tile_x"))
 
 
 # ------------------------------------------------------------ polygonize
@@ -429,9 +478,7 @@ def focal_sum_checksum(spark, sf_dir):
             .orderBy("tile_y", "tile_x"))
 
 
-@register(
-    "raster_reclassify_checksum",
-    oracle=f"""
+_RECLASSIFY_ORACLE = f"""
     WITH {_px_cte(ZOOM, TILE)},
     px2 AS (SELECT gx, gy,
                    CAST(CASE WHEN v >= 1 AND v < 2 THEN 10
@@ -445,8 +492,9 @@ def focal_sum_checksum(spark, sf_dir):
     FROM px2 GROUP BY tile_y, tile_x
     HAVING count(*) FILTER (WHERE v <> 0) > 0
     ORDER BY tile_y, tile_x
-    """,
-)
+    """
+
+
 def reclassify_checksum(spark, sf_dir):
     """Reclassify (apps/gdalalg_raster_reclassify.cpp range table) of
     the z5 density raster — runs as F.transform over the pixel array
@@ -462,10 +510,6 @@ def reclassify_checksum(spark, sf_dir):
             .orderBy("tile_y", "tile_x"))
 
 
-@register(
-    "raster_mosaic_checksum",
-    oracle=f"WITH {_px_cte(ZOOM, TILE)}\n{_tile_checksum_sql(N5, TILE)}",
-)
 def mosaic_checksum(spark, sf_dir):
     """Mosaic (apps/gdalalg_raster_mosaic.cpp, sum method): densities
     of the 'en' docs and the non-'en' docs mosaicked back together must
@@ -484,6 +528,35 @@ def mosaic_checksum(spark, sf_dir):
     return (R.tiles_checksum(merged, spec)
             .filter(F.col("n_nonzero") > 0)
             .orderBy("tile_y", "tile_x"))
+
+
+@register(
+    "raster_calc_checksum",
+    oracle=f"""
+    SELECT 'reclassify' AS op, tile_y, tile_x, checksum, n_nonzero
+    FROM ({_RECLASSIFY_ORACLE})
+    UNION ALL
+    SELECT 'mosaic' AS op, tile_y, tile_x, checksum, n_nonzero
+    FROM (WITH {_px_cte(ZOOM, TILE)}
+          {_tile_checksum_sql(N5, TILE)})
+    ORDER BY op, tile_y, tile_x
+    """,
+)
+def calc_checksum(spark, sf_dir):
+    """Raster calc family, one gate (merged for the 50-entry window):
+    op='reclassify'  range-table reclassify of the z5 density raster
+                     (apps/gdalalg_raster_reclassify.cpp) via
+                     F.transform — JVM higher-order function;
+    op='mosaic'      mosaic-sum identity (apps/gdalalg_raster_mosaic.cpp):
+                     per-language densities mosaicked back together
+                     must equal the all-docs density."""
+    rc = reclassify_checksum(spark, sf_dir).select(
+        F.lit("reclassify").alias("op"), "tile_y", "tile_x",
+        "checksum", "n_nonzero")
+    mo = mosaic_checksum(spark, sf_dir).select(
+        F.lit("mosaic").alias("op"), "tile_y", "tile_x",
+        "checksum", "n_nonzero")
+    return rc.unionByName(mo).orderBy("op", "tile_y", "tile_x")
 
 
 def _interp_oracle() -> str:
@@ -975,7 +1048,6 @@ def _polygonize_rings_oracle() -> str:
     """
 
 
-@register("raster_polygonize_rings", oracle=_polygonize_rings_oracle())
 def polygonize_rings(spark, sf_dir):
     """Full polygonize with TRACED RING GEOMETRY (the reference's
     emitted polygon features): per component, the shoelace area of the
@@ -1008,7 +1080,6 @@ def polygonize_rings(spark, sf_dir):
             .orderBy("min_y", "min_x", "value"))
 
 
-@register("raster_polygonize_components", oracle=_polygonize_oracle())
 def polygonize_components(spark, sf_dir):
     """gdal_polygonize analog: connected components of the z4 density
     raster (equal-valued 4-connected pixels), value + pixel count +
@@ -1021,3 +1092,34 @@ def polygonize_components(spark, sf_dir):
     return (PZ.polygonize(tiles, spec, connect8=False)
             .withColumn("n_px", F.col("n_px").cast("long"))
             .orderBy("min_y", "min_x", "value"))
+
+
+@register(
+    "raster_polygonize",
+    oracle=f"""
+    SELECT 'rings' AS part, value, n_px, poly_area,
+           min_x, min_y, max_x, max_y
+    FROM ({_polygonize_rings_oracle()})
+    UNION ALL
+    SELECT 'components' AS part, value, n_px, CAST(0.0 AS DOUBLE) AS poly_area,
+           min_x, min_y, max_x, max_y
+    FROM ({_polygonize_oracle()})
+    ORDER BY part, min_y, min_x, value
+    """,
+)
+def polygonize_gate(spark, sf_dir):
+    """gdal_polygonize, one gate (merged for the 50-entry window):
+    part='components'  distributed tile-CCL + boundary merge — value,
+                       pixel count, bbox per 4-connected component
+                       (oracle: recursive-CTE transitive closure);
+    part='rings'       the same components with TRACED RING GEOMETRY —
+                       the shoelace area of the traced rings (exterior
+                       minus holes) must equal the pixel count exactly."""
+    rings = polygonize_rings(spark, sf_dir).select(
+        F.lit("rings").alias("part"), "value", "n_px", "poly_area",
+        "min_x", "min_y", "max_x", "max_y")
+    comps = polygonize_components(spark, sf_dir).select(
+        F.lit("components").alias("part"), "value", "n_px",
+        F.lit(0.0).alias("poly_area"), "min_x", "min_y", "max_x", "max_y")
+    return (rings.unionByName(comps)
+            .orderBy("part", "min_y", "min_x", "value"))

@@ -113,6 +113,86 @@ def cubic_weight_sql(t: str) -> tuple[str, str, str, str]:
             f"(((0.5 * {t} - 0.5) * {t}) * {t})")
 
 
+# ---------------------------------------------------------------- lanczos
+#
+# GRA_Lanczos (gdalwarper.h:35-67; kernel GWKLanczosSinc in
+# alg/gdalwarpkernel.cpp): w(d) = sinc(d) * sinc(d/3), radius 3 (6x6
+# support), accumulated value divided by the accumulated weight sum.
+# For cross-engine bit-exactness the sin() inside sinc is NOT libm's
+# (numpy and DuckDB link different libms that may differ by 1 ulp):
+# both paths evaluate the SAME fixed odd polynomial after range
+# reduction — sin(pi*d) = (-1)^n * P(r), n = floor(d + 0.5), r = d - n,
+# P a 10-term Horner Taylor series exact to ~1e-14 on |r| <= 0.5.
+# The reference's own optimized path also replaces libm sin with
+# incremental trig identities (GWKResampleOptimizedLanczos), so a
+# deterministic polynomial restatement is in-kind.
+
+_PI = 3.141592653589793
+
+#: Taylor coefficients of sin(pi*r) in r: pi^(2k+1)/(2k+1)! with
+#: alternating sign, k = 0..9 (r^19 term ~ 1.4e-14 at |r| = 0.5).
+_SIN_PI_COEFFS = tuple(
+    (-1.0) ** k * _PI ** (2 * k + 1)
+    / float(__import__("math").factorial(2 * k + 1))
+    for k in range(10))
+
+
+def _sin_pi_np(r: np.ndarray) -> np.ndarray:
+    """sin(pi*r) for |r| <= 0.5 — fixed Horner, mirrored by
+    sin_pi_sql()."""
+    q = r * r
+    acc = np.full_like(r, _SIN_PI_COEFFS[9])
+    for c in reversed(_SIN_PI_COEFFS[:9]):
+        acc = acc * q + c
+    return r * acc
+
+
+def sin_pi_sql(r: str, q: str) -> str:
+    """SQL mirror of _sin_pi_np given column names r and q = r*r."""
+    acc = f"{_SIN_PI_COEFFS[9]!r}"
+    for c in reversed(_SIN_PI_COEFFS[:9]):
+        acc = f"({acc} * {q} + {c!r})"
+    return f"({r} * {acc})"
+
+
+def _sinc_pi_np(d: np.ndarray) -> np.ndarray:
+    """sinc(d) = sin(pi*d)/(pi*d), 1 at d = 0 — poly-sin inside."""
+    n = np.floor(d + 0.5)
+    r = d - n
+    p = _sin_pi_np(r)
+    s = np.where(n.astype(np.int64) % 2 == 0, p, -p)
+    den = _PI * np.where(d == 0.0, 1.0, d)
+    return np.where(d == 0.0, 1.0, s / den)
+
+
+def sinc_pi_sql(d: str) -> str:
+    """SQL mirror of _sinc_pi_np (same range reduction + poly)."""
+    n = f"floor({d} + 0.5)"
+    r = f"({d} - {n})"
+    q = f"({r} * {r})"
+    p = sin_pi_sql(r, q)
+    s = f"(CASE WHEN CAST({n} AS BIGINT) % 2 = 0 THEN {p} ELSE -{p} END)"
+    return (f"(CASE WHEN {d} = 0.0 THEN 1.0 "
+            f"ELSE {s} / ({_PI!r} * {d}) END)")
+
+
+def _lanczos_weights_np(t: np.ndarray) -> list[np.ndarray]:
+    """Six tap weights for taps x0-2 .. x0+3 at fraction t in [0, 1):
+    d_i = t + 2 - i."""
+    return [_sinc_pi_np(d) * _sinc_pi_np(d / 3.0)
+            for d in (t + 2.0 - i for i in range(6))]
+
+
+def lanczos_weight_sql(t: str) -> list[str]:
+    """SQL mirrors of _lanczos_weights_np (same operand order)."""
+    out = []
+    for i in range(6):
+        d = f"({t} + {float(2 - i)!r})"
+        d3 = f"({d} / 3.0)"
+        out.append(f"({sinc_pi_sql(d)} * {sinc_pi_sql(d3)})")
+    return out
+
+
 def _dep_ranges(spark, src: G.GridSpec, dst: G.GridSpec,
                 margin: int = _WINDOW_MARGIN + 1) -> DataFrame:
     """(d_ty, d_tx, sy0, sy1, sx0, sx1): the source tile range each dst

@@ -92,7 +92,7 @@ def main() -> None:
                 r"MapInPandas"])
 
     # 4. cell encode: pure column math, no python nodes
-    enc = Q.QUERIES["geo_cell_encode"](spark, SF_DIR)
+    enc = Q.QUERIES["geo_cell_tile_encode"](spark, SF_DIR)
     check("cell_encode JVM-only", plan_of(enc),
           must=[r"HashAggregate"],
           must_not=[r"MapInPandas|ArrowEvalPython|BatchEvalPython"])
