@@ -356,6 +356,147 @@ def warp_average_checksum(spark, sf_dir):
     return _warp_kernel_query(spark, sf_dir, "average")
 
 
+def _warp_lanczos_oracle() -> str:
+    """6x6 lanczos with the poly-sin weights of warp.lanczos_weight_sql
+    — every float op mirrors the numpy kernel's operand order, so the
+    checksum comparison is bit-exact."""
+    spx_of, spy_of, cx, cy, _, _ = _warp_xform_sql()
+    fx = f"({spx_of(cx)} - 0.5)"
+    fy = f"({spy_of(cy)} - 0.5)"
+    wxs = W.lanczos_weight_sql("tx")
+    wys = W.lanczos_weight_sql("ty")
+    vcols = ",\n             ".join(
+        f"coalesce(max(CASE WHEN p.gx = d.x0 + {i - 2} AND p.gy = d.y0 + {j - 2} "
+        f"THEN p.v END), 0.0) AS v{j}{i}"
+        for j in range(6) for i in range(6))
+    # in-raster tap zeroing (GWKResample clamps + renormalizes)
+    wx_eff = ", ".join(
+        f"CASE WHEN x0 + {i - 2} BETWEEN 0 AND {N5 - 1} "
+        f"THEN {wxs[i]} ELSE 0.0 END AS wx{i}" for i in range(6))
+    wy_eff = ", ".join(
+        f"CASE WHEN y0 + {j - 2} BETWEEN 0 AND {N5 - 1} "
+        f"THEN {wys[j]} ELSE 0.0 END AS wy{j}" for j in range(6))
+
+    def lrow(j: int) -> str:
+        acc = f"v{j}0 * wx0"
+        for i in range(1, 6):
+            acc = f"({acc} + v{j}{i} * wx{i})"
+        return acc
+
+    num = f"({lrow(0)}) * wy0"
+    for j in range(1, 6):
+        num = f"({num} + ({lrow(j)}) * wy{j})"
+    sx = "wx0"
+    sy = "wy0"
+    for i in range(1, 6):
+        sx = f"({sx} + wx{i})"
+        sy = f"({sy} + wy{i})"
+    return f"""
+    WITH {_px_cte(ZOOM, TILE)},
+    dst AS (
+      SELECT x, y,
+             CAST(floor({fx}) AS BIGINT) AS x0,
+             CAST(floor({fy}) AS BIGINT) AS y0,
+             ({fx} - floor({fx})) AS tx,
+             ({fy} - floor({fy})) AS ty
+      FROM (SELECT range AS x FROM range({CW_W})), (SELECT range AS y FROM range({CW_H}))
+    ),
+    g AS (
+      SELECT d.x, d.y, d.x0, d.y0, d.tx, d.ty,
+             {vcols}
+      FROM dst d LEFT JOIN px p
+        ON p.gx BETWEEN d.x0 - 2 AND d.x0 + 3
+       AND p.gy BETWEEN d.y0 - 2 AND d.y0 + 3
+      GROUP BY d.x, d.y, d.x0, d.y0, d.tx, d.ty
+    ),
+    wgt AS (SELECT *, {wx_eff}, {wy_eff} FROM g),
+    warped AS (
+      SELECT x AS gx, y AS gy,
+             CASE WHEN ({sx}) * ({sy}) <> 0.0
+                  THEN ({num}) / (({sx}) * ({sy})) ELSE 0.0 END AS v
+      FROM wgt
+    )
+    SELECT CAST(gy // {CW_TILE} AS INTEGER) AS tile_y,
+           CAST(gx // {CW_TILE} AS INTEGER) AS tile_x,
+           {CK.checksum_sql('v', 'gx', 'gy', CW_W)} AS checksum,
+           count(*) FILTER (WHERE v <> 0) AS n_nonzero
+    FROM warped GROUP BY tile_y, tile_x
+    HAVING count(*) FILTER (WHERE v <> 0) > 0
+    ORDER BY tile_y, tile_x
+    """
+
+
+def _warp_mode_oracle() -> str:
+    """Mode is VALUE SELECTION over the same footprint box as average
+    (gdalwarpkernel.cpp GWKAverageOrMode) with ties to the smallest
+    value (GWKTS_Min) — always exactly oracle-able. Implicit zeros
+    (absent sparse-relation pixels) are counted as box_area - matches."""
+    spx_of, spy_of, cx, cy, res_x, res_y = _warp_xform_sql()
+    exW = spx_of(f"(-180.0 + x * {res_x!r})")
+    exE = spx_of(f"(-180.0 + (x + 1) * {res_x!r})")
+    eyN = spy_of(f"(90.0 - y * {res_y!r})")
+    eyS = spy_of(f"(90.0 - (y + 1) * {res_y!r})")
+    spx = spx_of(cx)
+    spy = spy_of(cy)
+    return f"""
+    WITH {_px_cte(ZOOM, TILE)},
+    dst AS (
+      SELECT x, y,
+             CAST(ceil(least({exW}, {exE}) - 0.5) AS BIGINT) AS xlo0,
+             CAST(ceil(greatest({exW}, {exE}) - 0.5) - 1 AS BIGINT) AS xhi0,
+             CAST(ceil(least({eyN}, {eyS}) - 0.5) AS BIGINT) AS ylo0,
+             CAST(ceil(greatest({eyN}, {eyS}) - 0.5) - 1 AS BIGINT) AS yhi0,
+             CAST(floor({spx}) AS BIGINT) AS cx0,
+             CAST(floor({spy}) AS BIGINT) AS cy0
+      FROM (SELECT range AS x FROM range({CW_W})), (SELECT range AS y FROM range({CW_H}))
+    ),
+    boxes AS (
+      SELECT x, y,
+             greatest(CASE WHEN xhi0 < xlo0 THEN cx0 ELSE xlo0 END, 0) AS xlo,
+             least(CASE WHEN xhi0 < xlo0 THEN cx0 ELSE xhi0 END, {N5 - 1}) AS xhi,
+             greatest(CASE WHEN yhi0 < ylo0 THEN cy0 ELSE ylo0 END, 0) AS ylo,
+             least(CASE WHEN yhi0 < ylo0 THEN cy0 ELSE yhi0 END, {N5 - 1}) AS yhi
+      FROM dst
+    ),
+    counts AS (
+      SELECT b.x, b.y, p.v, count(*) AS c
+      FROM boxes b JOIN px p
+        ON p.gx BETWEEN b.xlo AND b.xhi AND p.gy BETWEEN b.ylo AND b.yhi
+      GROUP BY b.x, b.y, p.v
+    ),
+    tot AS (SELECT x, y, sum(c) AS tc FROM counts GROUP BY x, y),
+    withzero AS (
+      SELECT x, y, v, c FROM counts
+      UNION ALL
+      SELECT b.x, b.y, 0.0 AS v, b.area - coalesce(t.tc, 0) AS c
+      FROM (SELECT x, y, (xhi - xlo + 1) * (yhi - ylo + 1) AS area
+            FROM boxes WHERE xlo <= xhi AND ylo <= yhi) b
+      LEFT JOIN tot t ON t.x = b.x AND t.y = b.y
+      WHERE b.area > coalesce(t.tc, 0)
+    ),
+    best AS (
+      SELECT x, y, v FROM (
+        SELECT x, y, v,
+               row_number() OVER (PARTITION BY x, y
+                                  ORDER BY c DESC, v ASC) AS rn
+        FROM withzero) WHERE rn = 1
+    ),
+    warped AS (
+      SELECT b.x AS gx, b.y AS gy,
+             CASE WHEN b.xlo <= b.xhi AND b.ylo <= b.yhi
+                  THEN coalesce(m.v, 0.0) ELSE 0.0 END AS v
+      FROM boxes b LEFT JOIN best m ON m.x = b.x AND m.y = b.y
+    )
+    SELECT CAST(gy // {CW_TILE} AS INTEGER) AS tile_y,
+           CAST(gx // {CW_TILE} AS INTEGER) AS tile_x,
+           {CK.checksum_sql('v', 'gx', 'gy', CW_W)} AS checksum,
+           count(*) FILTER (WHERE v <> 0) AS n_nonzero
+    FROM warped GROUP BY tile_y, tile_x
+    HAVING count(*) FILTER (WHERE v <> 0) > 0
+    ORDER BY tile_y, tile_x
+    """
+
+
 def _warp_kernels_oracle() -> str:
     branches = [
         f"SELECT 'near' AS kernel, tile_y, tile_x, checksum, n_nonzero"
@@ -364,6 +505,10 @@ def _warp_kernels_oracle() -> str:
         f" FROM ({_warp_cubic_oracle()})",
         f"SELECT 'average' AS kernel, tile_y, tile_x, checksum, n_nonzero"
         f" FROM ({_warp_average_oracle()})",
+        f"SELECT 'lanczos' AS kernel, tile_y, tile_x, checksum, n_nonzero"
+        f" FROM ({_warp_lanczos_oracle()})",
+        f"SELECT 'mode' AS kernel, tile_y, tile_x, checksum, n_nonzero"
+        f" FROM ({_warp_mode_oracle()})",
     ]
     return ("\nUNION ALL\n".join(branches)
             + "\nORDER BY kernel, tile_y, tile_x")
@@ -373,20 +518,21 @@ def _warp_kernels_oracle() -> str:
 def warp_kernels_checksum(spark, sf_dir):
     """gdalwarp resampling kernels, one gate (merged for the 50-entry
     window): the z5 density raster reprojected EPSG:3857 -> EPSG:4326
-    with NEAR (1000x500 grid), CUBIC and AVERAGE (500x250 grid), each
-    branch checksummed per tile against its bit-exact SQL oracle (see
-    warp_checksum / warp_cubic_checksum / warp_average_checksum)."""
+    with NEAR (1000x500 grid) plus CUBIC, AVERAGE, LANCZOS and MODE
+    (500x250 grid), each branch checksummed per tile against its
+    bit-exact SQL oracle (cubic: 16-term fixed-association float sum;
+    lanczos: 36-term with poly-sin weights + renormalization; average:
+    exact integer box sums; mode: value selection, MODE_TIES=MIN)."""
     near = warp_checksum(spark, sf_dir).select(
         F.lit("near").alias("kernel"), "tile_y", "tile_x",
         "checksum", "n_nonzero")
-    cub = warp_cubic_checksum(spark, sf_dir).select(
-        F.lit("cubic").alias("kernel"), "tile_y", "tile_x",
-        "checksum", "n_nonzero")
-    avg = warp_average_checksum(spark, sf_dir).select(
-        F.lit("average").alias("kernel"), "tile_y", "tile_x",
-        "checksum", "n_nonzero")
-    return (near.unionByName(cub).unionByName(avg)
-            .orderBy("kernel", "tile_y", "tile_x"))
+    out = near
+    for k in ("cubic", "average", "lanczos", "mode"):
+        one = _warp_kernel_query(spark, sf_dir, k).select(
+            F.lit(k).alias("kernel"), "tile_y", "tile_x",
+            "checksum", "n_nonzero")
+        out = out.unionByName(one)
+    return out.orderBy("kernel", "tile_y", "tile_x")
 
 
 # ------------------------------------------------------------ polygonize

@@ -178,9 +178,10 @@ def sinc_pi_sql(d: str) -> str:
 
 def _lanczos_weights_np(t: np.ndarray) -> list[np.ndarray]:
     """Six tap weights for taps x0-2 .. x0+3 at fraction t in [0, 1):
-    d_i = t + 2 - i."""
+    d_i = t + (2 - i) — ONE addition with a constant, exactly the SQL
+    oracle's operand order (t + 2.0 - i would round differently)."""
     return [_sinc_pi_np(d) * _sinc_pi_np(d / 3.0)
-            for d in (t + 2.0 - i for i in range(6))]
+            for d in (t + float(2 - i) for i in range(6))]
 
 
 def lanczos_weight_sql(t: str) -> list[str]:
@@ -260,12 +261,19 @@ def warp(src_tiles: DataFrame, src: G.GridSpec, dst: G.GridSpec,
          kernel: str = "near", nodata: float = 0.0) -> DataFrame:
     """Distributed warp: src tile rows -> dst tile rows.
 
-    kernel: 'near' | 'bilinear' | 'cubic' | 'average'. Absent source
-    tiles read as `nodata` (the sparse-raster zero convention when
-    nodata = 0); kernels whose support leaves the source raster emit
-    `nodata` for that pixel.
+    kernel: 'near' | 'bilinear' | 'cubic' | 'lanczos' | 'average' |
+    'mode'. Absent source tiles read as `nodata` (the sparse-raster
+    zero convention when nodata = 0); near/bilinear/cubic emit
+    `nodata` where their support leaves the source raster; lanczos
+    skips out-of-raster taps and renormalizes (GWKResample's
+    divisor accumulation); average/mode clip the footprint box.
+    mode ties break to the SMALLEST value (the reference's
+    MODE_TIES=MIN strategy, gdalwarpkernel.cpp GWKTS_Min — the
+    default GWKTS_First depends on sequential scan order, which a
+    distributed engine must not).
     """
-    if kernel not in ("near", "bilinear", "cubic", "average"):
+    if kernel not in ("near", "bilinear", "cubic", "lanczos",
+                      "average", "mode"):
         raise ValueError(f"unknown kernel {kernel!r}")
     spark = src_tiles.sparkSession
     dep = (_dep_ranges(spark, src, dst)
@@ -281,7 +289,7 @@ def warp(src_tiles: DataFrame, src: G.GridSpec, dst: G.GridSpec,
                              np.arange(ty * dst.tile, ty * dst.tile + h, dtype=np.float64))
         gx, gy = gx.ravel(), gy.ravel()
         spx, spy = _dst_pos_in_src_px(dst, src, gx, gy)
-        if kernel == "average":
+        if kernel in ("average", "mode"):
             # footprint edges: dst pixel k spans positions [k-0.5, k+0.5]
             ex0, ey0 = _dst_pos_in_src_px(dst, src, gx - 0.5, gy - 0.5)
             ex1, ey1 = _dst_pos_in_src_px(dst, src, gx + 0.5, gy + 0.5)
@@ -351,6 +359,62 @@ def warp(src_tiles: DataFrame, src: G.GridSpec, dst: G.GridSpec,
             acc = ((rows[0] * wy_[0] + rows[1] * wy_[1])
                    + rows[2] * wy_[2]) + rows[3] * wy_[3]
             out[ok] = acc
+        elif kernel == "lanczos":
+            fx, fy = spx - 0.5, spy - 0.5
+            x0 = np.floor(fx).astype(np.int64)
+            y0 = np.floor(fy).astype(np.int64)
+            txf, tyf = fx - x0, fy - y0
+            wx_ = _lanczos_weights_np(txf)
+            wy_ = _lanczos_weights_np(tyf)
+            # zero out-of-raster taps (GWKResample clamps the loop to
+            # the raster and renormalizes by the surviving weight sum)
+            for i in range(6):
+                wx_[i] = np.where((x0 - 2 + i >= 0)
+                                  & (x0 - 2 + i < src.width), wx_[i], 0.0)
+                wy_[i] = np.where((y0 - 2 + i >= 0)
+                                  & (y0 - 2 + i < src.height), wy_[i], 0.0)
+            sx_ = ((((wx_[0] + wx_[1]) + wx_[2]) + wx_[3]) + wx_[4]) + wx_[5]
+            sy_ = ((((wy_[0] + wy_[1]) + wy_[2]) + wy_[3]) + wy_[4]) + wy_[5]
+            div = sx_ * sy_
+            ok = div != 0.0
+            # gather with clamped indices; zero weights kill the
+            # out-of-raster reads so the clamp value never leaks
+            rows6 = []
+            for j in range(6):
+                yj = np.clip(y0 - 2 + j, wy0, wy1 - 1) - wy0
+                r = None
+                for i in range(6):
+                    xi = np.clip(x0 - 2 + i, wx0, wx1 - 1) - wx0
+                    term = win[yj, xi] * wx_[i]
+                    r = term if r is None else r + term
+                rows6.append(r)
+            num = ((((rows6[0] * wy_[0] + rows6[1] * wy_[1])
+                     + rows6[2] * wy_[2]) + rows6[3] * wy_[3])
+                   + rows6[4] * wy_[4]) + rows6[5] * wy_[5]
+            out[ok] = num[ok] / div[ok]
+        elif kernel == "mode":
+            xlo = np.ceil(exlo - 0.5).astype(np.int64)
+            xhi = (np.ceil(exhi - 0.5) - 1).astype(np.int64)
+            ylo = np.ceil(eylo - 0.5).astype(np.int64)
+            yhi = (np.ceil(eyhi - 0.5) - 1).astype(np.int64)
+            cx_ = np.floor(spx).astype(np.int64)
+            cy_ = np.floor(spy).astype(np.int64)
+            ex = xhi < xlo
+            xlo[ex] = cx_[ex]; xhi[ex] = cx_[ex]
+            ey = yhi < ylo
+            ylo[ey] = cy_[ey]; yhi[ey] = cy_[ey]
+            xlo = np.maximum(xlo, 0)
+            xhi = np.minimum(xhi, src.width - 1)
+            ylo = np.maximum(ylo, 0)
+            yhi = np.minimum(yhi, src.height - 1)
+            ok = (xlo <= xhi) & (ylo <= yhi)
+            for p in np.nonzero(ok)[0]:
+                box = win[ylo[p] - wy0:yhi[p] - wy0 + 1,
+                          xlo[p] - wx0:xhi[p] - wx0 + 1]
+                vals, cnts = np.unique(box, return_counts=True)
+                # np.unique sorts values; argmax takes the FIRST max
+                # => ties break to the smallest value (GWKTS_Min)
+                out[p] = vals[int(np.argmax(cnts))]
         else:  # average
             # pixels whose CENTER (i + 0.5) falls in [lo, hi):
             # i in [ceil(lo - 0.5), ceil(hi - 0.5) - 1]. An empty range

@@ -145,3 +145,54 @@ def test_crop_pixel_window(spark):
     assert nspec.gt[3] == 20.0 - 9 * 0.5
     got = tiles_to_canvas(out, nspec)
     np.testing.assert_array_equal(got, canvas[9:30, 5:35])
+
+
+def test_lanczos_constant_preserved(spark):
+    """Normalized lanczos reproduces constants exactly (num/div with
+    identical weight products) wherever the band is constant."""
+    src_spec = G.GridSpec(64, 64, (0.0, 1.0, 0.0, 64.0, 0.0, -1.0), tile=16)
+    dst_spec = G.GridSpec(48, 48, (2.0, 1.25, 0.0, 62.0, 0.0, -1.25),
+                          crs=src_spec.crs, tile=16)
+    tiles = _tiles(spark, np.full((64, 64), 7.5), src_spec)
+    got = tiles_to_canvas(W.warp(tiles, src_spec, dst_spec, kernel="lanczos"),
+                          dst_spec)
+    np.testing.assert_allclose(got, 7.5, rtol=1e-12)
+
+
+def test_lanczos_interpolates_at_integer_alignment(spark):
+    """At t = 0 every sinc hits an integer: only the center tap has
+    weight 1, so an aligned identity warp reproduces the band exactly
+    (interpolating-kernel property)."""
+    rng = np.random.default_rng(21)
+    spec = G.GridSpec(64, 64, (0.0, 1.0, 0.0, 64.0, 0.0, -1.0), tile=16)
+    canvas = rng.integers(0, 50, size=(64, 64)).astype(np.float64)
+    tiles = _tiles(spark, canvas, spec)
+    got = tiles_to_canvas(W.warp(tiles, spec, spec, kernel="lanczos"), spec)
+    np.testing.assert_allclose(got, canvas, atol=1e-9)
+
+
+def test_lanczos_sin_poly_matches_libm():
+    """The deterministic poly-sin tracks libm to ~1e-14 on the reduced
+    range (so lanczos weights match true sinc to float noise)."""
+    r = np.linspace(-0.5, 0.5, 10001)
+    assert np.abs(W._sin_pi_np(r) - np.sin(np.pi * r)).max() < 5e-14
+
+
+def test_mode_equals_block_mode_on_aligned_2x(spark):
+    """Aligned 2x downsample: footprints are the 2x2 blocks, so
+    GRA_Mode == block mode with ties to the smallest value."""
+    rng = np.random.default_rng(9)
+    src_spec = G.GridSpec(64, 64, (0.0, 1.0, 0.0, 64.0, 0.0, -1.0), tile=16)
+    dst_spec = G.GridSpec(32, 32, (0.0, 2.0, 0.0, 64.0, 0.0, -2.0),
+                          crs=src_spec.crs, tile=16)
+    canvas = rng.integers(0, 4, size=(64, 64)).astype(np.float64)
+    tiles = _tiles(spark, canvas, src_spec)
+    got = tiles_to_canvas(W.warp(tiles, src_spec, dst_spec, kernel="mode"),
+                          dst_spec)
+    blocks = canvas.reshape(32, 2, 32, 2).transpose(0, 2, 1, 3).reshape(32, 32, 4)
+    want = np.zeros((32, 32))
+    for i in range(32):
+        for j in range(32):
+            vals, cnts = np.unique(blocks[i, j], return_counts=True)
+            want[i, j] = vals[int(np.argmax(cnts))]
+    np.testing.assert_array_equal(got, want)
