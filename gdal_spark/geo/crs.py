@@ -103,6 +103,79 @@ def utm_to_lonlat_np(E: np.ndarray, Nn: np.ndarray, zone: int,
     return (np.degrees(lam) + utm_zone_lon0(zone), np.degrees(phi))
 
 
+# ------------------------------------------------------- LCC (2SP)
+#
+# Lambert Conformal Conic, two standard parallels, ellipsoidal — the
+# closed-form Snyder formulas (Map Projections: A Working Manual,
+# USGS PP 1395, pp. 107-109; the reference reaches the same math via
+# PROJ's lcc, driven by ogr/ogrct.cpp:2263). Registered codes:
+#   EPSG:3978  NAD83 / Canada Atlas Lambert (GRS80; 49/77, origin 49,-95)
+#   EPSG:2154  RGF93 / Lambert-93          (GRS80; 44/49, origin 46.5,3)
+# Datum shift NAD83/RGF93 <-> WGS84 is below 2 m and undefined without
+# a grid; like PROJ's ballpark hub we treat the ellipsoidal lon/lat as
+# the hub coordinate (GRS80 vs WGS84 flattening differs at 1e-10).
+
+_GRS80_F = 1.0 / 298.257222101
+
+
+class _LCC:
+    def __init__(self, lat1: float, lat2: float, lat0: float, lon0: float,
+                 e0: float, n0: float, a: float = _A, f: float = _GRS80_F):
+        self.a, self.e = a, float(np.sqrt(f * (2.0 - f)))
+        self.lon0, self.e0, self.n0 = lon0, e0, n0
+        e = self.e
+        p1, p2, p0 = map(np.radians, (lat1, lat2, lat0))
+
+        def m(p):
+            return np.cos(p) / np.sqrt(1.0 - (e * np.sin(p)) ** 2)
+
+        def t(p):
+            return (np.tan(np.pi / 4.0 - p / 2.0)
+                    / ((1.0 - e * np.sin(p)) / (1.0 + e * np.sin(p)))
+                    ** (e / 2.0))
+
+        self.t_of = t
+        if abs(lat1 - lat2) < 1e-12:
+            self.n = float(np.sin(p1))
+        else:
+            self.n = float((np.log(m(p1)) - np.log(m(p2)))
+                           / (np.log(t(p1)) - np.log(t(p2))))
+        self.F = float(m(p1) / (self.n * t(p1) ** self.n))
+        self.rho0 = float(self.a * self.F * t(p0) ** self.n)
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        phi = np.radians(np.asarray(lat, np.float64))
+        rho = self.a * self.F * self.t_of(phi) ** self.n
+        th = self.n * lam
+        return (self.e0 + rho * np.sin(th),
+                self.n0 + self.rho0 - rho * np.cos(th))
+
+    def inverse(self, E, Nn):
+        dx = np.asarray(E, np.float64) - self.e0
+        dy = self.rho0 - (np.asarray(Nn, np.float64) - self.n0)
+        sgn = 1.0 if self.n >= 0 else -1.0
+        rho = sgn * np.sqrt(dx * dx + dy * dy)
+        th = np.arctan2(sgn * dx, sgn * dy)
+        tp = (rho / (self.a * self.F)) ** (1.0 / self.n)
+        lam = th / self.n
+        phi = np.pi / 2.0 - 2.0 * np.arctan(tp)
+        for _ in range(8):
+            es = self.e * np.sin(phi)
+            phi = (np.pi / 2.0
+                   - 2.0 * np.arctan(tp * ((1.0 - es) / (1.0 + es))
+                                     ** (self.e / 2.0)))
+        return np.degrees(lam) + self.lon0, np.degrees(phi)
+
+
+LCC_REGISTRY: dict[str, _LCC] = {
+    "3978": _LCC(lat1=49.0, lat2=77.0, lat0=49.0, lon0=-95.0,
+                 e0=0.0, n0=0.0),
+    "2154": _LCC(lat1=44.0, lat2=49.0, lat0=46.5, lon0=3.0,
+                 e0=700000.0, n0=6600000.0),
+}
+
+
 def _parse(crs: str):
     c = crs.upper().replace("EPSG:", "")
     return c
@@ -118,6 +191,8 @@ def to_lonlat_np(crs: str, x: np.ndarray, y: np.ndarray):
         return utm_to_lonlat_np(x, y, int(c[3:]), south=False)
     if c.startswith("327") and len(c) == 5:
         return utm_to_lonlat_np(x, y, int(c[3:]), south=True)
+    if c in LCC_REGISTRY:
+        return LCC_REGISTRY[c].inverse(x, y)
     raise NotImplementedError(f"CRS {crs} not registered (geo/crs.py)")
 
 
@@ -133,6 +208,8 @@ def from_lonlat_np(crs: str, lon: np.ndarray, lat: np.ndarray):
         return lonlat_to_utm_np(lon, lat, int(c[3:]), south=False)
     if c.startswith("327") and len(c) == 5:
         return lonlat_to_utm_np(lon, lat, int(c[3:]), south=True)
+    if c in LCC_REGISTRY:
+        return LCC_REGISTRY[c].forward(lon, lat)
     raise NotImplementedError(f"CRS {crs} not registered (geo/crs.py)")
 
 

@@ -497,6 +497,90 @@ def _warp_mode_oracle() -> str:
     """
 
 
+# LCC warp gate grid (EPSG:3978, Canada Atlas Lambert): irrational-ish
+# origin/resolution so no dst pixel center routes near a source pixel
+# boundary — the oracle's transcendentals (atan2/pow/sin) may differ
+# from numpy's libm by ulps, and the floor() routing must absorb that
+# (margin audited in tests/test_crs.py::test_lcc_gate_routing_margin).
+LCC_W, LCC_H, LCC_TILE = 512, 384, 128
+LCC_GT = (-2600137.123456789, 11132.987654321, 0.0,
+          4000271.23456789, 0.0, -11133.3456789)
+
+
+def _warp_lcc_oracle() -> str:
+    from .geo import crs as _crs
+
+    p = _crs.LCC_REGISTRY["3978"]
+    src = G.world_3857(ZOOM, TILE)
+    aF = p.a * p.F
+    E = f"({LCC_GT[0]!r} + (x + 0.5) * {LCC_GT[1]!r})"
+    N = f"({LCC_GT[3]!r} + (y + 0.5) * ({LCC_GT[5]!r}))"
+    iters = "".join(
+        f""",
+    p{k + 1} AS (SELECT x, y, tp, th,
+                (pi() / 2.0 - 2.0 * atan(tp * pow((1.0 - {p.e!r} * sin(phi))
+                 / (1.0 + {p.e!r} * sin(phi)), {p.e / 2.0!r}))) AS phi
+         FROM p{k})""" for k in range(8))
+    ppx = f"(lon * {mercator.LON2M!r})"
+    ppy = mercator.merc_y_sql("lat")
+    spx = f"((({ppx}) - ({src.gt[0]!r})) / {src.gt[1]!r})"
+    spy = f"((({ppy}) - ({src.gt[3]!r})) / ({src.gt[5]!r}))"
+    return f"""
+    WITH {_px_cte(ZOOM, TILE)},
+    dst0 AS (
+      SELECT x, y, ({E} - {p.e0!r}) AS dx,
+             ({p.rho0!r} - ({N} - {p.n0!r})) AS dy
+      FROM (SELECT range AS x FROM range({LCC_W})),
+           (SELECT range AS y FROM range({LCC_H}))),
+    i1 AS (SELECT x, y,
+                  pow(sqrt(dx * dx + dy * dy) / {aF!r}, {1.0 / p.n!r}) AS tp,
+                  atan2(dx, dy) AS th
+           FROM dst0),
+    p0 AS (SELECT x, y, tp, th,
+                  (pi() / 2.0 - 2.0 * atan(tp)) AS phi FROM i1){iters},
+    ll AS (SELECT x, y, (degrees(th / {p.n!r}) + {p.lon0!r}) AS lon,
+                  degrees(phi) AS lat FROM p8),
+    sp AS (SELECT x, y, CAST(floor({spx}) AS BIGINT) AS sgx,
+                  CAST(floor({spy}) AS BIGINT) AS sgy FROM ll),
+    warped AS (
+      SELECT s.x AS gx, s.y AS gy,
+             CASE WHEN s.sgx BETWEEN 0 AND {N5 - 1}
+                   AND s.sgy BETWEEN 0 AND {N5 - 1}
+                  THEN coalesce(p.v, 0.0) ELSE 0.0 END AS v
+      FROM sp s LEFT JOIN px p ON p.gx = s.sgx AND p.gy = s.sgy
+    )
+    SELECT CAST(gy // {LCC_TILE} AS INTEGER) AS tile_y,
+           CAST(gx // {LCC_TILE} AS INTEGER) AS tile_x,
+           {CK.checksum_sql('v', 'gx', 'gy', LCC_W)} AS checksum,
+           count(*) FILTER (WHERE v <> 0) AS n_nonzero
+    FROM warped GROUP BY tile_y, tile_x
+    HAVING count(*) FILTER (WHERE v <> 0) > 0
+    ORDER BY tile_y, tile_x
+    """
+
+
+@register("raster_warp_lcc_checksum", oracle=_warp_lcc_oracle())
+def warp_lcc_checksum(spark, sf_dir):
+    """gdalwarp into a CONIC CRS (EPSG:3978, NAD83 Canada Atlas
+    Lambert — geo/crs.py LCC 2SP by the Snyder closed forms; the
+    reference reaches the same math via PROJ, ogr/ogrct.cpp:2263):
+    the z5 density raster warped 3857 -> 3978 with the NEAR kernel,
+    per-tile checksums. The oracle runs the full LCC inverse
+    (8 fixed-point iterations as sequential CTE stages) in DuckDB;
+    NEAR is value selection, and the gate grid's routing margin to
+    pixel boundaries (>= 1e-6 px, pytest-audited — ~100x the
+    cross-libm transcendental noise) absorbs engine differences."""
+    pts = pages.page_points(spark, sf_dir)
+    src_spec = G.world_3857(ZOOM, TILE)
+    src_tiles = D.density_tiles(pts, ZOOM, TILE)
+    dst_spec = G.GridSpec(LCC_W, LCC_H, LCC_GT, crs="EPSG:3978",
+                          tile=LCC_TILE)
+    out = W.warp(src_tiles, src_spec, dst_spec, kernel="near")
+    return (R.tiles_checksum(out, dst_spec)
+            .filter(F.col("n_nonzero") > 0)
+            .orderBy("tile_y", "tile_x"))
+
+
 def _warp_kernels_oracle() -> str:
     branches = [
         f"SELECT 'near' AS kernel, tile_y, tile_x, checksum, n_nonzero"

@@ -52,7 +52,63 @@ def test_hub_transform_and_errors():
     wx, wy = mercator.lonlat_to_meters_np(lon, lat)
     assert mx[0] == wx[0] and my[0] == wy[0]
     with pytest.raises(NotImplementedError):
-        crs.transform_np("EPSG:4326", "EPSG:2154", lon, lat)
+        crs.transform_np("EPSG:4326", "EPSG:9999", lon, lat)
+
+
+def test_lcc_roundtrip_accuracy():
+    rng = np.random.default_rng(5)
+    for code, lon_c, lat_rng in (("EPSG:3978", -95.0, (42.0, 83.0)),
+                                 ("EPSG:2154", 3.0, (41.0, 51.0))):
+        lon = lon_c + rng.uniform(-20, 20, 500)
+        lat = rng.uniform(*lat_rng, 500)
+        x, y = crs.transform_np("EPSG:4326", code, lon, lat)
+        lon2, lat2 = crs.transform_np(code, "EPSG:4326", x, y)
+        np.testing.assert_allclose(lon2, lon, atol=1e-9)
+        np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+
+def test_lcc_projection_invariants():
+    """Snyder LCC invariants: the grid origin maps to (E0, N0); the
+    central meridian maps to E = E0 at every latitude; the cone
+    constant n equals sin(lat) of the single-parallel limit; scale
+    factor is 1 on both standard parallels (k = n*rho / (a*m))."""
+    p = crs.LCC_REGISTRY["2154"]
+    E, N = p.forward(np.array([3.0]), np.array([46.5]))
+    np.testing.assert_allclose(E, 700000.0, atol=1e-6)
+    np.testing.assert_allclose(N, 6600000.0, atol=1e-6)
+    E, _ = p.forward(np.array([3.0, 3.0]), np.array([42.0, 50.0]))
+    np.testing.assert_allclose(E, 700000.0, atol=1e-6)
+    a, e, n = p.a, p.e, p.n
+    for lat in (44.0, 49.0):
+        phi = np.radians(lat)
+        m = np.cos(phi) / np.sqrt(1.0 - (e * np.sin(phi)) ** 2)
+        rho = a * p.F * p.t_of(np.array([phi])) ** n
+        k = n * rho / (a * m)
+        np.testing.assert_allclose(k, 1.0, rtol=1e-12)
+    # 44 < lat < 49 -> k < 1 (between the parallels the cone is inside
+    # the ellipsoid); outside -> k > 1
+    for lat, expect_lt in ((46.0, True), (42.0, False), (51.0, False)):
+        phi = np.radians(lat)
+        m = np.cos(phi) / np.sqrt(1.0 - (e * np.sin(phi)) ** 2)
+        rho = a * p.F * p.t_of(np.array([phi])) ** n
+        k = float(n * rho / (a * m))
+        assert (k < 1.0) == expect_lt
+
+
+def test_warp_3857_to_lcc(spark):
+    """End-to-end: warp a 3857 raster into an EPSG:3978 grid; constant
+    band stays constant in the covered interior."""
+    from gdal_spark.raster import grid as G
+    from gdal_spark.raster import warp as W
+    from tests.test_raster_spark import tiles_to_canvas
+    from tests.test_sieve import _tiles
+
+    src = G.world_3857(2, 32)  # 128x128 world
+    tiles = _tiles(spark, np.full((128, 128), 4.0), src)
+    dst = G.GridSpec(64, 64, (-2.4e6, 75000.0, 0.0, 3.2e6, 0.0, -75000.0),
+                     crs="EPSG:3978", tile=32)
+    out = tiles_to_canvas(W.warp(tiles, src, dst, kernel="near"), dst)
+    assert (out[8:56, 8:56] == 4.0).all()
 
 
 def test_warp_4326_to_utm(spark):
@@ -74,3 +130,35 @@ def test_warp_4326_to_utm(spark):
     out = tiles_to_canvas(W.warp(tiles, src, dst, kernel="near"), dst)
     # interior of the dst grid maps inside the src extent -> constant
     assert (out[4:40, 4:40] == 5.0).all()
+
+
+def test_lcc_gate_routing_margin():
+    """The LCC warp gate's NEAR oracle is sound iff no dst pixel center
+    routes within libm-noise of a source pixel boundary: audit the
+    whole gate grid's distance-to-integer margin."""
+    from gdal_spark.queries_raster import LCC_GT, LCC_H, LCC_W, ZOOM, TILE
+    from gdal_spark.raster import grid as G
+    from gdal_spark.raster import warp as W
+
+    src = G.world_3857(ZOOM, TILE)
+    dst = G.GridSpec(LCC_W, LCC_H, LCC_GT, crs="EPSG:3978", tile=128)
+    gy, gx = np.mgrid[0:LCC_H, 0:LCC_W]
+    wx, wy = dst.pixel_center_world(gx.ravel().astype(float),
+                                    gy.ravel().astype(float))
+    lon, lat = crs.to_lonlat_np("EPSG:3978", wx, wy)
+    spx, spy = W._dst_pos_in_src_px(dst, src, gx.ravel().astype(float),
+                                    gy.ravel().astype(float))
+    # Regime 1 (|lat| > 85): the mercator forward CLIPS, pinning spy to
+    # the grid edge — exactly on a pixel boundary, but those routings
+    # land in rows the density raster provably never occupies (docs
+    # have |lat| < 80 -> occupied rows ~[230, 1818] at z5), so both
+    # engines emit 0 whichever side of the boundary floor() picks.
+    clipped = np.abs(lat) > 85.0
+    assert not clipped.any() or (spy[clipped] < 200.0).all()
+    # Regime 2 (smooth transform): cross-libm noise through the
+    # pow/atan2/sin chain is ~1e-10 px; a 1e-6 floor-distance margin
+    # (the order statistics of ~200k uniform fractions) is plenty.
+    for sp in (spx[~clipped], spy[~clipped]):
+        inside = (sp > -0.5) & (sp < src.width + 0.5)
+        frac = np.abs(sp[inside] - np.round(sp[inside]))
+        assert frac.min() > 1e-6, f"routing margin too small: {frac.min()}"
