@@ -20,11 +20,12 @@ adjacency relation):
     large-star/small-star CC loop above it); sizes and adjacency
     aggregate onto roots DataFrame-side, so the driver only ever sees
     COMPONENT-granularity metadata (post-merge), never per-label maps;
- 3. the cascade itself is a driver-side loop over that component
-    metadata — smallest component first is GDAL's processing order and
-    inherently sequential (each merge changes the sizes later merges
-    see), so this stays the one driver stage, bounded by the merged
-    component count;
+ 3. the cascade — GDAL's smallest-first order is sequential (each
+    merge changes the sizes later merges see) but it factorizes
+    EXACTLY over connected components of the interaction graph
+    (adjacency edges with a sub-threshold endpoint), so each group
+    cascades independently inside one executor task; NOTHING is
+    collected to the driver;
  4. the final label->value map joins back to the labeled tiles
     (cogrouped per tile, no whole-map broadcast) for the recolor pass.
 """
@@ -55,6 +56,7 @@ _META_SCHEMA = T.StructType([
     T.StructField("a", T.LongType(), False),          # label / label_a
     T.StructField("b", T.LongType(), False),          # size / label_b
     T.StructField("v", T.DoubleType(), False),        # value (stats only)
+    T.StructField("p", T.LongType(), False),          # min global px (stats)
 ])
 
 
@@ -64,8 +66,13 @@ def _tile_meta(arr, labels, tid, ox, oy, spec, connect8):
     for lab in range(1, nlab + 1):
         m = labels == lab
         ys, xs = np.nonzero(m)
+        # content-derived identity: the component's minimum global
+        # pixel index — the cascade's tie keys must not depend on
+        # labeling order (tiled vs global ids differ)
+        pos = int(((ys.astype(np.int64) + oy) * spec.width
+                   + (xs.astype(np.int64) + ox)).min())
         rows.append((0, int((tid << 32) | lab), int(m.sum()),
-                     float(arr[ys[0], xs[0]])))
+                     float(arr[ys[0], xs[0]]), pos))
     # in-tile adjacency between different components (4-neighbour)
     gl = np.where(labels > 0, (np.int64(tid) << 32) | labels, 0)
     for sa, sb in (((slice(None), slice(None, -1)), (slice(None), slice(1, None))),
@@ -73,7 +80,7 @@ def _tile_meta(arr, labels, tid, ox, oy, spec, connect8):
         la, lb = gl[sa].ravel(), gl[sb].ravel()
         diff = (la != lb) & (la > 0) & (lb > 0)
         for x, y in set(zip(la[diff].tolist(), lb[diff].tolist())):
-            rows.append((2, int(x), int(y), 0.0))
+            rows.append((2, int(x), int(y), 0.0, 0))
     return rows
 
 
@@ -117,9 +124,16 @@ _EDGE_SCHEMA = T.StructType([
 ])
 
 
-def _cascade(sizes: dict, values: dict, adj: dict, threshold: int) -> dict:
+def _cascade(sizes: dict, values: dict, adj: dict, threshold: int,
+             pos: dict) -> dict:
     """GDAL's smallest-first merge cascade on the component metadata.
-    Returns {component: final_absorbing_component}."""
+    Returns {component: final_absorbing_component}.
+
+    Every tie key is CONTENT-derived (value; `pos` = the component's
+    min global pixel index, unique per component), never the label id:
+    the distributed and single-node runs label the same components
+    differently, and equal-size pop order / equal-(size,value) target
+    choice must still be identical."""
     absorbed: dict[int, int] = {}
 
     def find(x):
@@ -127,10 +141,11 @@ def _cascade(sizes: dict, values: dict, adj: dict, threshold: int) -> dict:
             x = absorbed[x]
         return x
 
-    heap = [(sz, lab) for lab, sz in sizes.items() if sz < threshold]
+    heap = [(sz, pos[lab], lab) for lab, sz in sizes.items()
+            if sz < threshold]
     heapq.heapify(heap)
     while heap:
-        sz, lab = heapq.heappop(heap)
+        sz, _p, lab = heapq.heappop(heap)
         if lab in absorbed or sizes[lab] != sz or sizes[lab] >= threshold:
             continue
         neighbours = {}
@@ -140,15 +155,13 @@ def _cascade(sizes: dict, values: dict, adj: dict, threshold: int) -> dict:
                 neighbours[r] = sizes[r]
         if not neighbours:
             continue  # isolated small blob: GDAL leaves it
-        # tie-break by (size, value): values are content-derived, so the
-        # choice is stable across different tile labelings (ids differ
-        # between the distributed and single-node runs)
-        target = max(neighbours, key=lambda r: (neighbours[r], values[r]))
+        target = max(neighbours,
+                     key=lambda r: (neighbours[r], values[r], -pos[r]))
         absorbed[lab] = target
         sizes[target] += sizes[lab]
         adj.setdefault(target, set()).update(adj.get(lab, ()))
         if sizes[target] < threshold:
-            heapq.heappush(heap, (sizes[target], target))
+            heapq.heappush(heap, (sizes[target], pos[target], target))
     return {lab: find(lab) for lab in sizes}
 
 
@@ -187,7 +200,7 @@ def sieve(tiles: DataFrame, spec: G.GridSpec, threshold: int,
                           & 0xFFFFFFFF)
                 rows.extend(_tile_meta(arr, labels, tid, tx * spec.tile,
                                        ty * spec.tile, spec, connect8))
-            yield pd.DataFrame(rows, columns=["kind", "a", "b", "v"])
+            yield pd.DataFrame(rows, columns=["kind", "a", "b", "v", "p"])
 
     def edges(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -220,10 +233,11 @@ def sieve(tiles: DataFrame, spec: G.GridSpec, threshold: int,
     stats_r = _apply_remap(
         md.filter(F.col("kind") == 0).select(
             F.col("a").alias("label"), F.col("b").alias("size"),
-            F.col("v").alias("value")), rm).persist()
+            F.col("v").alias("value"), F.col("p").alias("pos")), rm).persist()
     root_stats = (stats_r.groupBy("root")
                   .agg(F.sum("size").alias("size"),
-                       F.min("value").alias("value")))
+                       F.min("value").alias("value"),
+                       F.min("pos").alias("pos")))
 
     adj_all = (md.filter(F.col("kind") == 2).select(
         F.col("a").alias("label_a"), F.col("b").alias("label_b"))
@@ -238,23 +252,60 @@ def sieve(tiles: DataFrame, spec: G.GridSpec, threshold: int,
                          F.coalesce("rb", "label_b").alias("rb"))
                  .filter(F.col("ra") != F.col("rb")).distinct())
 
-    # phase 2: the smallest-first cascade — GDAL's sequential semantics
-    # — over COMPONENT-granularity metadata (post-merge counts only)
-    sizes, values = {}, {}
-    for r in root_stats.collect():
-        sizes[int(r["root"])] = int(r["size"])
-        values[int(r["root"])] = float(r["value"])
-    adj: dict[int, set] = {}
-    for r in adj_roots.collect():
-        a, b = int(r["ra"]), int(r["rb"])
-        adj.setdefault(a, set()).add(b)
-        adj.setdefault(b, set()).add(a)
+    # phase 2: the smallest-first cascade, DISTRIBUTED. The cascade
+    # factorizes EXACTLY over connected components of the INTERACTION
+    # graph — adjacency edges with at least one sub-threshold endpoint:
+    # big-big edges are never consulted (adj is only read for popped
+    # small components and for targets that were small), and a merge
+    # mutates sizes/adjacency only within its own interaction group, so
+    # per-group smallest-first order equals the global order restricted
+    # to the group. Each group runs GDAL's sequential cascade inside
+    # ONE executor task (group size = the cascade closure — tile-local
+    # speckle in practice; a pathological whole-raster speckle degrades
+    # to one task, never a driver collect).
     md.unpersist()
-    final = _cascade(dict(sizes), values, adj, threshold)
-    newv = [(root, values[final[root]]) for root in sizes]
-    newv_df = (spark.createDataFrame(newv, "root long, new_v double")
-               if newv else
-               spark.createDataFrame([], "root long, new_v double"))
+    sz_a = root_stats.select(F.col("root").alias("ra"),
+                             F.col("size").alias("sza"))
+    sz_b = root_stats.select(F.col("root").alias("rb"),
+                             F.col("size").alias("szb"))
+    inter = (adj_roots.join(sz_a, "ra").join(sz_b, "rb")
+             .filter((F.col("sza") < threshold) | (F.col("szb") < threshold))
+             .select(F.col("ra").alias("label_a"),
+                     F.col("rb").alias("label_b")).persist())
+    grp = _label_remap(spark, inter, distributed_merge)
+    g_of = grp.select(F.col("label").alias("root"), F.col("root").alias("grp"))
+    nodes = (root_stats.join(g_of, "root", "left")
+             .select(F.coalesce("grp", "root").alias("grp"),
+                     "root", "size", "value", "pos"))
+    g_a = grp.select(F.col("label").alias("label_a"),
+                     F.col("root").alias("grp"))
+    # left join: _label_remap emits no row for a group's ROOT label
+    # (it maps to itself), and an edge whose label_a IS the root must
+    # not be dropped
+    edges_g = (inter.join(g_a, "label_a", "left")
+               .select(F.coalesce("grp", F.col("label_a")).alias("grp"),
+                       "label_a", "label_b"))
+
+    _NEWV_SCHEMA = T.StructType([
+        T.StructField("root", T.LongType(), False),
+        T.StructField("new_v", T.DoubleType(), False),
+    ])
+
+    def cascade_group(npdf: pd.DataFrame, epdf: pd.DataFrame) -> pd.DataFrame:
+        sizes = {int(r): int(s) for r, s in zip(npdf["root"], npdf["size"])}
+        values = {int(r): float(v) for r, v in zip(npdf["root"], npdf["value"])}
+        pos = {int(r): int(p) for r, p in zip(npdf["root"], npdf["pos"])}
+        adj: dict[int, set] = {}
+        for a, b in zip(epdf["label_a"], epdf["label_b"]):
+            adj.setdefault(int(a), set()).add(int(b))
+            adj.setdefault(int(b), set()).add(int(a))
+        final = _cascade(dict(sizes), values, adj, threshold, pos)
+        return pd.DataFrame({"root": list(sizes),
+                             "new_v": [values[final[r]] for r in sizes]})
+
+    newv_df = (nodes.groupby("grp")
+               .cogroup(edges_g.groupby("grp"))
+               .applyInPandas(cascade_group, _NEWV_SCHEMA))
 
     # phase 3: recolor by JOIN (label -> new value rows cogrouped with
     # their tile — the tile id is embedded in the label's high bits),
@@ -289,13 +340,15 @@ def sieve_np(canvas: np.ndarray, threshold: int,
     """Single-node oracle: same smallest-first cascade on the full
     canvas labels."""
     labels = label_tile_np(canvas, connect8)
-    sizes, values, adj = {}, {}, {}
+    sizes, values, adj, pos = {}, {}, {}, {}
     nlab = int(labels.max())
+    w = canvas.shape[1]
     for lab in range(1, nlab + 1):
         m = labels == lab
         ys, xs = np.nonzero(m)
         sizes[lab] = int(m.sum())
         values[lab] = float(canvas[ys[0], xs[0]])
+        pos[lab] = int((ys.astype(np.int64) * w + xs.astype(np.int64)).min())
     for sa, sb in (((slice(None), slice(None, -1)), (slice(None), slice(1, None))),
                    ((slice(None, -1), slice(None)), (slice(1, None), slice(None)))):
         la, lb = labels[sa].ravel(), labels[sb].ravel()
@@ -303,7 +356,7 @@ def sieve_np(canvas: np.ndarray, threshold: int,
         for a, b in set(zip(la[diff].tolist(), lb[diff].tolist())):
             adj.setdefault(a, set()).add(b)
             adj.setdefault(b, set()).add(a)
-    final = _cascade(dict(sizes), values, adj, threshold)
+    final = _cascade(dict(sizes), values, adj, threshold, pos)
     out = canvas.copy()
     for lab in sizes:
         out[labels == lab] = values[final[lab]]
