@@ -44,18 +44,26 @@ partner means the interiors lie on the same side):
     Union         partner same-direction         never
     Difference    partner OPPOSITE direction     never
 
-Remaining unsupported degeneracy: edges on the same line whose
-collinearity is not float-exact, and transverse vertex-on-edge
-touches; generic-position inputs are exact. The predicate matrix
-derives from overlay results, so all eight predicates stay mutually
-consistent — including Equals/Touches on exactly shared boundaries.
+Robustness (r3): every TOPOLOGICAL decision — collinearity, proper
+crossing, vertex-on-edge touch, piece-on-boundary classification —
+runs through adaptive-precision predicates (geo/robust.py: Shewchuk
+float filter + exact rational fallback), so it is exact with respect
+to the float inputs. Constructed intersection points round to nearest
+double (the GEOS contract); if a sub-eps sliver makes the rounded
+points inconsistent, the stitch detects it and the whole pair re-runs
+in exact rational arithmetic (_overlay_exact), rounding only the
+output vertices. Inputs must be VALID (simple rings) — repair
+self-intersections with make_valid first, as with GEOS. The predicate
+matrix derives from overlay results, so all eight predicates stay
+mutually consistent — including Equals/Touches on exactly shared
+boundaries.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from . import geom
+from . import geom, robust
 
 Polygon = list  # list[np.ndarray] — rings[0] shell, rest holes
 
@@ -94,41 +102,28 @@ def _cross(ox, oy, ax, ay, bx, by):
     return (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
 
 
-def _edge_intersections(ea, eb):
-    """Proper (non-parallel) intersection of two segments.
-    -> (t, s, point) with t along ea, s along eb, or None."""
+def _proper_crossing_point(ea, eb):
+    """Intersection point of two segments KNOWN (by exact orientation
+    signs) to cross properly. -> (t, s, point); the one shared point
+    both polygons stitch through."""
     (a1, a2), (b1, b2) = ea, eb
     d1x, d1y = a2[0] - a1[0], a2[1] - a1[1]
     d2x, d2y = b2[0] - b1[0], b2[1] - b1[1]
     denom = d1x * d2y - d1y * d2x
-    if denom == 0.0:
-        return None  # parallel / collinear: degenerate scope
     wx, wy = b1[0] - a1[0], b1[1] - a1[1]
     t = (wx * d2y - wy * d2x) / denom
     s = (wx * d1y - wy * d1x) / denom
-    if not (0.0 <= t <= 1.0 and 0.0 <= s <= 1.0):
-        return None
-    # the ONE shared point both polygons will stitch through; endpoint
-    # hits reproduce the original vertex exactly (t==0 -> a1, etc.)
-    if t == 0.0:
-        p = (float(a1[0]), float(a1[1]))
-    elif t == 1.0:
-        p = (float(a2[0]), float(a2[1]))
-    else:
-        p = (float(a1[0] + t * d1x), float(a1[1] + t * d1y))
+    p = (float(a1[0] + t * d1x), float(a1[1] + t * d1y))
     return t, s, p
 
 
 def _collinear_overlap_cuts(ea, eb):
-    """For exactly-collinear segments, each other's endpoints are cut
-    points (with the ORIGINAL endpoint coordinates, so both sides
-    stitch through bit-identical vertices). -> (cuts_on_a, cuts_on_b)
-    as (param, point) lists, or None when not collinear."""
+    """For EXACTLY-collinear segments (caller established collinearity
+    via exact predicates), each other's endpoints are cut points (with
+    the ORIGINAL endpoint coordinates, so both sides stitch through
+    bit-identical vertices). -> (cuts_on_a, cuts_on_b)."""
     (a1, a2), (b1, b2) = ea, eb
     d1x, d1y = a2[0] - a1[0], a2[1] - a1[1]
-    if (d1x * (b1[1] - a1[1]) - d1y * (b1[0] - a1[0]) != 0.0
-            or d1x * (b2[1] - a1[1]) - d1y * (b2[0] - a1[0]) != 0.0):
-        return None
     out_a, out_b = [], []
     la = d1x * d1x + d1y * d1y
     d2x, d2y = b2[0] - b1[0], b2[1] - b1[1]
@@ -136,36 +131,86 @@ def _collinear_overlap_cuts(ea, eb):
     if la == 0.0 or lb == 0.0:
         return out_a, out_b
     for p in (b1, b2):
-        t = ((p[0] - a1[0]) * d1x + (p[1] - a1[1]) * d1y) / la
-        if 0.0 < t < 1.0:
+        # exact interior test; float t only orders the cuts
+        if (robust.on_segment_collinear(p, a1, a2)
+                and tuple(map(float, p)) not in
+                (tuple(map(float, a1)), tuple(map(float, a2)))):
+            t = ((p[0] - a1[0]) * d1x + (p[1] - a1[1]) * d1y) / la
             out_a.append((t, (float(p[0]), float(p[1]))))
     for p in (a1, a2):
-        s = ((p[0] - b1[0]) * d2x + (p[1] - b1[1]) * d2y) / lb
-        if 0.0 < s < 1.0:
+        if (robust.on_segment_collinear(p, b1, b2)
+                and tuple(map(float, p)) not in
+                (tuple(map(float, b1)), tuple(map(float, b2)))):
+            s = ((p[0] - b1[0]) * d2x + (p[1] - b1[1]) * d2y) / lb
             out_b.append((s, (float(p[0]), float(p[1]))))
     return out_a, out_b
 
 
+def _pair_cuts(ea, eb):
+    """Exact topological decision for one (edgeA, edgeB) pair, by
+    Shewchuk-filtered orientation signs (geo/robust.py):
+      - both b-endpoints on line(a)  -> collinear-overlap cuts;
+      - strict sign straddles both   -> proper crossing (the one
+        constructed — rounded — point, shared by both sides);
+      - a single zero orientation    -> transverse vertex-on-edge
+        touch: the edge is cut at the OTHER polygon's original vertex
+        (exact coordinates), which round 2 misclassified when the
+        touch was not float-exact.
+    -> (cuts_on_a, cuts_on_b) as (param, point) lists."""
+    (a1, a2), (b1, b2) = ea, eb
+    if (max(a1[0], a2[0]) < min(b1[0], b2[0])
+            or max(b1[0], b2[0]) < min(a1[0], a2[0])
+            or max(a1[1], a2[1]) < min(b1[1], b2[1])
+            or max(b1[1], b2[1]) < min(a1[1], a2[1])):
+        return [], []  # disjoint bboxes: no interaction of any kind
+    o_b1 = robust.orient2d(a1[0], a1[1], a2[0], a2[1], b1[0], b1[1])
+    o_b2 = robust.orient2d(a1[0], a1[1], a2[0], a2[1], b2[0], b2[1])
+    if o_b1 == 0 and o_b2 == 0:
+        return _collinear_overlap_cuts(ea, eb)
+    o_a1 = robust.orient2d(b1[0], b1[1], b2[0], b2[1], a1[0], a1[1])
+    o_a2 = robust.orient2d(b1[0], b1[1], b2[0], b2[1], a2[0], a2[1])
+    if o_b1 * o_b2 < 0 and o_a1 * o_a2 < 0:
+        t, s, p = _proper_crossing_point(ea, eb)
+        cuts_a = [(t, p)] if 0.0 < t < 1.0 else []
+        cuts_b = [(s, p)] if 0.0 < s < 1.0 else []
+        return cuts_a, cuts_b
+    cuts_a, cuts_b = [], []
+
+    def vertex_cut(v, s0, s1, cuts, d2):
+        """v lies exactly on line(s0, s1): cut the segment at v when v
+        is strictly interior to it."""
+        vv = (float(v[0]), float(v[1]))
+        e0 = (float(s0[0]), float(s0[1]))
+        e1 = (float(s1[0]), float(s1[1]))
+        if vv != e0 and vv != e1 and robust.on_segment_collinear(v, s0, s1):
+            t = (((v[0] - s0[0]) * (s1[0] - s0[0])
+                  + (v[1] - s0[1]) * (s1[1] - s0[1])) / d2)
+            cuts.append((t, vv))
+
+    la = (a2[0] - a1[0]) ** 2 + (a2[1] - a1[1]) ** 2
+    lb = (b2[0] - b1[0]) ** 2 + (b2[1] - b1[1]) ** 2
+    if o_b1 == 0 and la > 0.0:
+        vertex_cut(b1, a1, a2, cuts_a, la)
+    if o_b2 == 0 and la > 0.0:
+        vertex_cut(b2, a1, a2, cuts_a, la)
+    if o_a1 == 0 and lb > 0.0:
+        vertex_cut(a1, b1, b2, cuts_b, lb)
+    if o_a2 == 0 and lb > 0.0:
+        vertex_cut(a2, b1, b2, cuts_b, lb)
+    return cuts_a, cuts_b
+
+
 def _split(edges_a, edges_b):
     """Split both edge lists at shared intersection points (proper
-    crossings AND collinear-overlap endpoints).
-    -> (pieces_a, pieces_b): each a list of ((x0,y0),(x1,y1))."""
+    crossings, collinear-overlap endpoints, AND exact vertex-on-edge
+    touches). -> (pieces_a, pieces_b): each a list of ((x0,y0),(x1,y1))."""
     cuts_a = [[] for _ in edges_a]
     cuts_b = [[] for _ in edges_b]
     for i, ea in enumerate(edges_a):
         for j, eb in enumerate(edges_b):
-            hit = _edge_intersections(ea, eb)
-            if hit is None:
-                col = _collinear_overlap_cuts(ea, eb)
-                if col is not None:
-                    cuts_a[i].extend(col[0])
-                    cuts_b[j].extend(col[1])
-                continue
-            t, s, p = hit
-            if 0.0 < t < 1.0:
-                cuts_a[i].append((t, p))
-            if 0.0 < s < 1.0:
-                cuts_b[j].append((s, p))
+            ca, cb = _pair_cuts(ea, eb)
+            cuts_a[i].extend(ca)
+            cuts_b[j].extend(cb)
 
     def apply(edges, cuts):
         pieces = []
@@ -188,9 +233,12 @@ _OUT, _IN, _ON = 0, 1, 2
 
 
 def _classify(pieces, poly: Polygon, poly_edges) -> np.ndarray:
-    """Per-piece class vs `poly`: _ON if the midpoint lies EXACTLY on a
-    boundary edge (shared-boundary case), else _IN/_OUT by the even-odd
-    midpoint test. Vectorized over (pieces x edges)."""
+    """Per-piece class vs `poly`: _ON if the piece is EXACTLY a
+    sub-segment of a boundary edge — both endpoints exactly on the
+    edge's line (Shewchuk-filtered float screen, rational confirm) and
+    inside its bbox — else _IN/_OUT by the even-odd midpoint test.
+    Vectorized over (pieces x edges); only near-degenerate candidates
+    pay for exact arithmetic."""
     if not pieces:
         return np.zeros(0, dtype=np.int8)
     mx = np.array([(p0[0] + p1[0]) / 2.0 for p0, p1 in pieces])
@@ -200,14 +248,29 @@ def _classify(pieces, poly: Polygon, poly_edges) -> np.ndarray:
     if poly_edges:
         e = np.array([(p0[0], p0[1], p1[0], p1[1]) for p0, p1 in poly_edges])
         x1, y1, x2, y2 = e[:, 0], e[:, 1], e[:, 2], e[:, 3]
-        cr = ((x2 - x1)[None, :] * (my[:, None] - y1[None, :])
-              - (y2 - y1)[None, :] * (mx[:, None] - x1[None, :]))
-        within = ((mx[:, None] >= np.minimum(x1, x2)[None, :])
-                  & (mx[:, None] <= np.maximum(x1, x2)[None, :])
-                  & (my[:, None] >= np.minimum(y1, y2)[None, :])
-                  & (my[:, None] <= np.maximum(y1, y2)[None, :]))
-        on = ((cr == 0.0) & within).any(axis=1)
-        cls[on] = _ON
+        p = np.array([(p0[0], p0[1], p1[0], p1[1]) for p0, p1 in pieces])
+        xlo, xhi = np.minimum(x1, x2)[None, :], np.maximum(x1, x2)[None, :]
+        ylo, yhi = np.minimum(y1, y2)[None, :], np.maximum(y1, y2)[None, :]
+
+        def near(px, py):
+            """(pieces x edges) mask: orient2d(e0, e1, p) COULD be 0 —
+            the float det is 0 or below Shewchuk's filter bound — and
+            p sits inside the edge's bbox."""
+            dl = (x1[None, :] - px[:, None]) * (y2[None, :] - py[:, None])
+            dr = (y1[None, :] - py[:, None]) * (x2[None, :] - px[:, None])
+            det = dl - dr
+            bound = robust._CCW_BOUND * (np.abs(dl) + np.abs(dr))
+            inb = ((px[:, None] >= xlo) & (px[:, None] <= xhi)
+                   & (py[:, None] >= ylo) & (py[:, None] <= yhi))
+            return (np.abs(det) <= bound) & inb
+
+        cand = near(p[:, 0], p[:, 1]) & near(p[:, 2], p[:, 3])
+        for i, j in zip(*np.nonzero(cand)):
+            if (robust.orient2d(x1[j], y1[j], x2[j], y2[j],
+                                p[i, 0], p[i, 1]) == 0
+                    and robust.orient2d(x1[j], y1[j], x2[j], y2[j],
+                                        p[i, 2], p[i, 3]) == 0):
+                cls[i] = _ON
     return cls
 
 
@@ -231,17 +294,16 @@ def _keep_on(piece, partners, same_dir_keeps: bool) -> bool:
     return same_dir_keeps         # fallback: treat like IN/kept-side
 
 
-def _stitch(pieces) -> list[np.ndarray]:
+def _stitch(pieces) -> tuple[list[np.ndarray], bool]:
     """Walk directed pieces into closed loops (endpoints are bit-exact
     shared floats, so a dict on the coordinate tuple suffices).
-
-    Precision-degeneracy repair: when a walk dead-ends (possible when a
-    sliver thinner than double precision flips one midpoint
-    classification — e.g. an edge passing through the other polygon's
-    vertex within float eps), an unused piece ENDING at the stuck
-    point is traversed in reverse. Exact generic inputs never take
-    this branch; on eps-degenerate ones it recovers the principal loop
-    instead of dropping the whole result."""
+    -> (loops, clean). clean=False signals PRECISION TROUBLE: a walk
+    dead-ended (repaired by reverse traversal) or an open chain was
+    dropped — possible only when a sliver thinner than double precision
+    flipped one midpoint classification (constructed intersection
+    points round to doubles). The caller then re-runs the whole pair
+    in exact rational arithmetic (_overlay_exact); generic inputs never
+    take that path."""
     by_start: dict = {}
     by_end: dict = {}
     for k, (p0, p1) in enumerate(pieces):
@@ -249,6 +311,7 @@ def _stitch(pieces) -> list[np.ndarray]:
         by_end.setdefault(p1, []).append(k)
     used = [False] * len(pieces)
     loops = []
+    clean = True
     for k0 in range(len(pieces)):
         if used[k0]:
             continue
@@ -272,7 +335,9 @@ def _stitch(pieces) -> list[np.ndarray]:
                 cur = rev[0]
                 cur_end = pieces[cur][0]  # traverse reversed
                 n_rev += 1
+                clean = False
                 continue
+            clean = False
             break  # open chain: drop
         if len(loop) >= 4 and loop[0] == loop[-1]:
             arr = np.array(loop, np.float64)
@@ -283,7 +348,7 @@ def _stitch(pieces) -> list[np.ndarray]:
                 arr = arr[::-1].copy()
             if geom.ring_area(arr) != 0.0:
                 loops.append(arr)
-    return loops
+    return loops, clean
 
 
 def _assemble(loops: list[np.ndarray]) -> list[Polygon]:
@@ -309,6 +374,181 @@ def _assemble(loops: list[np.ndarray]) -> list[Polygon]:
     return polys
 
 
+def _overlay_exact(pa: Polygon, pb: Polygon, keep_a_inside: bool,
+                   keep_b_inside: bool, reverse_b: bool,
+                   on_same_dir_keeps: bool) -> list[Polygon]:
+    """The same split/classify/stitch pipeline in EXACT rational
+    arithmetic (every IEEE double is an exact rational; constructed
+    intersection points stay rational), rounding only the OUTPUT
+    vertices to doubles. Taken only when the float path signals
+    precision trouble — the adaptive-precision discipline of
+    geo/robust.py applied to whole constructions."""
+    from fractions import Fraction as Fr
+
+    def rings_fr(poly):
+        out = []
+        for r in normalize(poly):
+            out.append([(Fr(float(x)), Fr(float(y))) for x, y in r])
+        return out
+
+    A, B = rings_fr(pa), rings_fr(pb)
+
+    def edges_of(poly):
+        return [(ring[i], ring[i + 1])
+                for ring in poly for i in range(len(ring) - 1)]
+
+    ea, eb = edges_of(A), edges_of(B)
+    cuts_a = [[] for _ in ea]
+    cuts_b = [[] for _ in eb]
+    for i, (a1, a2) in enumerate(ea):
+        d1x, d1y = a2[0] - a1[0], a2[1] - a1[1]
+        la = d1x * d1x + d1y * d1y
+        for j, (b1, b2) in enumerate(eb):
+            d2x, d2y = b2[0] - b1[0], b2[1] - b1[1]
+            denom = d1x * d2y - d1y * d2x
+            if denom == 0:
+                if (d1x * (b1[1] - a1[1]) - d1y * (b1[0] - a1[0])) != 0:
+                    continue  # parallel, not collinear
+                lb = d2x * d2x + d2y * d2y
+                if la == 0 or lb == 0:
+                    continue
+                for p in (b1, b2):
+                    t = ((p[0] - a1[0]) * d1x + (p[1] - a1[1]) * d1y) / la
+                    if 0 < t < 1:
+                        cuts_a[i].append((t, p))
+                for p in (a1, a2):
+                    s = ((p[0] - b1[0]) * d2x + (p[1] - b1[1]) * d2y) / lb
+                    if 0 < s < 1:
+                        cuts_b[j].append((s, p))
+                continue
+            wx, wy = b1[0] - a1[0], b1[1] - a1[1]
+            t = (wx * d2y - wy * d2x) / denom
+            s = (wx * d1y - wy * d1x) / denom
+            if 0 <= t <= 1 and 0 <= s <= 1:
+                p = (a1[0] + t * d1x, a1[1] + t * d1y)  # exact rational
+                if 0 < t < 1:
+                    cuts_a[i].append((t, p))
+                if 0 < s < 1:
+                    cuts_b[j].append((s, p))
+
+    def apply(edges, cuts):
+        pieces = []
+        for (p0, p1), cs in zip(edges, cuts):
+            pts = [p0]
+            for _, p in sorted(set(cs)):
+                if p != pts[-1]:
+                    pts.append(p)
+            if p1 != pts[-1]:
+                pts.append(p1)
+            pieces.extend((pts[k], pts[k + 1]) for k in range(len(pts) - 1))
+        return pieces
+
+    pcs_a, pcs_b = apply(ea, cuts_a), apply(eb, cuts_b)
+
+    def classify(pieces, edges_other):
+        cls = []
+        for p0, p1 in pieces:
+            mx, my = (p0[0] + p1[0]) / 2, (p0[1] + p1[1]) / 2
+            on = False
+            for q0, q1 in edges_other:
+                cr = ((q1[0] - q0[0]) * (my - q0[1])
+                      - (q1[1] - q0[1]) * (mx - q0[0]))
+                if (cr == 0
+                        and min(q0[0], q1[0]) <= mx <= max(q0[0], q1[0])
+                        and min(q0[1], q1[1]) <= my <= max(q0[1], q1[1])):
+                    on = True
+                    break
+            if on:
+                cls.append(_ON)
+                continue
+            inside = False  # exact even-odd ray cast, +x direction
+            for q0, q1 in edges_other:
+                if (q0[1] > my) == (q1[1] > my):
+                    continue
+                xint = q0[0] + (my - q0[1]) * (q1[0] - q0[0]) / (q1[1] - q0[1])
+                if xint > mx:
+                    inside = not inside
+            cls.append(_IN if inside else _OUT)
+        return cls
+
+    cls_a = classify(pcs_a, eb)
+    cls_b = classify(pcs_b, ea)
+    partners = {(p0, p1): True for p0, p1 in pcs_b}
+    kept = []
+    for p, c in zip(pcs_a, cls_a):
+        if c == _ON:
+            if _keep_on(p, partners, on_same_dir_keeps):
+                kept.append(p)
+        elif (c == _IN) == keep_a_inside:
+            kept.append(p)
+    for p, c in zip(pcs_b, cls_b):
+        if c != _ON and (c == _IN) == keep_b_inside:
+            kept.append((p[1], p[0]) if reverse_b else p)
+
+    # stitch on exact tuples: topology is exact, no repair needed
+    by_start: dict = {}
+    for k, (p0, p1) in enumerate(kept):
+        by_start.setdefault(p0, []).append(k)
+    used = [False] * len(kept)
+    loops = []
+    for k0 in range(len(kept)):
+        if used[k0]:
+            continue
+        loop = [kept[k0][0]]
+        cur = k0
+        while True:
+            used[cur] = True
+            nxt = kept[cur][1]
+            loop.append(nxt)
+            if nxt == loop[0]:
+                break
+            cand = [k for k in by_start.get(nxt, ()) if not used[k]]
+            if not cand:
+                break
+            cur = cand[0]
+        if len(loop) >= 4 and loop[0] == loop[-1]:
+            area2 = sum(loop[k][0] * loop[k + 1][1]
+                        - loop[k + 1][0] * loop[k][1]
+                        for k in range(len(loop) - 1))
+            if area2 != 0:
+                loops.append((area2, loop))
+
+    # assemble with exact shell/hole signs, round vertices at the end
+    shells = sorted(((abs(a2), lp) for a2, lp in loops if a2 > 0),
+                    key=lambda t: t[0])
+    holes = [lp for a2, lp in loops if a2 < 0]
+
+    def inside_exact(mx, my, ring):
+        inside = False
+        for k in range(len(ring) - 1):
+            q0, q1 = ring[k], ring[k + 1]
+            if (q0[1] > my) == (q1[1] > my):
+                continue
+            xint = q0[0] + (my - q0[1]) * (q1[0] - q0[0]) / (q1[1] - q0[1])
+            if xint > mx:
+                inside = not inside
+        return inside
+
+    polys = [[lp] for _a, lp in shells]
+    for h in holes:
+        mx, my = (h[0][0] + h[1][0]) / 2, (h[0][1] + h[1][1]) / 2
+        for poly in polys:
+            if inside_exact(mx, my, poly[0]):
+                poly.append(h)
+                break
+        else:
+            if polys:
+                polys[0].append(h)
+    out = []
+    for poly in polys:
+        rings = [np.array([(float(x), float(y)) for x, y in lp], np.float64)
+                 for lp in poly]
+        # float rounding can collapse a sub-eps loop to zero area
+        if geom.ring_area(rings[0]) != 0.0:
+            out.append(rings)
+    return out
+
+
 def _overlay(pa: Polygon, pb: Polygon, keep_a_inside: bool,
              keep_b_inside: bool, reverse_b: bool,
              on_same_dir_keeps: bool) -> list[Polygon]:
@@ -330,7 +570,13 @@ def _overlay(pa: Polygon, pb: Polygon, keep_a_inside: bool,
     for p, c in zip(pcs_b, cls_b):
         if c != _ON and (c == _IN) == keep_b_inside:
             kept.append((p[1], p[0]) if reverse_b else p)
-    return _assemble(_stitch(kept))
+    loops, clean = _stitch(kept)
+    if not clean:
+        # precision trouble (sub-eps sliver flipped a classification):
+        # redo the whole pair exactly
+        return _overlay_exact(pa, pb, keep_a_inside, keep_b_inside,
+                              reverse_b, on_same_dir_keeps)
+    return _assemble(loops)
 
 
 def intersection(pa: Polygon, pb: Polygon) -> list[Polygon]:
@@ -453,14 +699,9 @@ def make_valid(rings: Polygon) -> list[Polygon]:
         for j in range(i + 2, len(edges)):
             if i == 0 and j == len(edges) - 1:
                 continue  # wrap-adjacent
-            hit = _edge_intersections(edges[i], edges[j])
-            if hit is None:
-                continue
-            t, s, p = hit
-            if 0.0 < t < 1.0:
-                cuts[i].append((t, p))
-            if 0.0 < s < 1.0:
-                cuts[j].append((s, p))
+            ca, cb = _pair_cuts(edges[i], edges[j])
+            cuts[i].extend(ca)
+            cuts[j].extend(cb)
     pieces = []
     for (p0, p1), cs in zip(edges, cuts):
         pts = [(float(p0[0]), float(p0[1]))]

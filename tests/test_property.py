@@ -30,7 +30,14 @@ def test_png_roundtrip_property(h, w, mode, seed):
 
 
 def _star(rng, cx, cy, r, n):
-    th = np.sort(rng.uniform(0, 2 * np.pi, n))
+    """Random SIMPLE star polygon: jittered evenly-spaced angles keep
+    every angular gap < 180 degrees, so no chord can pass on the far
+    side of the center and cross another edge (purely-sorted random
+    angles could leave a >180-degree gap whose closing chord makes the
+    ring SELF-INTERSECT — seed 4021146419's r2 'eps-sliver' was really
+    that invalid input)."""
+    base = np.linspace(0.0, 2.0 * np.pi, n, endpoint=False)
+    th = base + rng.uniform(0.05, 0.95, n) * (2.0 * np.pi / n)
     rr = rng.uniform(0.35, 1.0, n) * r
     ring = np.column_stack([cx + rr * np.cos(th), cy + rr * np.sin(th)])
     return [np.vstack([ring, ring[:1]])]
@@ -96,14 +103,13 @@ def test_convex_hull_contains_points_property(n, seed):
     assert inside.all()
 
 
-def test_overlay_eps_degenerate_sliver_recovers():
-    """Regression for seed 4021146419: B's edge passes through A's
-    vertex within double precision, creating a sliver below float
-    resolution. The stitch's reverse-traversal repair must recover the
-    principal loops (round-1 behavior dropped the entire result):
-    union/intersection satisfy inclusion-exclusion to the sliver scale
-    instead of collapsing to empty. Exact behavior in this eps-class is
-    documented out of scope (overlay.py module docstring)."""
+def test_overlay_seed_4021146419_exact():
+    """Regression for the r2 'eps-degenerate sliver' seed. Root cause
+    (diagnosed in r3): the old sorted-random-angle star generator
+    produced a SELF-INTERSECTING ring for this seed, so overlay on the
+    raw input was garbage-in. With the ring repaired via make_valid
+    (the documented contract for invalid inputs — GEOS requires valid
+    geometry too), every boolean identity holds to float tolerance."""
     rng = np.random.default_rng(4021146419)
     def star(cx, cy, r, n):
         th = np.sort(rng.uniform(0, 2 * np.pi, n))
@@ -114,11 +120,37 @@ def test_overlay_eps_degenerate_sliver_recovers():
              rng.uniform(1, 3), rng.integers(5, 12))
     B = star(rng.uniform(-1, 1), rng.uniform(-1, 1),
              rng.uniform(1, 3), rng.integers(5, 12))
-    aa, ab = geom.polygon_area(A), geom.polygon_area(B)
-    ai = overlay.multi_area(overlay.intersection(A, B))
-    au = overlay.multi_area(overlay.union(A, B))
-    assert ai > 0 and au > max(aa, ab)           # nothing collapses
-    assert abs((au + ai) - (aa + ab)) < 1e-2 * (aa + ab)
+    # the self-intersecting B splits into its simple loops; overlay the
+    # LARGEST loop (make_valid's principal component) against A
+    B_valid = max(overlay.make_valid(B), key=geom.polygon_area)
+    aa, ab = geom.polygon_area(A), geom.polygon_area(B_valid)
+    ai = overlay.multi_area(overlay.intersection(A, B_valid))
+    au = overlay.multi_area(overlay.union(A, B_valid))
+    ad = overlay.multi_area(overlay.difference(A, B_valid))
+    scale = max(aa, ab)
+    assert ai > 0 and au > max(aa, ab)
+    assert abs((au + ai) - (aa + ab)) < 1e-9 * scale
+    assert abs(ad - (aa - ai)) < 1e-9 * scale
+
+
+def test_overlay_sub_eps_sliver_exact_fallback():
+    """A TRUE precision degeneracy: B's apex pokes 1e-16 above A's
+    bottom edge, so the two constructed crossing points collapse to
+    (nearly) one double. The float path signals stitch trouble and the
+    exact rational rerun (_overlay_exact) must keep every identity at
+    float tolerance instead of collapsing or crashing."""
+    A = [np.array([(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0),
+                   (0.0, 0.0)])]
+    for bump in (1e-16, 1e-13, 1e-9):
+        B = [np.array([(0.3, -0.5), (0.7, -0.5), (0.5, bump),
+                       (0.3, -0.5)])]
+        aa, ab = geom.polygon_area(A), geom.polygon_area(B)
+        ai = overlay.multi_area(overlay.intersection(A, B))
+        au = overlay.multi_area(overlay.union(A, B))
+        ad = overlay.multi_area(overlay.difference(A, B))
+        assert 0.0 <= ai < 1e-8                      # the sliver only
+        assert abs((au + ai) - (aa + ab)) < 1e-9
+        assert abs(ad - (aa - ai)) < 1e-9
 
 
 @settings(max_examples=15, deadline=None, derandomize=True)
