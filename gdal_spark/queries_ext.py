@@ -446,40 +446,74 @@ def _zonal_oracle() -> str:
     maj AS (SELECT poly_id, lang AS major_lang FROM (
               SELECT *, row_number() OVER (PARTITION BY poly_id
                                            ORDER BY c DESC, lang) AS rn
-              FROM per_lang) WHERE rn = 1)
-    SELECT j.poly_id AS poly_id, count(*) AS n_pages,
-           CAST(sum(j.n_chars) AS BIGINT) AS sum_chars,
-           min(j.n_chars) AS min_chars, max(j.n_chars) AS max_chars,
-           maj.major_lang AS major_lang
-    FROM j JOIN maj USING (poly_id)
-    GROUP BY j.poly_id, maj.major_lang ORDER BY poly_id
+              FROM per_lang) WHERE rn = 1),
+    mino AS (SELECT poly_id, lang AS minor_lang FROM (
+              SELECT *, row_number() OVER (PARTITION BY poly_id
+                                           ORDER BY c ASC, lang) AS rn
+              FROM per_lang) WHERE rn = 1),
+    base AS (
+      SELECT j.poly_id AS poly_id, count(*) AS n_pages,
+             CAST(sum(j.n_chars) AS BIGINT) AS sum_chars,
+             CAST(sum(CAST(j.n_chars AS BIGINT) * j.n_chars) AS BIGINT)
+               AS sumsq_chars,
+             min(j.n_chars) AS min_chars, max(j.n_chars) AS max_chars,
+             count(DISTINCT j.lang) AS n_langs
+      FROM j GROUP BY j.poly_id)
+    SELECT b.poly_id, b.n_pages, b.sum_chars, b.min_chars, b.max_chars,
+           CAST(b.sum_chars AS DOUBLE) / b.n_pages AS mean_chars,
+           sqrt(CAST(b.n_pages * b.sumsq_chars
+                     - b.sum_chars * b.sum_chars AS DOUBLE)
+                / CAST(b.n_pages * b.n_pages AS DOUBLE)) AS stdev_chars,
+           b.n_langs, maj.major_lang, mino.minor_lang
+    FROM base b JOIN maj USING (poly_id) JOIN mino USING (poly_id)
+    ORDER BY poly_id
     """
 
 
 @register("geo_zonal_stats", oracle=_zonal_oracle())
 def zonal_stats(spark, sf_dir):
-    """Zonal statistics (alg/zonal.cpp semantics: count/min/max/sum +
-    majority) over the admin polygons: PIP join then groupBy(zone);
-    the majority stat is a per-(zone,lang) count + rank window — the
-    distributed restatement of zonal.cpp:661-695's value histogram."""
+    """Zonal statistics (alg/zonal.cpp:661-695 stat list:
+    count/min/max/sum/MEAN/STDEV/majority/MINORITY/VARIETY) over the
+    admin polygons: PIP join then groupBy(zone); majority/minority are
+    per-(zone,lang) count + rank windows — the distributed restatement
+    of the reference's value histogram. Exactness: mean is exact-int-
+    sum / count (one correctly-rounded division); stdev is the
+    POPULATION formula on exact BIGINT moments, sqrt(
+    (n*sumsq - sum^2)/n^2 ) — integer ops exact, the double cast,
+    division and sqrt all correctly rounded, so both engines agree
+    bit-for-bit."""
     d = _t(spark, sf_dir, "documents")
     pts = d.select("doc_id", "lang", "n_chars",
                    pages.lon_col(F.col("doc_id")).alias("lon"),
                    pages.lat_col(F.col("doc_id")).alias("lat"))
     j = pip_join.pip_join_broadcast(pts, admin.admin_df(spark), how="inner")
     per_lang = j.groupBy("poly_id", "lang").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.partitionBy("poly_id").orderBy(F.desc("c"), F.asc("lang"))
-    maj = (per_lang.withColumn("rn", F.row_number().over(w))
+    w_maj = Window.partitionBy("poly_id").orderBy(F.desc("c"), F.asc("lang"))
+    w_min = Window.partitionBy("poly_id").orderBy(F.asc("c"), F.asc("lang"))
+    maj = (per_lang.withColumn("rn", F.row_number().over(w_maj))
            .filter(F.col("rn") == 1)
            .select("poly_id", F.col("lang").alias("major_lang")))
+    mino = (per_lang.withColumn("rn", F.row_number().over(w_min))
+            .filter(F.col("rn") == 1)
+            .select("poly_id", F.col("lang").alias("minor_lang")))
+    nc = F.col("n_chars").cast("long")
     stats = j.groupBy("poly_id").agg(
         F.count(F.lit(1)).alias("n_pages"),
-        F.sum("n_chars").alias("sum_chars"),
+        F.sum(nc).alias("sum_chars"),
+        F.sum(nc * F.col("n_chars")).alias("sumsq_chars"),
         F.min("n_chars").alias("min_chars"),
-        F.max("n_chars").alias("max_chars"))
-    return (stats.join(maj, "poly_id")
+        F.max("n_chars").alias("max_chars"),
+        F.countDistinct("lang").alias("n_langs"))
+    n = F.col("n_pages")
+    sx = F.col("sum_chars")
+    sxx = F.col("sumsq_chars")
+    return (stats.join(maj, "poly_id").join(mino, "poly_id")
             .select("poly_id", "n_pages", "sum_chars", "min_chars",
-                    "max_chars", "major_lang")
+                    "max_chars",
+                    (sx.cast("double") / n).alias("mean_chars"),
+                    F.sqrt((n * sxx - sx * sx).cast("double")
+                           / (n * n).cast("double")).alias("stdev_chars"),
+                    "n_langs", "major_lang", "minor_lang")
             .orderBy("poly_id"))
 
 
