@@ -81,3 +81,24 @@ def on_segment_collinear(p, s0, s1) -> bool:
     segment (inclusive)? Pure coordinate comparisons — exact."""
     return (min(s0[0], s1[0]) <= p[0] <= max(s0[0], s1[0])
             and min(s0[1], s1[1]) <= p[1] <= max(s0[1], s1[1]))
+
+
+def segments_intersect(a1, a2, b1, b2) -> bool:
+    """EXACT: do closed segments (a1,a2) and (b1,b2) share any point?
+    Proper crossings, endpoint touches, and collinear overlaps all
+    count (the self-intersection test of a validity check)."""
+    o1 = orient2d(a1[0], a1[1], a2[0], a2[1], b1[0], b1[1])
+    o2 = orient2d(a1[0], a1[1], a2[0], a2[1], b2[0], b2[1])
+    o3 = orient2d(b1[0], b1[1], b2[0], b2[1], a1[0], a1[1])
+    o4 = orient2d(b1[0], b1[1], b2[0], b2[1], a2[0], a2[1])
+    if o1 * o2 < 0 and o3 * o4 < 0:
+        return True
+    if o1 == 0 and on_segment_collinear(b1, a1, a2):
+        return True
+    if o2 == 0 and on_segment_collinear(b2, a1, a2):
+        return True
+    if o3 == 0 and on_segment_collinear(a1, b1, b2):
+        return True
+    if o4 == 0 and on_segment_collinear(a2, b1, b2):
+        return True
+    return False

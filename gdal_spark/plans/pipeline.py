@@ -188,7 +188,7 @@ def _check_geometry(df: DataFrame, col: str = "geom",
     from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf
 
-    from ..geo import overlay, wkb
+    from ..geo import overlay, robust, wkb
 
     @pandas_udf(T.BooleanType())
     def _valid(g: pd.Series) -> pd.Series:
@@ -207,8 +207,9 @@ def _check_geometry(df: DataFrame, col: str = "geom",
                         for j in range(i + 2, len(edges)):
                             if i == 0 and j == len(edges) - 1:
                                 continue
-                            if overlay._edge_intersections(
-                                    edges[i], edges[j]) is not None:
+                            if robust.segments_intersect(
+                                    edges[i][0], edges[i][1],
+                                    edges[j][0], edges[j][1]):
                                 return False
             return True
         return pd.Series([check(b) if b is not None else False for b in g],

@@ -31,18 +31,37 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 _OGR_JOIN = re.compile(
-    r"\bLEFT\s+JOIN\s+(?P<sec>\w+)\s+ON\s+"
+    r"\b(?:LEFT\s+)?JOIN\s+(?P<sec>\w+)\s+ON\s+"
     r"(?P<lhs>\w+\.\w+)\s*=\s*(?P<rhs>\w+\.\w+)",
     re.IGNORECASE)
 
 
 def _rewrite_ogrsql_joins(spark: SparkSession, sql: str,
                           layer_names: set[str]) -> str:
-    """OGRSQL first-match LEFT JOIN -> standard LEFT JOIN against a
-    deduped (first-record-per-key, FID order) view of the secondary."""
+    """OGRSQL joins -> standard LEFT JOINs against deduped
+    (first-record-per-key, FID order) views of each secondary.
+
+    swq grammar (swq_parser.y:1087-1094): `opt_joins` recurses, so a
+    statement may chain MULTIPLE joins, each `[LEFT] JOIN table ON
+    a.f = b.g`; a bare JOIN carries the same first-match LEFT
+    semantics (ogr_gensql.cpp processes every join as LEFT). UNION ALL
+    branches (swq_parser.y:840) are covered too: the scan walks the
+    whole statement, rewriting every join clause wherever it appears.
+    The rewrite is applied iteratively on the CURRENT text so multiple
+    joins never see stale offsets."""
+    if re.search(r"\b(RIGHT|FULL|INNER|CROSS)\s+JOIN\b", sql, re.IGNORECASE):
+        raise NotImplementedError(
+            "OGRSQL supports [LEFT] JOIN only (swq_parser.y)")
     out = sql
-    for m in list(_OGR_JOIN.finditer(sql)):
+    while True:
+        m = next((mm for mm in _OGR_JOIN.finditer(out)
+                  if not mm.group("sec").startswith("__")), None)
+        if m is None:
+            break
         sec = m.group("sec")
+        if sec.lower() not in {ln.lower() for ln in layer_names}:
+            raise NotImplementedError(
+                f"OGRSQL JOIN references unknown layer {sec!r}")
         sides = [m.group("lhs"), m.group("rhs")]
         sec_side = next((s for s in sides
                          if s.split(".")[0].lower() == sec.lower()), None)
@@ -57,13 +76,16 @@ def _rewrite_ogrsql_joins(spark: SparkSession, sql: str,
               SELECT *, row_number() OVER (PARTITION BY {key}
                                            ORDER BY FID) AS __rn
               FROM {sec}) WHERE __rn = 1""")
-        start, end = m.span("sec")
-        out = out[:start] + view + out[end:]
-        # qualify references to the secondary with the view name
-        out = re.sub(rf"\b{sec}\.", f"{view}.", out)
-    if re.search(r"\b(RIGHT|FULL|INNER|CROSS)\s+JOIN\b", out, re.IGNORECASE):
-        raise NotImplementedError(
-            "OGRSQL supports LEFT JOIN only (swq_parser.y)")
+        # normalize the clause to LEFT JOIN <view> and qualify every
+        # reference to the secondary with the view name
+        start, end = m.span()
+        clause = out[start:end]
+        clause = re.sub(r"^(?:LEFT\s+)?JOIN", "LEFT JOIN", clause,
+                        flags=re.IGNORECASE)
+        clause = re.sub(rf"\bJOIN\s+{sec}\b", f"JOIN {view}", clause,
+                        flags=re.IGNORECASE)
+        out = out[:start] + clause + out[end:]
+        out = re.sub(rf"\b{sec}\.", f"{view}.", out, flags=re.IGNORECASE)
     return out
 
 

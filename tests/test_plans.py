@@ -191,9 +191,11 @@ def test_execute_sql_fid_pseudocolumn(spark, sf_dir):
 
 def test_execute_sql_ogrsql_join_refuses_unsupported(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # bare INNER JOIN is not in the swq grammar
+    # INNER/RIGHT/FULL/CROSS JOIN are not in the swq grammar
+    # (swq_parser.y only produces [LEFT] JOIN); bare JOIN is accepted
+    # with LEFT first-match semantics (tests/test_ogrsql_text.py).
     with pytest.raises(NotImplementedError):
-        execute_sql(spark, "SELECT * FROM a JOIN b ON a.x = b.x",
+        execute_sql(spark, "SELECT * FROM a INNER JOIN b ON a.x = b.x",
                     {"a": docs, "b": docs}, dialect="OGRSQL")
 
 
