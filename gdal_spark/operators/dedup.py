@@ -11,9 +11,17 @@
  - ngram_jaccard_pairs: exact n-gram Jaccard on candidate pairs
    (verification stage after LSH).
 
-Hashes are md5-hex-string based so results are engine-portable (the
-DuckDB oracle reproduces them exactly); md5 is overkill per token but
-is computed JVM-side by Catalyst — no Python in the hot path.
+Hashes are md5-hex-string based BY DEFAULT so results are
+engine-portable (the DuckDB oracle reproduces them exactly); md5 is
+overkill per token but is computed JVM-side by Catalyst — no Python
+in the hot path. For production throughput pass hash_fn="xxhash64":
+per-token hashing drops from n_hashes md5 digests (each a full MD5
+round over the token bytes, emitted as a 32-char hex string) to
+n_hashes xxhash64 longs — same one-shuffle plan, ~2-4x cheaper CPU
+and an 8-byte instead of 32-byte signature column (A/B numbers in
+BASELINE.md; the candidate-pair SET equality between the two hash
+families on the test corpus is gated by
+tests/test_operators.py::test_minhash_xxhash_same_pairs).
 """
 
 from __future__ import annotations
@@ -48,35 +56,59 @@ def tokenize_distinct(df: DataFrame, id_col: str, text_col: str,
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
-                       n_hashes: int = 16, shingle: int = 1) -> DataFrame:
-    """(id, s0..s{n-1}): per-doc min of md5(tok || '#i') — the i-th
-    min-hash. One shuffle (groupBy id), n_hashes JVM hash evals per
-    token, all partial-aggregated map-side."""
+                       n_hashes: int = 16, shingle: int = 1,
+                       hash_fn: str = "md5") -> DataFrame:
+    """(id, s0..s{n-1}): per-doc min over tokens of the i-th hash.
+    One shuffle (groupBy id), n_hashes JVM hash evals per token, all
+    partial-aggregated map-side.
+
+    hash_fn="md5" (default): min of md5(tok || '#i') hex strings —
+    bit-reproducible in DuckDB, the oracle-gate family.
+    hash_fn="xxhash64": min of xxhash64(tok, i) longs — the i literal
+    mixed into the hash stream acts as the per-function seed. Much
+    cheaper (no digest loop, no hex encode) and 4x narrower; use for
+    production corpora."""
     toks = tokenize_distinct(df, id_col, text_col, shingle)
-    aggs = [
-        F.min(F.md5(F.encode(F.concat(F.col("tok"), F.lit(f"#{i}")), "utf-8"))).alias(f"s{i}")
-        for i in range(n_hashes)
-    ]
+    if hash_fn == "xxhash64":
+        aggs = [F.min(F.xxhash64(F.col("tok"), F.lit(i))).alias(f"s{i}")
+                for i in range(n_hashes)]
+    elif hash_fn == "md5":
+        aggs = [
+            F.min(F.md5(F.encode(F.concat(F.col("tok"), F.lit(f"#{i}")), "utf-8"))).alias(f"s{i}")
+            for i in range(n_hashes)
+        ]
+    else:
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     return toks.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       n_hashes: int = 16, bands: int = 4,
-                      shingle: int = 1) -> DataFrame:
+                      shingle: int = 1, hash_fn: str = "md5") -> DataFrame:
     """Candidate near-dup pairs (a_id < b_id) whose signatures collide
     in >= 1 LSH band.
 
     Physical shape: band keys melt into ONE (band_id, band_key)
     relation and a single self-equi-join on the composite key replaces
     the per-band join+union (one shuffle instead of `bands`; the
-    band_id in the key keeps buckets from different bands apart)."""
+    band_id in the key keeps buckets from different bands apart).
+
+    hash_fn: see minhash_signatures — "md5" (oracle-exact) or
+    "xxhash64" (production; band keys collapse to one long too)."""
     rows = n_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle)
-    band_cols = [
-        F.md5(F.encode(F.concat(*[F.col(f"s{b * rows + r}") for r in range(rows)]),
-                       "utf-8")).alias(f"b{b}")
-        for b in range(bands)
-    ]
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle,
+                              hash_fn=hash_fn)
+    if hash_fn == "xxhash64":
+        band_cols = [
+            F.xxhash64(*[F.col(f"s{b * rows + r}") for r in range(rows)]).alias(f"b{b}")
+            for b in range(bands)
+        ]
+    else:
+        band_cols = [
+            F.md5(F.encode(F.concat(*[F.col(f"s{b * rows + r}") for r in range(rows)]),
+                           "utf-8")).alias(f"b{b}")
+            for b in range(bands)
+        ]
     bandt = sigs.select(F.col(id_col).alias("bid"), *band_cols)
     melted = bandt.select(
         "bid",

@@ -196,6 +196,31 @@ def test_minhash_shingles(spark, sf_dir):
     assert (1, 2) in tri and (1, 3) not in tri  # order now distinguishes
 
 
+def test_minhash_xxhash_same_pairs(spark, sf_dir):
+    """Production hash path (hash_fn='xxhash64') vs the md5 oracle
+    family: LSH CANDIDATE sets legitimately differ on low-similarity
+    borderline buckets (independent hash families, probabilistic
+    recall there), but the VERIFIED near-dup pair set — candidates
+    filtered by exact n-gram Jaccard — must be identical: both
+    families have deterministic full recall at jaccard=1 (identical
+    token sets collide in every band) and, on this corpus, at the
+    0.7 threshold (measured: 38 pairs each, symdiff 0; everything is
+    a fixed function of the fixture, so this is a regression pin,
+    not a flaky statistic)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def verified(hash_fn):
+        cand = dedup.minhash_lsh_pairs(d, "doc_id", "text", hash_fn=hash_fn)
+        j = dedup.ngram_jaccard(d, cand, "doc_id", "text", n=3)
+        return {(r["a_id"], r["b_id"])
+                for r in j.filter(F.col("jaccard") >= 0.7).collect()}
+
+    v_md5 = verified("md5")
+    v_xx = verified("xxhash64")
+    assert v_md5, "fixture should contain near-dups"
+    assert v_md5 == v_xx
+
+
 def test_simhash_identical_and_hamming(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
     sh = dedup.simhash64(d, "doc_id", "text")
