@@ -95,15 +95,26 @@ def _limit(df: DataFrame, n: int, offset: int = 0) -> DataFrame:
 @step_impl("sort")
 def _sort(df: DataFrame, by: list[str] | None = None,
           spatial: bool = False, lon: str = "lon", lat: str = "lat",
-          res: int = cells.DEFAULT_RES) -> DataFrame:
+          res: int = cells.DEFAULT_RES,
+          method: str = "hilbert") -> DataFrame:
     """gdalalg_vector_sort.cpp: attribute sort, or spatial clustering
-    by the space-filling cell id (the hilbert-method analog)."""
+    by a space-filling-curve key. method="hilbert" (the reference's
+    curve, alg/hilbert.cpp:80) or "zorder" (Morton — one shift-
+    interleave instead of `res` bit rounds, slightly cheaper key,
+    coarser locality). Either way: range-partition + in-partition
+    sort by the key, so rows land spatially clustered WITHOUT a
+    total-order merge."""
     if spatial:
-        key = cells.cell_encode_col(F.col(lon), F.col(lat), res)
-        # range-partition + in-partition sort by the Z-order key: rows
-        # land spatially clustered WITHOUT a total-order merge — the
-        # distributed form of the reference's hilbert sort
-        return (df.withColumn("__sk", key).repartitionByRange("__sk")
+        if method == "hilbert":
+            from ..geo import hilbert
+            df = hilbert.with_hilbert_key(df, lon, lat, res, out="__sk")
+        elif method == "zorder":
+            df = df.withColumn(
+                "__sk", cells.cell_encode_col(F.col(lon), F.col(lat), res))
+        else:
+            raise ValueError(f"sort method must be 'hilbert' or 'zorder',"
+                             f" got {method!r}")
+        return (df.repartitionByRange("__sk")
                 .sortWithinPartitions("__sk").drop("__sk"))
     return df.orderBy(*by)
 
