@@ -497,6 +497,249 @@ def _warp_mode_oracle() -> str:
     """
 
 
+def _warp_box_ctes() -> str:
+    """Shared `dst` + `boxes` CTE text: the center-rule source-space
+    footprint box of GWKAverageOrModeThread, identical float ops to
+    the numpy kernel (and to the average/mode oracles above)."""
+    spx_of, spy_of, cx, cy, res_x, res_y = _warp_xform_sql()
+    exW = spx_of(f"(-180.0 + x * {res_x!r})")
+    exE = spx_of(f"(-180.0 + (x + 1) * {res_x!r})")
+    eyN = spy_of(f"(90.0 - y * {res_y!r})")
+    eyS = spy_of(f"(90.0 - (y + 1) * {res_y!r})")
+    spx = spx_of(cx)
+    spy = spy_of(cy)
+    return f"""
+    dst AS (
+      SELECT x, y,
+             CAST(ceil(least({exW}, {exE}) - 0.5) AS BIGINT) AS xlo0,
+             CAST(ceil(greatest({exW}, {exE}) - 0.5) - 1 AS BIGINT) AS xhi0,
+             CAST(ceil(least({eyN}, {eyS}) - 0.5) AS BIGINT) AS ylo0,
+             CAST(ceil(greatest({eyN}, {eyS}) - 0.5) - 1 AS BIGINT) AS yhi0,
+             CAST(floor({spx}) AS BIGINT) AS cx0,
+             CAST(floor({spy}) AS BIGINT) AS cy0
+      FROM (SELECT range AS x FROM range({CW_W})), (SELECT range AS y FROM range({CW_H}))
+    ),
+    boxes AS (
+      SELECT x, y,
+             greatest(CASE WHEN xhi0 < xlo0 THEN cx0 ELSE xlo0 END, 0) AS xlo,
+             least(CASE WHEN xhi0 < xlo0 THEN cx0 ELSE xhi0 END, {N5 - 1}) AS xhi,
+             greatest(CASE WHEN yhi0 < ylo0 THEN cy0 ELSE ylo0 END, 0) AS ylo,
+             least(CASE WHEN yhi0 < ylo0 THEN cy0 ELSE yhi0 END, {N5 - 1}) AS yhi
+      FROM dst
+    )"""
+
+
+def _warp_checksum_tail() -> str:
+    return f"""
+    SELECT CAST(gy // {CW_TILE} AS INTEGER) AS tile_y,
+           CAST(gx // {CW_TILE} AS INTEGER) AS tile_x,
+           {CK.checksum_sql('v', 'gx', 'gy', CW_W)} AS checksum,
+           count(*) FILTER (WHERE v <> 0) AS n_nonzero
+    FROM warped GROUP BY tile_y, tile_x
+    HAVING count(*) FILTER (WHERE v <> 0) > 0
+    ORDER BY tile_y, tile_x
+    """
+
+
+def _warp_minmax_oracle(fn: str) -> str:
+    """GRA_Min / GRA_Max: exact value selection over the footprint
+    box. Implicit zeros (absent sparse pixels) participate whenever
+    the box is not fully covered by present pixels."""
+    agg = {"min": "min", "max": "max"}[fn]
+    pick = {"min": "least", "max": "greatest"}[fn]
+    return f"""
+    WITH {_px_cte(ZOOM, TILE)},
+    {_warp_box_ctes()},
+    summed AS (
+      SELECT b.x, b.y, b.xlo, b.xhi, b.ylo, b.yhi,
+             {agg}(p.v) AS vpres, count(p.v) AS npres
+      FROM boxes b LEFT JOIN px p
+        ON p.gx BETWEEN b.xlo AND b.xhi AND p.gy BETWEEN b.ylo AND b.yhi
+      GROUP BY b.x, b.y, b.xlo, b.xhi, b.ylo, b.yhi
+    ),
+    warped AS (
+      SELECT x AS gx, y AS gy,
+             CASE WHEN xlo <= xhi AND ylo <= yhi THEN
+               CASE WHEN npres < (xhi - xlo + 1) * (yhi - ylo + 1)
+                    THEN {pick}(coalesce(vpres, 0.0), 0.0)
+                    ELSE vpres END
+             ELSE 0.0 END AS v
+      FROM summed
+    )
+    {_warp_checksum_tail()}"""
+
+
+def _warp_quant_oracle(q: float) -> str:
+    """GRA_Med / GRA_Q1 / GRA_Q3: sort the footprint multiset, take
+    index ceil(q*n - 1) (gdalwarpkernel.cpp:8340). Implicit zeros
+    sort before the (positive) present values, so the selection is
+    `0` when the index lands in the zero prefix, else the
+    (idx - zeros)-th present value."""
+    return f"""
+    WITH {_px_cte(ZOOM, TILE)},
+    {_warp_box_ctes()},
+    summed AS (
+      SELECT b.x, b.y, b.xlo, b.xhi, b.ylo, b.yhi,
+             list(p.v ORDER BY p.v) FILTER (WHERE p.v IS NOT NULL) AS vals,
+             count(p.v) AS npres
+      FROM boxes b LEFT JOIN px p
+        ON p.gx BETWEEN b.xlo AND b.xhi AND p.gy BETWEEN b.ylo AND b.yhi
+      GROUP BY b.x, b.y, b.xlo, b.xhi, b.ylo, b.yhi
+    ),
+    idxed AS (
+      SELECT x, y, xlo, xhi, ylo, yhi, vals, npres,
+             (xhi - xlo + 1) * (yhi - ylo + 1) AS boxn,
+             greatest(CAST(ceil({q!r} * ((xhi - xlo + 1) * (yhi - ylo + 1)) - 1)
+                           AS BIGINT), 0) AS idx
+      FROM summed
+    ),
+    warped AS (
+      SELECT x AS gx, y AS gy,
+             CASE WHEN xlo <= xhi AND ylo <= yhi THEN
+               CASE WHEN idx < boxn - npres THEN 0.0
+                    ELSE vals[CAST(idx - (boxn - npres) + 1 AS BIGINT)] END
+             ELSE 0.0 END AS v
+      FROM idxed
+    )
+    {_warp_checksum_tail()}"""
+
+
+def _warp_rms_oracle() -> str:
+    """GRA_RMS: sqrt(sum(v^2)/n) over the footprint box — squares and
+    sums exact for the integer-valued band, division and sqrt IEEE
+    correctly-rounded on both engines."""
+    return f"""
+    WITH {_px_cte(ZOOM, TILE)},
+    {_warp_box_ctes()},
+    summed AS (
+      SELECT b.x, b.y, b.xlo, b.xhi, b.ylo, b.yhi,
+             coalesce(sum(p.v * p.v), 0.0) AS ssq
+      FROM boxes b LEFT JOIN px p
+        ON p.gx BETWEEN b.xlo AND b.xhi AND p.gy BETWEEN b.ylo AND b.yhi
+      GROUP BY b.x, b.y, b.xlo, b.xhi, b.ylo, b.yhi
+    ),
+    warped AS (
+      SELECT x AS gx, y AS gy,
+             CASE WHEN xlo <= xhi AND ylo <= yhi
+                  THEN sqrt(ssq / CAST((xhi - xlo + 1) * (yhi - ylo + 1)
+                                       AS DOUBLE))
+                  ELSE 0.0 END AS v
+      FROM summed
+    )
+    {_warp_checksum_tail()}"""
+
+
+def _warp_sum_oracle() -> str:
+    """GRA_Sum (GWKSumPreserving): fractional-overlap-weighted scatter.
+    Terms fold in (gy, gx) order with left-associated adds — the exact
+    accumulation order of the numpy kernel's row-major loop (absent
+    pixels contribute exact 0.0 and are skipped on both sides)."""
+    spx_of, spy_of, cx, cy, res_x, res_y = _warp_xform_sql()
+    exW = spx_of(f"(-180.0 + x * {res_x!r})")
+    exE = spx_of(f"(-180.0 + (x + 1) * {res_x!r})")
+    eyN = spy_of(f"(90.0 - y * {res_y!r})")
+    eyS = spy_of(f"(90.0 - (y + 1) * {res_y!r})")
+    term = ("((p.v * (least(b.exhi, CAST(p.gx AS DOUBLE) + 1.0)"
+            " - greatest(b.exlo, CAST(p.gx AS DOUBLE))))"
+            " * (least(b.eyhi, CAST(p.gy AS DOUBLE) + 1.0)"
+            " - greatest(b.eylo, CAST(p.gy AS DOUBLE))))")
+    return f"""
+    WITH {_px_cte(ZOOM, TILE)},
+    dst AS (
+      SELECT x, y,
+             least({exW}, {exE}) AS exlo, greatest({exW}, {exE}) AS exhi,
+             least({eyN}, {eyS}) AS eylo, greatest({eyN}, {eyS}) AS eyhi
+      FROM (SELECT range AS x FROM range({CW_W})), (SELECT range AS y FROM range({CW_H}))
+    ),
+    fboxes AS (
+      SELECT x, y, exlo, exhi, eylo, eyhi,
+             greatest(CAST(floor(exlo) AS BIGINT), 0) AS sxlo,
+             least(CAST(ceil(exhi) AS BIGINT) - 1, {N5 - 1}) AS sxhi,
+             greatest(CAST(floor(eylo) AS BIGINT), 0) AS sylo,
+             least(CAST(ceil(eyhi) AS BIGINT) - 1, {N5 - 1}) AS syhi
+      FROM dst
+    ),
+    summed AS (
+      SELECT b.x, b.y,
+             list({term} ORDER BY p.gy, p.gx)
+               FILTER (WHERE p.v IS NOT NULL) AS terms
+      FROM fboxes b LEFT JOIN px p
+        ON p.gx BETWEEN b.sxlo AND b.sxhi AND p.gy BETWEEN b.sylo AND b.syhi
+      GROUP BY b.x, b.y
+    ),
+    warped AS (
+      SELECT x AS gx, y AS gy,
+             CASE WHEN terms IS NOT NULL AND len(terms) > 0
+                  THEN list_reduce(terms, (a, b) -> a + b)
+                  ELSE 0.0 END AS v
+      FROM summed
+    )
+    {_warp_checksum_tail()}"""
+
+
+def _warp_cubicspline_oracle() -> str:
+    """4x4 cubic B-spline (GWKBSpline) with out-of-raster tap zeroing
+    + weight renormalization — every float op mirrors the numpy
+    kernel's operand order, so the checksum comparison is bit-exact
+    (the lanczos oracle pattern with 16 taps)."""
+    spx_of, spy_of, cx, cy, _, _ = _warp_xform_sql()
+    fx = f"({spx_of(cx)} - 0.5)"
+    fy = f"({spy_of(cy)} - 0.5)"
+    wxs = W.bspline_weight_sql("tx")
+    wys = W.bspline_weight_sql("ty")
+    vcols = ",\n             ".join(
+        f"coalesce(max(CASE WHEN p.gx = d.x0 + {i - 1} AND p.gy = d.y0 + {j - 1} "
+        f"THEN p.v END), 0.0) AS v{j}{i}"
+        for j in range(4) for i in range(4))
+    wx_eff = ", ".join(
+        f"CASE WHEN x0 + {i - 1} BETWEEN 0 AND {N5 - 1} "
+        f"THEN {wxs[i]} ELSE 0.0 END AS wx{i}" for i in range(4))
+    wy_eff = ", ".join(
+        f"CASE WHEN y0 + {j - 1} BETWEEN 0 AND {N5 - 1} "
+        f"THEN {wys[j]} ELSE 0.0 END AS wy{j}" for j in range(4))
+
+    def srow(j: int) -> str:
+        acc = f"v{j}0 * wx0"
+        for i in range(1, 4):
+            acc = f"({acc} + v{j}{i} * wx{i})"
+        return acc
+
+    num = f"({srow(0)}) * wy0"
+    for j in range(1, 4):
+        num = f"({num} + ({srow(j)}) * wy{j})"
+    sx = "wx0"
+    sy = "wy0"
+    for i in range(1, 4):
+        sx = f"({sx} + wx{i})"
+        sy = f"({sy} + wy{i})"
+    return f"""
+    WITH {_px_cte(ZOOM, TILE)},
+    dst AS (
+      SELECT x, y,
+             CAST(floor({fx}) AS BIGINT) AS x0,
+             CAST(floor({fy}) AS BIGINT) AS y0,
+             ({fx} - floor({fx})) AS tx,
+             ({fy} - floor({fy})) AS ty
+      FROM (SELECT range AS x FROM range({CW_W})), (SELECT range AS y FROM range({CW_H}))
+    ),
+    g AS (
+      SELECT d.x, d.y, d.x0, d.y0, d.tx, d.ty,
+             {vcols}
+      FROM dst d LEFT JOIN px p
+        ON p.gx BETWEEN d.x0 - 1 AND d.x0 + 2
+       AND p.gy BETWEEN d.y0 - 1 AND d.y0 + 2
+      GROUP BY d.x, d.y, d.x0, d.y0, d.tx, d.ty
+    ),
+    wgt AS (SELECT *, {wx_eff}, {wy_eff} FROM g),
+    warped AS (
+      SELECT x AS gx, y AS gy,
+             CASE WHEN ({sx}) * ({sy}) <> 0.0
+                  THEN ({num}) / (({sx}) * ({sy})) ELSE 0.0 END AS v
+      FROM wgt
+    )
+    {_warp_checksum_tail()}"""
+
+
 # LCC warp gate grid (EPSG:3978, Canada Atlas Lambert): irrational-ish
 # origin/resolution so no dst pixel center routes near a source pixel
 # boundary — the oracle's transcendentals (atan2/pow/sin) may differ
@@ -582,17 +825,25 @@ def warp_lcc_checksum(spark, sf_dir):
 
 
 def _warp_kernels_oracle() -> str:
+    named = [
+        ("near", _warp_oracle()),
+        ("cubic", _warp_cubic_oracle()),
+        ("cubicspline", _warp_cubicspline_oracle()),
+        ("average", _warp_average_oracle()),
+        ("lanczos", _warp_lanczos_oracle()),
+        ("mode", _warp_mode_oracle()),
+        ("min", _warp_minmax_oracle("min")),
+        ("max", _warp_minmax_oracle("max")),
+        ("med", _warp_quant_oracle(0.5)),
+        ("q1", _warp_quant_oracle(0.25)),
+        ("q3", _warp_quant_oracle(0.75)),
+        ("rms", _warp_rms_oracle()),
+        ("sum", _warp_sum_oracle()),
+    ]
     branches = [
-        f"SELECT 'near' AS kernel, tile_y, tile_x, checksum, n_nonzero"
-        f" FROM ({_warp_oracle()})",
-        f"SELECT 'cubic' AS kernel, tile_y, tile_x, checksum, n_nonzero"
-        f" FROM ({_warp_cubic_oracle()})",
-        f"SELECT 'average' AS kernel, tile_y, tile_x, checksum, n_nonzero"
-        f" FROM ({_warp_average_oracle()})",
-        f"SELECT 'lanczos' AS kernel, tile_y, tile_x, checksum, n_nonzero"
-        f" FROM ({_warp_lanczos_oracle()})",
-        f"SELECT 'mode' AS kernel, tile_y, tile_x, checksum, n_nonzero"
-        f" FROM ({_warp_mode_oracle()})",
+        f"SELECT '{name}' AS kernel, tile_y, tile_x, checksum, n_nonzero"
+        f" FROM ({sql})"
+        for name, sql in named
     ]
     return ("\nUNION ALL\n".join(branches)
             + "\nORDER BY kernel, tile_y, tile_x")
@@ -600,18 +851,24 @@ def _warp_kernels_oracle() -> str:
 
 @register("raster_warp_kernels_checksum", oracle=_warp_kernels_oracle())
 def warp_kernels_checksum(spark, sf_dir):
-    """gdalwarp resampling kernels, one gate (merged for the 50-entry
-    window): the z5 density raster reprojected EPSG:3857 -> EPSG:4326
-    with NEAR (1000x500 grid) plus CUBIC, AVERAGE, LANCZOS and MODE
+    """gdalwarp resampling kernels — ALL 14 GRA_* of
+    gdalwarper.h:35-67 (bilinear is gated separately in
+    raster_density_pyramid queries) — one merged gate for the
+    50-entry window: the z5 density raster reprojected EPSG:3857 ->
+    EPSG:4326 with NEAR (1000x500 grid) plus CUBIC, CUBICSPLINE,
+    AVERAGE, LANCZOS, MODE, MIN, MAX, MED, Q1, Q3, RMS and SUM
     (500x250 grid), each branch checksummed per tile against its
-    bit-exact SQL oracle (cubic: 16-term fixed-association float sum;
-    lanczos: 36-term with poly-sin weights + renormalization; average:
-    exact integer box sums; mode: value selection, MODE_TIES=MIN)."""
+    bit-exact SQL oracle (cubic/cubicspline: fixed-association
+    float sums; lanczos: 36-term poly-sin weights + renormalization;
+    average: exact integer box sums; mode/min/max/med/q1/q3: value
+    selection; rms: exact square sums + IEEE sqrt; sum: ordered
+    left-fold of fractional-overlap terms via list_reduce)."""
     near = warp_checksum(spark, sf_dir).select(
         F.lit("near").alias("kernel"), "tile_y", "tile_x",
         "checksum", "n_nonzero")
     out = near
-    for k in ("cubic", "average", "lanczos", "mode"):
+    for k in ("cubic", "cubicspline", "average", "lanczos", "mode",
+              "min", "max", "med", "q1", "q3", "rms", "sum"):
         one = _warp_kernel_query(spark, sf_dir, k).select(
             F.lit(k).alias("kernel"), "tile_y", "tile_x",
             "checksum", "n_nonzero")

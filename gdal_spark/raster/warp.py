@@ -4,9 +4,13 @@ Reference semantics (alg/gdalwarpoperation.cpp design doc :90-151 and
 alg/gdalwarpkernel.cpp): for each DESTINATION pixel, transform its
 center into source coordinates and sample with the chosen kernel —
 near (index), bilinear (2x2 weighted), cubic (4x4 cubic convolution,
-a = -0.5 — GRA_Cubic of gdalwarper.h:35-67), average (mean of the
-source pixels inside the destination pixel's source-space footprint,
-GRA_Average). The output grid comes from `GDALSuggestedWarpOutput2`
+a = -0.5 — GRA_Cubic of gdalwarper.h:35-67), cubicspline (4x4
+B-spline, GWKBSpline), lanczos (6x6 windowed sinc), and the
+footprint-box family over the destination pixel's source-space
+footprint: average, mode, min, max, med, q1, q3, rms
+(GWKAverageOrModeThread) plus the flux-preserving sum
+(GWKSumPreserving) — all 14 GRA_* kernels of gdalwarper.h:35-67.
+The output grid comes from `GDALSuggestedWarpOutput2`
 (alg/gdaltransformer.cpp:132-173), which walks ~21 sample points per
 edge of the source extent through the transform and sizes the output
 so overall pixel count is preserved along the diagonal — reproduced in
@@ -111,6 +115,53 @@ def cubic_weight_sql(t: str) -> tuple[str, str, str, str]:
             f"(((1.5 * {t} - 2.5) * {t}) * {t} + 1.0)",
             f"(((-1.5 * {t} + 2.0) * {t} + 0.5) * {t})",
             f"(((0.5 * {t} - 0.5) * {t}) * {t})")
+
+
+# ------------------------------------------------------------ cubicspline
+#
+# GRA_CubicSpline: the cubic B-spline basis, GWKBSpline in
+# alg/gdalwarpkernel.cpp:3809-3839 (Mitchell (B,C) = (1,0), scaled by
+# 6). Same 4-tap support as cubic, but weights do not sum to 1 —
+# GWKResample divides by the accumulated weight, so we normalize by
+# sum(wx) * sum(wy). Operand order below is mirrored verbatim by
+# bspline_weight_sql so numpy and DuckDB round identically.
+
+def _bspline_np(x: np.ndarray) -> np.ndarray:
+    """6 * B-spline basis at signed offset x (GWKBSpline structure:
+    nested one-sided cubics, innermost term first)."""
+    xp2 = x + 2.0
+    xp1 = x + 1.0
+    xm1 = x - 1.0
+    xp2c = xp2 * xp2 * xp2
+    inner3 = np.where(xm1 > 0.0, -4.0 * xm1 * xm1 * xm1, 0.0) + 6.0 * x * x * x
+    inner2 = np.where(x > 0.0, inner3, 0.0) + -4.0 * xp1 * xp1 * xp1
+    inner1 = np.where(xp1 > 0.0, inner2, 0.0) + xp2c
+    return np.where(xp2 > 0.0, inner1, 0.0)
+
+
+def _bspline_weights_np(t: np.ndarray) -> list[np.ndarray]:
+    """Taps x0-1 .. x0+2; offsets t+1, t, t-1, t-2."""
+    return [_bspline_np(t + 1.0), _bspline_np(t),
+            _bspline_np(t - 1.0), _bspline_np(t - 2.0)]
+
+
+def _bspline_sql_one(x: str) -> str:
+    return (
+        f"(CASE WHEN ({x}) + 2.0 > 0.0 THEN "
+        f"(CASE WHEN ({x}) + 1.0 > 0.0 THEN "
+        f"(CASE WHEN ({x}) > 0.0 THEN "
+        f"(CASE WHEN ({x}) - 1.0 > 0.0 THEN "
+        f"-4.0 * (({x}) - 1.0) * (({x}) - 1.0) * (({x}) - 1.0) "
+        f"ELSE 0.0 END) + 6.0 * ({x}) * ({x}) * ({x}) ELSE 0.0 END) + "
+        f"-4.0 * (({x}) + 1.0) * (({x}) + 1.0) * (({x}) + 1.0) "
+        f"ELSE 0.0 END) + "
+        f"(({x}) + 2.0) * (({x}) + 2.0) * (({x}) + 2.0) ELSE 0.0 END)")
+
+
+def bspline_weight_sql(t: str) -> list[str]:
+    """SQL mirrors of _bspline_weights_np (same operand order)."""
+    return [_bspline_sql_one(f"{t} + 1.0"), _bspline_sql_one(f"{t}"),
+            _bspline_sql_one(f"{t} - 1.0"), _bspline_sql_one(f"{t} - 2.0")]
 
 
 # ---------------------------------------------------------------- lanczos
@@ -261,19 +312,34 @@ def warp(src_tiles: DataFrame, src: G.GridSpec, dst: G.GridSpec,
          kernel: str = "near", nodata: float = 0.0) -> DataFrame:
     """Distributed warp: src tile rows -> dst tile rows.
 
-    kernel: 'near' | 'bilinear' | 'cubic' | 'lanczos' | 'average' |
-    'mode'. Absent source tiles read as `nodata` (the sparse-raster
-    zero convention when nodata = 0); near/bilinear/cubic emit
-    `nodata` where their support leaves the source raster; lanczos
-    skips out-of-raster taps and renormalizes (GWKResample's
-    divisor accumulation); average/mode clip the footprint box.
+    kernel: the full GRA_* set of gdalwarper.h:35-67 —
+    'near' | 'bilinear' | 'cubic' | 'cubicspline' | 'lanczos' |
+    'average' | 'mode' | 'min' | 'max' | 'med' | 'q1' | 'q3' |
+    'rms' | 'sum'. Absent source tiles read as `nodata` (the
+    sparse-raster zero convention when nodata = 0); near/bilinear/
+    cubic emit `nodata` where their support leaves the source
+    raster; lanczos/cubicspline skip out-of-raster taps and
+    renormalize (GWKResample's divisor accumulation); the
+    footprint-box family (average/mode/min/max/med/q1/q3/rms/sum)
+    clips the box to the raster.
     mode ties break to the SMALLEST value (the reference's
     MODE_TIES=MIN strategy, gdalwarpkernel.cpp GWKTS_Min — the
     default GWKTS_First depends on sequential scan order, which a
     distributed engine must not).
+    med/q1/q3 are value selection at index ceil(q*n - 1) of the
+    sorted footprint values (gdalwarpkernel.cpp:8340 quantIdx).
+    rms = sqrt(mean(v^2)) over the footprint (GRA_RMS,
+    gdalwarpkernel.cpp:8032).
+    sum scatters each source pixel's value over the dst pixels whose
+    source-space footprints overlap it, weighted by overlap area
+    (GWKSumPreserving, gdalwarpkernel.cpp:8675): under a separable
+    monotone transform the dst footprints partition source space, so
+    the global sum is preserved exactly up to float addition.
     """
-    if kernel not in ("near", "bilinear", "cubic", "lanczos",
-                      "average", "mode"):
+    _BOX_KERNELS = ("average", "mode", "min", "max", "med", "q1", "q3",
+                    "rms", "sum")
+    if kernel not in ("near", "bilinear", "cubic", "cubicspline",
+                      "lanczos") + _BOX_KERNELS:
         raise ValueError(f"unknown kernel {kernel!r}")
     spark = src_tiles.sparkSession
     dep = (_dep_ranges(spark, src, dst)
@@ -289,7 +355,7 @@ def warp(src_tiles: DataFrame, src: G.GridSpec, dst: G.GridSpec,
                              np.arange(ty * dst.tile, ty * dst.tile + h, dtype=np.float64))
         gx, gy = gx.ravel(), gy.ravel()
         spx, spy = _dst_pos_in_src_px(dst, src, gx, gy)
-        if kernel in ("average", "mode"):
+        if kernel in _BOX_KERNELS:
             # footprint edges: dst pixel k spans positions [k-0.5, k+0.5]
             ex0, ey0 = _dst_pos_in_src_px(dst, src, gx - 0.5, gy - 0.5)
             ex1, ey1 = _dst_pos_in_src_px(dst, src, gx + 0.5, gy + 0.5)
@@ -392,6 +458,58 @@ def warp(src_tiles: DataFrame, src: G.GridSpec, dst: G.GridSpec,
                      + rows6[2] * wy_[2]) + rows6[3] * wy_[3])
                    + rows6[4] * wy_[4]) + rows6[5] * wy_[5]
             out[ok] = num[ok] / div[ok]
+        elif kernel == "cubicspline":
+            fx, fy = spx - 0.5, spy - 0.5
+            x0 = np.floor(fx).astype(np.int64)
+            y0 = np.floor(fy).astype(np.int64)
+            txf, tyf = fx - x0, fy - y0
+            wx_ = _bspline_weights_np(txf)
+            wy_ = _bspline_weights_np(tyf)
+            # zero out-of-raster taps + renormalize, like lanczos
+            # (GWKResample's accumulated-weight divisor)
+            for i in range(4):
+                wx_[i] = np.where((x0 - 1 + i >= 0)
+                                  & (x0 - 1 + i < src.width), wx_[i], 0.0)
+                wy_[i] = np.where((y0 - 1 + i >= 0)
+                                  & (y0 - 1 + i < src.height), wy_[i], 0.0)
+            sx_ = ((wx_[0] + wx_[1]) + wx_[2]) + wx_[3]
+            sy_ = ((wy_[0] + wy_[1]) + wy_[2]) + wy_[3]
+            div = sx_ * sy_
+            ok = div != 0.0
+            rows4 = []
+            for j in range(4):
+                yj = np.clip(y0 - 1 + j, wy0, wy1 - 1) - wy0
+                r = None
+                for i in range(4):
+                    xi = np.clip(x0 - 1 + i, wx0, wx1 - 1) - wx0
+                    term = win[yj, xi] * wx_[i]
+                    r = term if r is None else r + term
+                rows4.append(r)
+            num = ((rows4[0] * wy_[0] + rows4[1] * wy_[1])
+                   + rows4[2] * wy_[2]) + rows4[3] * wy_[3]
+            out[ok] = num[ok] / div[ok]
+        elif kernel == "sum":
+            # GWKSumPreserving: each dst pixel accumulates
+            # v * overlap_area(dst footprint, src pixel) in source
+            # space; fractional edges, NO center-rule snapping.
+            # Terms accumulate in row-major (y, x) order with
+            # left-associated adds — mirrored by the SQL oracle's
+            # ordered list_reduce fold.
+            sxlo = np.maximum(np.floor(exlo).astype(np.int64), 0)
+            sxhi = np.minimum((np.ceil(exhi) - 1).astype(np.int64),
+                              src.width - 1)
+            sylo = np.maximum(np.floor(eylo).astype(np.int64), 0)
+            syhi = np.minimum((np.ceil(eyhi) - 1).astype(np.int64),
+                              src.height - 1)
+            ok = (sxlo <= sxhi) & (sylo <= syhi)
+            for p in np.nonzero(ok)[0]:
+                acc = 0.0
+                for j in range(sylo[p], syhi[p] + 1):
+                    wyf = min(eyhi[p], j + 1.0) - max(eylo[p], float(j))
+                    for i in range(sxlo[p], sxhi[p] + 1):
+                        wxf = min(exhi[p], i + 1.0) - max(exlo[p], float(i))
+                        acc = acc + win[j - wy0, i - wx0] * wxf * wyf
+                out[p] = acc
         elif kernel == "mode":
             xlo = np.ceil(exlo - 0.5).astype(np.int64)
             xhi = (np.ceil(exhi - 0.5) - 1).astype(np.int64)
@@ -415,7 +533,7 @@ def warp(src_tiles: DataFrame, src: G.GridSpec, dst: G.GridSpec,
                 # np.unique sorts values; argmax takes the FIRST max
                 # => ties break to the smallest value (GWKTS_Min)
                 out[p] = vals[int(np.argmax(cnts))]
-        else:  # average
+        else:  # center-rule footprint box: average/min/max/med/q1/q3/rms
             # pixels whose CENTER (i + 0.5) falls in [lo, hi):
             # i in [ceil(lo - 0.5), ceil(hi - 0.5) - 1]. An empty range
             # (footprint narrower than a pixel — upsampling) degrades
@@ -436,15 +554,35 @@ def warp(src_tiles: DataFrame, src: G.GridSpec, dst: G.GridSpec,
             ylo = np.maximum(ylo, 0)
             yhi = np.minimum(yhi, src.height - 1)
             ok = (xlo <= xhi) & (ylo <= yhi)
-            # integral image: box sums exact for integer-valued bands
-            S = np.zeros((win.shape[0] + 1, win.shape[1] + 1))
-            S[1:, 1:] = win.cumsum(0).cumsum(1)
-            xl, xh = xlo[ok] - wx0, xhi[ok] - wx0
-            yl, yh = ylo[ok] - wy0, yhi[ok] - wy0
-            ssum = (S[yh + 1, xh + 1] - S[yl, xh + 1]
-                    - S[yh + 1, xl] + S[yl, xl])
-            cnt = (xh - xl + 1) * (yh - yl + 1)
-            out[ok] = ssum / cnt
+            if kernel in ("average", "rms"):
+                # integral images: box sums exact for integer bands
+                base = win * win if kernel == "rms" else win
+                S = np.zeros((win.shape[0] + 1, win.shape[1] + 1))
+                S[1:, 1:] = base.cumsum(0).cumsum(1)
+                xl, xh = xlo[ok] - wx0, xhi[ok] - wx0
+                yl, yh = ylo[ok] - wy0, yhi[ok] - wy0
+                ssum = (S[yh + 1, xh + 1] - S[yl, xh + 1]
+                        - S[yh + 1, xl] + S[yl, xl])
+                cnt = (xh - xl + 1) * (yh - yl + 1)
+                if kernel == "rms":
+                    out[ok] = np.sqrt(ssum / cnt)
+                else:
+                    out[ok] = ssum / cnt
+            else:  # min / max / med / q1 / q3: per-box selection
+                quant = {"med": 0.5, "q1": 0.25, "q3": 0.75}.get(kernel)
+                for p in np.nonzero(ok)[0]:
+                    box = win[ylo[p] - wy0:yhi[p] - wy0 + 1,
+                              xlo[p] - wx0:xhi[p] - wx0 + 1]
+                    if kernel == "min":
+                        out[p] = box.min()
+                    elif kernel == "max":
+                        out[p] = box.max()
+                    else:
+                        # gdalwarpkernel.cpp:8340: sort, then take
+                        # index ceil(quant * n - 1)
+                        flat = np.sort(box, axis=None)
+                        idx = int(np.ceil(quant * flat.size - 1))
+                        out[p] = flat[max(idx, 0)]
         return pd.DataFrame({"tile_y": [ty], "tile_x": [tx],
                              "px": [out.tolist()]})
 

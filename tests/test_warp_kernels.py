@@ -196,3 +196,109 @@ def test_mode_equals_block_mode_on_aligned_2x(spark):
             vals, cnts = np.unique(blocks[i, j], return_counts=True)
             want[i, j] = vals[int(np.argmax(cnts))]
     np.testing.assert_array_equal(got, want)
+
+
+def test_cubicspline_constant_preserved(spark):
+    """Normalized B-spline reproduces constants exactly (num/div with
+    identical weight products), everywhere thanks to renormalization."""
+    src_spec = G.GridSpec(64, 64, (0.0, 1.0, 0.0, 64.0, 0.0, -1.0), tile=16)
+    dst_spec = G.GridSpec(48, 48, (2.0, 1.25, 0.0, 62.0, 0.0, -1.25),
+                          crs=src_spec.crs, tile=16)
+    tiles = _tiles(spark, np.full((64, 64), 7.5), src_spec)
+    got = tiles_to_canvas(
+        W.warp(tiles, src_spec, dst_spec, kernel="cubicspline"), dst_spec)
+    np.testing.assert_allclose(got, 7.5, rtol=1e-12)
+
+
+def test_cubicspline_smooths_not_interpolates(spark):
+    """B-spline is an APPROXIMATING kernel: on an aligned identity
+    warp a delta spike must spread (center weight 4/6), unlike cubic
+    which interpolates it exactly."""
+    spec = G.GridSpec(32, 32, (0.0, 1.0, 0.0, 32.0, 0.0, -1.0), tile=16)
+    canvas = np.zeros((32, 32))
+    canvas[16, 16] = 6.0
+    tiles = _tiles(spark, canvas, spec)
+    got = tiles_to_canvas(W.warp(tiles, spec, spec, kernel="cubicspline"),
+                          spec)
+    # per-axis normalized weights at t=0: center 4/6, neighbors 1/6
+    np.testing.assert_allclose(got[16, 16], 6.0 * (4.0 / 6.0) ** 2,
+                               rtol=1e-12)
+    np.testing.assert_allclose(got[15, 16], 6.0 * (1.0 / 6.0) * (4.0 / 6.0),
+                               rtol=1e-12)
+
+
+def test_quantile_order_and_minmax(spark):
+    """min <= q1 <= med <= q3 <= max pointwise, and on an aligned 2x
+    downsample each equals the block statistic computed directly
+    (index rule: sorted[ceil(q*n - 1)])."""
+    rng = np.random.default_rng(12)
+    src_spec = G.GridSpec(64, 64, (0.0, 1.0, 0.0, 64.0, 0.0, -1.0), tile=16)
+    dst_spec = G.GridSpec(32, 32, (0.0, 2.0, 0.0, 64.0, 0.0, -2.0),
+                          crs=src_spec.crs, tile=16)
+    canvas = rng.integers(0, 100, size=(64, 64)).astype(np.float64)
+    tiles = _tiles(spark, canvas, src_spec)
+    got = {k: tiles_to_canvas(W.warp(tiles, src_spec, dst_spec, kernel=k),
+                              dst_spec)
+           for k in ("min", "q1", "med", "q3", "max")}
+    assert (got["min"] <= got["q1"]).all()
+    assert (got["q1"] <= got["med"]).all()
+    assert (got["med"] <= got["q3"]).all()
+    assert (got["q3"] <= got["max"]).all()
+    blocks = canvas.reshape(32, 2, 32, 2).transpose(0, 2, 1, 3).reshape(32, 32, 4)
+    s = np.sort(blocks, axis=2)
+    np.testing.assert_array_equal(got["min"], s[:, :, 0])
+    np.testing.assert_array_equal(got["max"], s[:, :, 3])
+    for k, q in (("q1", 0.25), ("med", 0.5), ("q3", 0.75)):
+        idx = max(int(np.ceil(q * 4 - 1)), 0)
+        np.testing.assert_array_equal(got[k], s[:, :, idx])
+
+
+def test_rms_vs_average_inequality_and_block_value(spark):
+    """rms >= average pointwise (Cauchy-Schwarz, nonneg band); on the
+    aligned 2x downsample rms equals sqrt(mean of squares) directly."""
+    rng = np.random.default_rng(13)
+    src_spec = G.GridSpec(64, 64, (0.0, 1.0, 0.0, 64.0, 0.0, -1.0), tile=16)
+    dst_spec = G.GridSpec(32, 32, (0.0, 2.0, 0.0, 64.0, 0.0, -2.0),
+                          crs=src_spec.crs, tile=16)
+    canvas = rng.integers(0, 100, size=(64, 64)).astype(np.float64)
+    tiles = _tiles(spark, canvas, src_spec)
+    rms = tiles_to_canvas(W.warp(tiles, src_spec, dst_spec, kernel="rms"),
+                          dst_spec)
+    avg = tiles_to_canvas(W.warp(tiles, src_spec, dst_spec, kernel="average"),
+                          dst_spec)
+    assert (rms >= avg - 1e-12).all()
+    blocks = canvas.reshape(32, 2, 32, 2).transpose(0, 2, 1, 3).reshape(32, 32, 4)
+    want = np.sqrt((blocks ** 2).mean(axis=2))
+    np.testing.assert_allclose(rms, want, rtol=1e-12)
+
+
+def test_sum_preserves_total_mass(spark):
+    """GWKSumPreserving's defining property: the global sum is
+    preserved when the dst grid's source-space footprints tile the
+    source raster (here: same CRS, non-aligned fractional-overlap
+    resample)."""
+    rng = np.random.default_rng(14)
+    src_spec = G.GridSpec(64, 64, (0.0, 1.0, 0.0, 64.0, 0.0, -1.0), tile=16)
+    # dst covers the full src extent with an irrational-ish pixel size
+    dst_spec = G.GridSpec(40, 40, (0.0, 1.6, 0.0, 64.0, 0.0, -1.6),
+                          crs=src_spec.crs, tile=20)
+    canvas = rng.integers(0, 100, size=(64, 64)).astype(np.float64)
+    tiles = _tiles(spark, canvas, src_spec)
+    got = tiles_to_canvas(W.warp(tiles, src_spec, dst_spec, kernel="sum"),
+                          dst_spec)
+    np.testing.assert_allclose(got.sum(), canvas.sum(), rtol=1e-9)
+
+
+def test_sum_aligned_2x_equals_block_sum(spark):
+    """Aligned 2x downsample: each dst footprint is exactly a 2x2
+    block, so sum == block sum exactly."""
+    rng = np.random.default_rng(15)
+    src_spec = G.GridSpec(64, 64, (0.0, 1.0, 0.0, 64.0, 0.0, -1.0), tile=16)
+    dst_spec = G.GridSpec(32, 32, (0.0, 2.0, 0.0, 64.0, 0.0, -2.0),
+                          crs=src_spec.crs, tile=16)
+    canvas = rng.integers(0, 100, size=(64, 64)).astype(np.float64)
+    tiles = _tiles(spark, canvas, src_spec)
+    got = tiles_to_canvas(W.warp(tiles, src_spec, dst_spec, kernel="sum"),
+                          dst_spec)
+    blocks = canvas.reshape(32, 2, 32, 2).transpose(0, 2, 1, 3).reshape(32, 32, 4)
+    np.testing.assert_allclose(got, blocks.sum(axis=2), rtol=1e-12)
