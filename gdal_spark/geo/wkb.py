@@ -115,6 +115,41 @@ def geometry_type_name(buf: bytes) -> str:
     return _NAMES[t]
 
 
+def explode_parts(buf: bytes) -> list[bytes]:
+    """Split a Multi*/GeometryCollection WKB into its single-part
+    member WKBs; a single geometry comes back as [itself]. Nested
+    collections flatten recursively (the reference's
+    explode-collections promotes every leaf to its own feature,
+    apps/gdalalg_vector_explode_collections.cpp)."""
+    t, payload = decode(buf)
+    if t == POINT or t == LINESTRING or t == POLYGON:
+        return [bytes(buf)]
+    out: list[bytes] = []
+    if t == MULTIPOINT:
+        return [point(x, y) for x, y in payload]
+    if t == MULTILINESTRING:
+        return [linestring(c) for c in payload]
+    if t == MULTIPOLYGON:
+        return [polygon(rings) for rings in payload]
+    # GEOMETRYCOLLECTION: typed children, recurse through re-encode
+    for kt, kp in payload:
+        if kt == POINT:
+            out.append(point(*kp))
+        elif kt == LINESTRING:
+            out.append(linestring(kp))
+        elif kt == POLYGON:
+            out.append(polygon(kp))
+        elif kt == MULTIPOINT:
+            out.extend(point(x, y) for x, y in kp)
+        elif kt == MULTILINESTRING:
+            out.extend(linestring(c) for c in kp)
+        elif kt == MULTIPOLYGON:
+            out.extend(polygon(rings) for rings in kp)
+        else:
+            raise ValueError(f"nested collection type {kt} unsupported")
+    return out
+
+
 def polygon_rings(buf: bytes) -> list[np.ndarray]:
     """Decode Polygon or MultiPolygon into a flat ring list where each
     entry is (rings_of_one_polygon) — convenience for PIP kernels."""
