@@ -245,6 +245,24 @@ def lanczos_weight_sql(t: str) -> list[str]:
     return out
 
 
+def _box_groups(win, ok, xlo, xhi, ylo, yhi, wx0, wy0):
+    """Yield (sel, boxes) per distinct footprint-box shape: sel is the
+    dst-pixel index vector, boxes the (len(sel), h, w) gathered source
+    windows. Grouping by shape lets the box kernels (mode/min/max/
+    med/q1/q3) run whole-array numpy instead of a per-pixel Python
+    loop; selection-only kernels are order-independent so the grouping
+    cannot change any result."""
+    idxs = np.nonzero(ok)[0]
+    bw = xhi - xlo + 1
+    bh = yhi - ylo + 1
+    for h_, w_ in sorted({(int(a), int(b))
+                          for a, b in zip(bh[idxs], bw[idxs])}):
+        sel = idxs[(bh[idxs] == h_) & (bw[idxs] == w_)]
+        yy = (ylo[sel, None] + np.arange(h_))[:, :, None] - wy0
+        xx = (xlo[sel, None] + np.arange(w_))[:, None, :] - wx0
+        yield sel, win[yy, xx]
+
+
 def _dep_ranges(spark, src: G.GridSpec, dst: G.GridSpec,
                 margin: int = _WINDOW_MARGIN + 1) -> DataFrame:
     """(d_ty, d_tx, sy0, sy1, sx0, sx1): the source tile range each dst
@@ -502,14 +520,26 @@ def warp(src_tiles: DataFrame, src: G.GridSpec, dst: G.GridSpec,
             syhi = np.minimum((np.ceil(eyhi) - 1).astype(np.int64),
                               src.height - 1)
             ok = (sxlo <= sxhi) & (sylo <= syhi)
-            for p in np.nonzero(ok)[0]:
-                acc = 0.0
-                for j in range(sylo[p], syhi[p] + 1):
-                    wyf = min(eyhi[p], j + 1.0) - max(eylo[p], float(j))
-                    for i in range(sxlo[p], sxhi[p] + 1):
-                        wxf = min(exhi[p], i + 1.0) - max(exlo[p], float(i))
-                        acc = acc + win[j - wy0, i - wx0] * wxf * wyf
-                out[p] = acc
+            idxs = np.nonzero(ok)[0]
+            bw = sxhi - sxlo + 1
+            bh = syhi - sylo + 1
+            # vectorize per distinct box shape; per-pixel offsets walk
+            # in (oy, ox) ascending order with left-associated adds —
+            # identical accumulation order to the oracle's fold
+            for h_, w_ in {(int(a), int(b))
+                           for a, b in zip(bh[idxs], bw[idxs])}:
+                sel = idxs[(bh[idxs] == h_) & (bw[idxs] == w_)]
+                acc = np.zeros(len(sel))
+                for oy in range(h_):
+                    jj = sylo[sel] + oy
+                    wyf = (np.minimum(eyhi[sel], jj + 1.0)
+                           - np.maximum(eylo[sel], jj.astype(np.float64)))
+                    for ox in range(w_):
+                        ii = sxlo[sel] + ox
+                        wxf = (np.minimum(exhi[sel], ii + 1.0)
+                               - np.maximum(exlo[sel], ii.astype(np.float64)))
+                        acc = acc + win[jj - wy0, ii - wx0] * wxf * wyf
+                out[sel] = acc
         elif kernel == "mode":
             xlo = np.ceil(exlo - 0.5).astype(np.int64)
             xhi = (np.ceil(exhi - 0.5) - 1).astype(np.int64)
@@ -526,13 +556,23 @@ def warp(src_tiles: DataFrame, src: G.GridSpec, dst: G.GridSpec,
             ylo = np.maximum(ylo, 0)
             yhi = np.minimum(yhi, src.height - 1)
             ok = (xlo <= xhi) & (ylo <= yhi)
-            for p in np.nonzero(ok)[0]:
-                box = win[ylo[p] - wy0:yhi[p] - wy0 + 1,
-                          xlo[p] - wx0:xhi[p] - wx0 + 1]
-                vals, cnts = np.unique(box, return_counts=True)
-                # np.unique sorts values; argmax takes the FIRST max
-                # => ties break to the smallest value (GWKTS_Min)
-                out[p] = vals[int(np.argmax(cnts))]
+            for sel, boxes in _box_groups(win, ok, xlo, xhi, ylo, yhi,
+                                          wx0, wy0):
+                # sorted rows -> ascending runs; first argmax over run
+                # counts picks the smallest most-frequent value, same
+                # tie-break as np.unique+argmax (GWKTS_Min)
+                flat = np.sort(boxes.reshape(len(sel), -1), axis=1)
+                n, m = flat.shape
+                change = np.ones((n, m), dtype=bool)
+                change[:, 1:] = flat[:, 1:] != flat[:, :-1]
+                runid = np.cumsum(change, axis=1) - 1
+                counts = np.zeros((n, m), dtype=np.int64)
+                np.add.at(counts, (np.arange(n)[:, None], runid), 1)
+                starts = np.zeros((n, m))
+                ri, ci = np.nonzero(change)
+                starts[ri, runid[ri, ci]] = flat[ri, ci]
+                best = np.argmax(counts, axis=1)
+                out[sel] = starts[np.arange(n), best]
         else:  # center-rule footprint box: average/min/max/med/q1/q3/rms
             # pixels whose CENTER (i + 0.5) falls in [lo, hi):
             # i in [ceil(lo - 0.5), ceil(hi - 0.5) - 1]. An empty range
@@ -570,19 +610,19 @@ def warp(src_tiles: DataFrame, src: G.GridSpec, dst: G.GridSpec,
                     out[ok] = ssum / cnt
             else:  # min / max / med / q1 / q3: per-box selection
                 quant = {"med": 0.5, "q1": 0.25, "q3": 0.75}.get(kernel)
-                for p in np.nonzero(ok)[0]:
-                    box = win[ylo[p] - wy0:yhi[p] - wy0 + 1,
-                              xlo[p] - wx0:xhi[p] - wx0 + 1]
+                for sel, boxes in _box_groups(win, ok, xlo, xhi, ylo, yhi,
+                                              wx0, wy0):
+                    flat = boxes.reshape(len(sel), -1)
                     if kernel == "min":
-                        out[p] = box.min()
+                        out[sel] = flat.min(axis=1)
                     elif kernel == "max":
-                        out[p] = box.max()
+                        out[sel] = flat.max(axis=1)
                     else:
                         # gdalwarpkernel.cpp:8340: sort, then take
                         # index ceil(quant * n - 1)
-                        flat = np.sort(box, axis=None)
-                        idx = int(np.ceil(quant * flat.size - 1))
-                        out[p] = flat[max(idx, 0)]
+                        srt = np.sort(flat, axis=1)
+                        idx = int(np.ceil(quant * srt.shape[1] - 1))
+                        out[sel] = srt[:, max(idx, 0)]
         return pd.DataFrame({"tile_y": [ty], "tile_x": [tx],
                              "px": [out.tolist()]})
 

@@ -302,3 +302,49 @@ def test_sum_aligned_2x_equals_block_sum(spark):
                           dst_spec)
     blocks = canvas.reshape(32, 2, 32, 2).transpose(0, 2, 1, 3).reshape(32, 32, 4)
     np.testing.assert_allclose(got, blocks.sum(axis=2), rtol=1e-12)
+
+
+def test_box_kernels_mixed_shapes_vs_bruteforce(spark):
+    """Non-integral downsample (64 -> 24, scale 8/3) makes footprint
+    boxes 2x2 / 2x3 / 3x2 / 3x3 within one warp — every _box_groups
+    shape bucket — and each box kernel must equal the per-pixel
+    brute-force of GDAL's center rule (gdalwarpkernel.cpp
+    GWKAverageOrMode): pixels with center in [lo, hi), mode ties to
+    smallest, quantile index ceil(q*n - 1)."""
+    rng = np.random.default_rng(77)
+    src_spec = G.GridSpec(64, 64, (0.0, 1.0, 0.0, 64.0, 0.0, -1.0), tile=16)
+    sc = 64.0 / 24.0
+    dst_spec = G.GridSpec(24, 24, (0.0, sc, 0.0, 64.0, 0.0, -sc),
+                          crs=src_spec.crs, tile=8)
+    # few distinct values => real mode ties exercised
+    canvas = rng.integers(0, 5, size=(64, 64)).astype(np.float64)
+    tiles = _tiles(spark, canvas, src_spec)
+
+    def brute(kernel):
+        out = np.zeros((24, 24))
+        for dy in range(24):
+            for dx in range(24):
+                xlo_f, xhi_f = dx * sc, (dx + 1) * sc
+                ylo_f, yhi_f = dy * sc, (dy + 1) * sc
+                xlo = int(np.ceil(xlo_f - 0.5))
+                xhi = int(np.ceil(xhi_f - 0.5)) - 1
+                ylo = int(np.ceil(ylo_f - 0.5))
+                yhi = int(np.ceil(yhi_f - 0.5)) - 1
+                box = canvas[ylo:yhi + 1, xlo:xhi + 1]
+                if kernel == "mode":
+                    vals, cnts = np.unique(box, return_counts=True)
+                    out[dy, dx] = vals[int(np.argmax(cnts))]
+                elif kernel == "min":
+                    out[dy, dx] = box.min()
+                elif kernel == "max":
+                    out[dy, dx] = box.max()
+                else:
+                    q = {"med": 0.5, "q1": 0.25, "q3": 0.75}[kernel]
+                    flat = np.sort(box, axis=None)
+                    out[dy, dx] = flat[max(int(np.ceil(q * flat.size - 1)), 0)]
+        return out
+
+    for k in ("mode", "min", "max", "med", "q1", "q3"):
+        got = tiles_to_canvas(W.warp(tiles, src_spec, dst_spec, kernel=k),
+                              dst_spec)
+        np.testing.assert_array_equal(got, brute(k), err_msg=k)
