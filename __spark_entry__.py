@@ -3,7 +3,8 @@
 entry()      — flagship query: pages -> geo point derivation ->
                broadcast point-in-polygon join vs admin polygons ->
                z8 tile assignment -> per (polygon, tile) rollup.
-queries()    — 50 entries covering SURVEY §2 (see COVERAGE.md for the
+queries()    — 49 entries (inside the driver's 50-entry correctness
+               window) covering SURVEY §2 (see COVERAGE.md for the
                line-by-line operator map): relational/OGR-SQL
                semantics, spatial joins + kNN, the raster surface
                (density/rasterize/warp/pyramid/polygonize/focal/
@@ -13,9 +14,10 @@ queries()    — 50 entries covering SURVEY §2 (see COVERAGE.md for the
                and window/sessionization.
 oracle_sql() — DuckDB-equivalent SQL per query (bit-exact by design;
                see gdal_spark/queries.py docstring for the
-               cross-engine exactness rules). Four queries are
-               rows-only (CCL cascade / float-order ops not
-               relationally expressible); each of those has an exact
+               cross-engine exactness rules). Three queries are
+               rows-only (viewshed ray walk, IDW float-sum order,
+               sieve cascade — not relationally expressible; see each
+               query's docstring); each of those has an exact
                distributed==single-node pytest oracle instead.
 """
 

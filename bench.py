@@ -116,9 +116,18 @@ def main():
                   "raster_density_pyramid_checksum",
                   "raster_warp_kernels_checksum", "geo_overlay_ops",
                   "raster_grid_nearest", "geo_dissolve_union",
-                  "raster_color_relief_checksum"]:
+                  "raster_color_relief_checksum",
+                  "raster_warp_crs_checksum"]:
         fn = Q.QUERIES[qname]
         timed(qname, lambda f=fn: f(spark, SF_DIR).count())
+
+    # production minhash path (gate query keeps md5 for the oracle)
+    from gdal_spark.operators import dedup as DD
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    timed("dedup_minhash_pairs_xxh",
+          lambda: DD.minhash_lsh_pairs(docs, "doc_id", "text",
+                                       n_hashes=16, bands=4,
+                                       hash_fn="xxhash64").count())
 
     # numpy matmul similarity path
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")

@@ -118,6 +118,17 @@ def utm_to_lonlat_np(E: np.ndarray, Nn: np.ndarray, zone: int,
 _GRS80_F = 1.0 / 298.257222101
 
 
+def wrap_lon(lon):
+    """Normalize longitude to [-180, 180) — PROJ does this inside its
+    inverse; conic/azimuthal inverses natively emit lon0 +- n*180
+    ranges that can cross the antimeridian. The EXACT float form
+    lon - 360*floor((lon+180)/360) is mirrored verbatim by
+    queries_raster's SQL oracles so both engines round identically
+    (a no-op returning lon - 0.0 == lon bitwise when already in
+    range)."""
+    return lon - 360.0 * np.floor((lon + 180.0) / 360.0)
+
+
 class _LCC:
     def __init__(self, lat1: float, lat2: float, lat0: float, lon0: float,
                  e0: float, n0: float, a: float = _A, f: float = _GRS80_F):
@@ -165,7 +176,7 @@ class _LCC:
             phi = (np.pi / 2.0
                    - 2.0 * np.arctan(tp * ((1.0 - es) / (1.0 + es))
                                      ** (self.e / 2.0)))
-        return np.degrees(lam) + self.lon0, np.degrees(phi)
+        return wrap_lon(np.degrees(lam) + self.lon0), np.degrees(phi)
 
 
 LCC_REGISTRY: dict[str, _LCC] = {
@@ -173,6 +184,149 @@ LCC_REGISTRY: dict[str, _LCC] = {
                  e0=0.0, n0=0.0),
     "2154": _LCC(lat1=44.0, lat2=49.0, lat0=46.5, lon0=3.0,
                  e0=700000.0, n0=6600000.0),
+}
+
+
+# ------------------------------------------ Polar Stereographic (B)
+#
+# Variant B (standard parallel), ellipsoidal — Snyder PP 1395
+# pp. 160-162 / EPSG Guidance Note 7-2 §3.2.4; the reference reaches
+# it via PROJ's stere (ogr/ogrct.cpp). Shares the conformal-latitude
+# t(phi) function with LCC above. Registered codes:
+#   EPSG:3413  WGS84 / NSIDC Sea Ice Polar Stereographic North
+#              (lat_ts 70N, lon0 -45)
+#   EPSG:3031  WGS84 / Antarctic Polar Stereographic
+#              (lat_ts 71S, lon0 0)
+
+
+class _PolarStereo:
+    def __init__(self, lat_ts: float, lon0: float, e0: float, n0: float,
+                 south: bool, a: float = _A, f: float = _F):
+        self.a, self.e = a, float(np.sqrt(f * (2.0 - f)))
+        self.lon0, self.e0, self.n0, self.south = lon0, e0, n0, south
+        e = self.e
+
+        def t(p):
+            return (np.tan(np.pi / 4.0 - p / 2.0)
+                    / ((1.0 - e * np.sin(p)) / (1.0 + e * np.sin(p)))
+                    ** (e / 2.0))
+
+        self.t_of = t
+        pts = np.radians(abs(lat_ts))
+        m_ts = np.cos(pts) / np.sqrt(1.0 - (e * np.sin(pts)) ** 2)
+        # rho = a * m_ts / t_ts * t(phi)  (Snyder 21-34)
+        self.rho_c = float(a * m_ts / t(pts))
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        phi = np.radians(np.asarray(lat, np.float64))
+        if self.south:
+            phi = -phi
+        rho = self.rho_c * self.t_of(phi)
+        x = rho * np.sin(lam)
+        y = -rho * np.cos(lam)
+        if self.south:
+            y = -y
+        return self.e0 + x, self.n0 + y
+
+    def inverse(self, E, Nn):
+        dx = np.asarray(E, np.float64) - self.e0
+        dy = np.asarray(Nn, np.float64) - self.n0
+        if self.south:
+            dy = -dy
+        rho = np.sqrt(dx * dx + dy * dy)
+        tp = rho / self.rho_c
+        lam = np.arctan2(dx, -dy)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(tp)
+        for _ in range(8):
+            es = self.e * np.sin(phi)
+            phi = (np.pi / 2.0
+                   - 2.0 * np.arctan(tp * ((1.0 - es) / (1.0 + es))
+                                     ** (self.e / 2.0)))
+        if self.south:
+            phi = -phi
+        return wrap_lon(np.degrees(lam) + self.lon0), np.degrees(phi)
+
+
+def _pstereo_lat_of_rho(p: "_PolarStereo", rho: np.ndarray) -> np.ndarray:
+    """Latitude (north-frame degrees) at projected radius rho — the
+    same 8-step conformal-latitude iteration as _PolarStereo.inverse."""
+    tp = rho / p.rho_c
+    phi = np.pi / 2.0 - 2.0 * np.arctan(tp)
+    for _ in range(8):
+        es = p.e * np.sin(phi)
+        phi = (np.pi / 2.0
+               - 2.0 * np.arctan(tp * ((1.0 - es) / (1.0 + es))
+                                 ** (p.e / 2.0)))
+    return np.degrees(phi)
+
+
+def pstereo_rect_lonlat_bounds(p: "_PolarStereo",
+                               x0: np.ndarray, x1: np.ndarray,
+                               y0: np.ndarray, y1: np.ndarray):
+    """EXACT lon/lat bounds of axis-aligned projected rectangles
+    [x0,x1]x[y0,y1] under the polar-stereographic inverse (vectorized
+    over rectangles). Needed because the inverse is polar around the
+    pole: per-axis extremes of a warp's source coordinates sit in the
+    rectangle INTERIOR when it contains the pole or crosses the
+    antimeridian ray, where corner/edge sampling (warp._dep_ranges's
+    generic path) provably under-brackets.
+
+    Geometry: lat is monotone in radius rho, so its extremes are the
+    rectangle's min/max distance to the pole; the bearing
+    theta = atan2(dx, -dy) is monotone along any straight segment not
+    through the pole (d theta/dt has the constant sign of p0 x v), so
+    absent a branch-cut crossing its extremes are at corners.
+
+    Returns (lon_lo, lon_hi, lat_lo, lat_hi, wrap); wrap=True marks
+    rectangles containing the pole or crossing the lon0+180 cut —
+    their longitude range is the full circle."""
+    ax0 = np.asarray(x0, np.float64) - p.e0
+    ax1 = np.asarray(x1, np.float64) - p.e0
+    dy0 = np.asarray(y0, np.float64) - p.n0
+    dy1 = np.asarray(y1, np.float64) - p.n0
+    if p.south:   # north-frame dy' = -dy
+        dy0, dy1 = -dy1, -dy0
+
+    def _minabs(a, b):
+        return np.where((a <= 0.0) & (b >= 0.0), 0.0,
+                        np.minimum(np.abs(a), np.abs(b)))
+
+    rho_min = np.hypot(_minabs(ax0, ax1), _minabs(dy0, dy1))
+    rho_max = np.hypot(np.maximum(np.abs(ax0), np.abs(ax1)),
+                       np.maximum(np.abs(dy0), np.abs(dy1)))
+    lat_hi = _pstereo_lat_of_rho(p, rho_min)
+    lat_lo = _pstereo_lat_of_rho(p, rho_max)
+    if p.south:
+        lat_lo, lat_hi = -lat_hi, -lat_lo
+
+    x_spans0 = (ax0 <= 0.0) & (ax1 >= 0.0)
+    pole_in = x_spans0 & (dy0 <= 0.0) & (dy1 >= 0.0)
+    # atan2 branch cut: the ray {dx = 0, -dy' < 0}, i.e. lon0 + 180
+    cut_cross = x_spans0 & (dy1 > 0.0)
+    wrap = pole_in | cut_cross
+
+    ths = [np.arctan2(cx, -cy) for cx in (ax0, ax1) for cy in (dy0, dy1)]
+    th_lo = np.minimum.reduce(ths)
+    th_hi = np.maximum.reduce(ths)
+    lon_lo = wrap_lon(np.degrees(th_lo) + p.lon0)
+    lon_hi = wrap_lon(np.degrees(th_hi) + p.lon0)
+    # endpoint wrapping inverted the interval -> it crosses +-180
+    wrap = wrap | (lon_lo > lon_hi)
+    return lon_lo, lon_hi, lat_lo, lat_hi, wrap
+
+
+def polar_of(crs: str):
+    """The _PolarStereo instance for an azimuthal CRS code, else None
+    (warp._dep_ranges uses this to pick the exact-sector dep path)."""
+    return PSTEREO_REGISTRY.get(_parse(crs))
+
+
+PSTEREO_REGISTRY: dict[str, _PolarStereo] = {
+    "3413": _PolarStereo(lat_ts=70.0, lon0=-45.0, e0=0.0, n0=0.0,
+                         south=False),
+    "3031": _PolarStereo(lat_ts=-71.0, lon0=0.0, e0=0.0, n0=0.0,
+                         south=True),
 }
 
 
@@ -193,6 +347,8 @@ def to_lonlat_np(crs: str, x: np.ndarray, y: np.ndarray):
         return utm_to_lonlat_np(x, y, int(c[3:]), south=True)
     if c in LCC_REGISTRY:
         return LCC_REGISTRY[c].inverse(x, y)
+    if c in PSTEREO_REGISTRY:
+        return PSTEREO_REGISTRY[c].inverse(x, y)
     raise NotImplementedError(f"CRS {crs} not registered (geo/crs.py)")
 
 
@@ -210,6 +366,8 @@ def from_lonlat_np(crs: str, lon: np.ndarray, lat: np.ndarray):
         return lonlat_to_utm_np(lon, lat, int(c[3:]), south=True)
     if c in LCC_REGISTRY:
         return LCC_REGISTRY[c].forward(lon, lat)
+    if c in PSTEREO_REGISTRY:
+        return PSTEREO_REGISTRY[c].forward(lon, lat)
     raise NotImplementedError(f"CRS {crs} not registered (geo/crs.py)")
 
 

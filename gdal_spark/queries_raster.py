@@ -781,8 +781,11 @@ def _warp_lcc_oracle() -> str:
            FROM dst0),
     p0 AS (SELECT x, y, tp, th,
                   (pi() / 2.0 - 2.0 * atan(tp)) AS phi FROM i1){iters},
-    ll AS (SELECT x, y, (degrees(th / {p.n!r}) + {p.lon0!r}) AS lon,
-                  degrees(phi) AS lat FROM p8),
+    ll0 AS (SELECT x, y, (degrees(th / {p.n!r}) + {p.lon0!r}) AS lon_u,
+                   degrees(phi) AS lat FROM p8),
+    ll AS (SELECT x, y,
+                  (lon_u - 360.0 * floor((lon_u + 180.0) / 360.0)) AS lon,
+                  lat FROM ll0),
     sp AS (SELECT x, y, CAST(floor({spx}) AS BIGINT) AS sgx,
                   CAST(floor({spy}) AS BIGINT) AS sgy FROM ll),
     warped AS (
@@ -802,26 +805,111 @@ def _warp_lcc_oracle() -> str:
     """
 
 
-@register("raster_warp_lcc_checksum", oracle=_warp_lcc_oracle())
-def warp_lcc_checksum(spark, sf_dir):
-    """gdalwarp into a CONIC CRS (EPSG:3978, NAD83 Canada Atlas
-    Lambert — geo/crs.py LCC 2SP by the Snyder closed forms; the
-    reference reaches the same math via PROJ, ogr/ogrct.cpp:2263):
-    the z5 density raster warped 3857 -> 3978 with the NEAR kernel,
-    per-tile checksums. The oracle runs the full LCC inverse
-    (8 fixed-point iterations as sequential CTE stages) in DuckDB;
-    NEAR is value selection, and the gate grid's routing margin to
-    pixel boundaries (>= 1e-6 px, pytest-audited — ~100x the
-    cross-libm transcendental noise) absorbs engine differences."""
+# Polar-stereographic gate grid (EPSG:3413, NSIDC North): same
+# irrational-origin discipline as the LCC gate; covers the 55N..80N
+# annulus where the density raster has data (docs span |lat| < 80).
+PS_W, PS_H, PS_TILE = 512, 512, 128
+PS_GT = (-3909826.3707972607, 15271.234567891, 0.0,
+         3894937.213278253, 0.0, -15272.345678912)
+
+
+def _warp_pstereo_oracle() -> str:
+    from .geo import crs as _crs
+
+    p = _crs.PSTEREO_REGISTRY["3413"]
+    src = G.world_3857(ZOOM, TILE)
+    E = f"({PS_GT[0]!r} + (x + 0.5) * {PS_GT[1]!r})"
+    N = f"({PS_GT[3]!r} + (y + 0.5) * ({PS_GT[5]!r}))"
+    iters = "".join(
+        f""",
+    p{k + 1} AS (SELECT x, y, tp, th,
+                (pi() / 2.0 - 2.0 * atan(tp * pow((1.0 - {p.e!r} * sin(phi))
+                 / (1.0 + {p.e!r} * sin(phi)), {p.e / 2.0!r}))) AS phi
+         FROM p{k})""" for k in range(8))
+    ppx = f"(lon * {mercator.LON2M!r})"
+    ppy = mercator.merc_y_sql("lat")
+    spx = f"((({ppx}) - ({src.gt[0]!r})) / {src.gt[1]!r})"
+    spy = f"((({ppy}) - ({src.gt[3]!r})) / ({src.gt[5]!r}))"
+    return f"""
+    WITH {_px_cte(ZOOM, TILE)},
+    dst0 AS (
+      SELECT x, y, {E} AS dx, {N} AS dy
+      FROM (SELECT range AS x FROM range({PS_W})),
+           (SELECT range AS y FROM range({PS_H}))),
+    i1 AS (SELECT x, y,
+                  (sqrt(dx * dx + dy * dy) / {p.rho_c!r}) AS tp,
+                  atan2(dx, -dy) AS th
+           FROM dst0),
+    p0 AS (SELECT x, y, tp, th,
+                  (pi() / 2.0 - 2.0 * atan(tp)) AS phi FROM i1){iters},
+    ll0 AS (SELECT x, y, (degrees(th) + {p.lon0!r}) AS lon_u,
+                   degrees(phi) AS lat FROM p8),
+    ll AS (SELECT x, y,
+                  (lon_u - 360.0 * floor((lon_u + 180.0) / 360.0)) AS lon,
+                  lat FROM ll0),
+    sp AS (SELECT x, y, CAST(floor({spx}) AS BIGINT) AS sgx,
+                  CAST(floor({spy}) AS BIGINT) AS sgy FROM ll),
+    warped AS (
+      SELECT s.x AS gx, s.y AS gy,
+             CASE WHEN s.sgx BETWEEN 0 AND {N5 - 1}
+                   AND s.sgy BETWEEN 0 AND {N5 - 1}
+                  THEN coalesce(p.v, 0.0) ELSE 0.0 END AS v
+      FROM sp s LEFT JOIN px p ON p.gx = s.sgx AND p.gy = s.sgy
+    )
+    SELECT CAST(gy // {PS_TILE} AS INTEGER) AS tile_y,
+           CAST(gx // {PS_TILE} AS INTEGER) AS tile_x,
+           {CK.checksum_sql('v', 'gx', 'gy', PS_W)} AS checksum,
+           count(*) FILTER (WHERE v <> 0) AS n_nonzero
+    FROM warped GROUP BY tile_y, tile_x
+    HAVING count(*) FILTER (WHERE v <> 0) > 0
+    ORDER BY tile_y, tile_x
+    """
+
+
+def _warp_crs_oracle() -> str:
+    return (f"SELECT 'lcc' AS crs, tile_y, tile_x, checksum, n_nonzero"
+            f" FROM ({_warp_lcc_oracle()})"
+            f"\nUNION ALL\n"
+            f"SELECT 'stereo' AS crs, tile_y, tile_x, checksum, n_nonzero"
+            f" FROM ({_warp_pstereo_oracle()})"
+            f"\nORDER BY crs, tile_y, tile_x")
+
+
+@register("raster_warp_crs_checksum", oracle=_warp_crs_oracle())
+def warp_crs_checksum(spark, sf_dir):
+    """gdalwarp into non-cylindrical CRS families — one gate, two
+    branches (the reference reaches both via PROJ, ogr/ogrct.cpp:2263;
+    geo/crs.py implements the Snyder closed forms):
+
+      lcc    — EPSG:3978, NAD83 Canada Atlas Lambert (Conformal
+               Conic 2SP)
+      stereo — EPSG:3413, NSIDC Sea Ice Polar Stereographic North
+               (variant B; forward pinned to the EPSG GN7-2 worked
+               example in tests/test_crs.py)
+
+    The z5 density raster warped 3857 -> each CRS with the NEAR
+    kernel, per-tile checksums. Each oracle runs the full projection
+    inverse (8 fixed-point conformal-latitude iterations as
+    sequential CTE stages) in DuckDB; NEAR is value selection, and
+    both gate grids' routing margins to pixel boundaries (>= 1e-6 px,
+    pytest-audited — ~100x the cross-libm transcendental noise)
+    absorb engine differences."""
     pts = pages.page_points(spark, sf_dir)
     src_spec = G.world_3857(ZOOM, TILE)
     src_tiles = D.density_tiles(pts, ZOOM, TILE)
-    dst_spec = G.GridSpec(LCC_W, LCC_H, LCC_GT, crs="EPSG:3978",
+    lcc_spec = G.GridSpec(LCC_W, LCC_H, LCC_GT, crs="EPSG:3978",
                           tile=LCC_TILE)
-    out = W.warp(src_tiles, src_spec, dst_spec, kernel="near")
-    return (R.tiles_checksum(out, dst_spec)
-            .filter(F.col("n_nonzero") > 0)
-            .orderBy("tile_y", "tile_x"))
+    ps_spec = G.GridSpec(PS_W, PS_H, PS_GT, crs="EPSG:3413",
+                         tile=PS_TILE)
+    out = None
+    for tag, spec in (("lcc", lcc_spec), ("stereo", ps_spec)):
+        one = (R.tiles_checksum(
+                   W.warp(src_tiles, src_spec, spec, kernel="near"), spec)
+               .filter(F.col("n_nonzero") > 0)
+               .select(F.lit(tag).alias("crs"), "tile_y", "tile_x",
+                       "checksum", "n_nonzero"))
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("crs", "tile_y", "tile_x")
 
 
 def _warp_kernels_oracle() -> str:

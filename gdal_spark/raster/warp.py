@@ -280,12 +280,61 @@ def _dep_ranges(spark, src: G.GridSpec, dst: G.GridSpec,
     ])
     t = dst.tile
 
+    def polar_ranges(tx, ty, w, h):
+        """Exact per-tile source ranges when dst is azimuthal: the
+        generic edge-sampling path under-brackets near the pole and
+        the antimeridian (the dst->src map is polar, not separable —
+        see crs.pstereo_rect_lonlat_bounds). lat/lon bounds are exact
+        sector geometry; lon is monotone into src x and lat into src y
+        for the geographic/mercator source grids warps read from."""
+        from ..geo import crs as _crs
+
+        p = _crs.polar_of(dst.crs)
+        g = dst.gt
+        xa = g[0] + (tx * t) * g[1]
+        xb = g[0] + (tx * t + w) * g[1]
+        ya = g[3] + (ty * t) * g[5]
+        yb = g[3] + (ty * t + h) * g[5]
+        lon_lo, lon_hi, lat_lo, lat_hi, wrap = _crs.pstereo_rect_lonlat_bounds(
+            p, np.minimum(xa, xb), np.maximum(xa, xb),
+            np.minimum(ya, yb), np.maximum(ya, yb))
+        lat_lo = np.clip(lat_lo, -90.0, 90.0)
+        lat_hi = np.clip(lat_hi, -90.0, 90.0)
+        sxs, sys_ = [], []
+        for lon in (lon_lo, lon_hi):
+            for lat in (lat_lo, lat_hi):
+                wx, wy = _crs.from_lonlat_np(src.crs, lon, lat)
+                sx, sy = src.world_to_pixel(wx, wy)
+                sxs.append(sx)
+                sys_.append(sy)
+        sxmin = np.where(wrap, 0.0, np.minimum.reduce(sxs))
+        sxmax = np.where(wrap, float(src.width), np.maximum.reduce(sxs))
+        return sxmin, sxmax, np.minimum.reduce(sys_), np.maximum.reduce(sys_)
+
     def run(batches):
+        from ..geo import crs as _crs
+
         for pdf in batches:
             ty = pdf["d_ty"].to_numpy(np.int64)
             tx = pdf["d_tx"].to_numpy(np.int64)
             w = np.minimum(t, dst.width - tx * t)
             h = np.minimum(t, dst.height - ty * t)
+            if (_crs.polar_of(dst.crs) is not None
+                    and dst.gt[2] == 0.0 and dst.gt[4] == 0.0):
+                sxmin, sxmax, symin, symax = polar_ranges(tx, ty, w, h)
+                sx0 = np.clip(np.floor((np.floor(sxmin) - margin) / src.tile),
+                              0, src.tiles_x - 1).astype(np.int32)
+                sx1 = np.clip(np.floor((np.floor(sxmax) + margin) / src.tile),
+                              0, src.tiles_x - 1).astype(np.int32)
+                sy0 = np.clip(np.floor((np.floor(symin) - margin) / src.tile),
+                              0, src.tiles_y - 1).astype(np.int32)
+                sy1 = np.clip(np.floor((np.floor(symax) + margin) / src.tile),
+                              0, src.tiles_y - 1).astype(np.int32)
+                yield pd.DataFrame({"d_ty": ty.astype(np.int32),
+                                    "d_tx": tx.astype(np.int32),
+                                    "sy0": sy0, "sy1": sy1,
+                                    "sx0": sx0, "sx1": sx1})
+                continue
             # tile edge positions in center-space: edge at pixel index
             # k sits at position k - 0.5. Sample a 3x3 position grid
             # (corners + edge midpoints + center): for non-separable

@@ -162,3 +162,122 @@ def test_lcc_gate_routing_margin():
         inside = (sp > -0.5) & (sp < src.width + 0.5)
         frac = np.abs(sp[inside] - np.round(sp[inside]))
         assert frac.min() > 1e-6, f"routing margin too small: {frac.min()}"
+
+
+def test_polar_stereo_worked_example():
+    """EPSG Guidance Note 7-2 §3.2.4 worked example for Polar
+    Stereographic variant B (south, lat_ts 71S, lon0 70E, FE=FN=6M —
+    the EPSG:3032 definition): lat 75S lon 120E must map to
+    E 7255380.79, N 7053389.56 (published to cm)."""
+    p = crs._PolarStereo(lat_ts=-71.0, lon0=70.0,
+                         e0=6000000.0, n0=6000000.0, south=True)
+    E, N = p.forward(np.array([120.0]), np.array([-75.0]))
+    np.testing.assert_allclose(E, 7255380.79, atol=0.01)
+    np.testing.assert_allclose(N, 7053389.56, atol=0.01)
+    lon, lat = p.inverse(E, N)
+    np.testing.assert_allclose(lon, 120.0, atol=1e-9)
+    np.testing.assert_allclose(lat, -75.0, atol=1e-9)
+
+
+def test_polar_stereo_roundtrip_and_invariants():
+    rng = np.random.default_rng(6)
+    for code, south, lat_rng in (("EPSG:3413", False, (55.0, 89.5)),
+                                 ("EPSG:3031", True, (-89.5, -55.0))):
+        lon = rng.uniform(-180.0, 180.0, 500)
+        lat = rng.uniform(*lat_rng, 500)
+        x, y = crs.transform_np("EPSG:4326", code, lon, lat)
+        lon2, lat2 = crs.transform_np(code, "EPSG:4326", x, y)
+        np.testing.assert_allclose(lon2, lon, atol=1e-9)
+        np.testing.assert_allclose(lat2, lat, atol=1e-8)
+    # pole maps to the origin; scale is true on the standard parallel
+    # (k = rho / (a*m) == 1 at lat_ts)
+    p = crs.PSTEREO_REGISTRY["3413"]
+    E, N = p.forward(np.array([13.0]), np.array([90.0]))
+    np.testing.assert_allclose(E, 0.0, atol=1e-6)
+    np.testing.assert_allclose(N, 0.0, atol=1e-6)
+    phi = np.radians(70.0)
+    m = np.cos(phi) / np.sqrt(1.0 - (p.e * np.sin(phi)) ** 2)
+    rho = p.rho_c * p.t_of(np.array([phi]))
+    np.testing.assert_allclose(rho / (p.a * m), 1.0, rtol=1e-12)
+
+
+def test_pstereo_gate_routing_margin():
+    """Same soundness audit as the LCC gate, for the EPSG:3413 branch
+    of raster_warp_crs_checksum: no dst pixel center may route within
+    libm-noise of a source pixel boundary."""
+    from gdal_spark.queries_raster import PS_GT, PS_H, PS_W, ZOOM, TILE
+    from gdal_spark.raster import grid as G
+    from gdal_spark.raster import warp as W
+
+    src = G.world_3857(ZOOM, TILE)
+    dst = G.GridSpec(PS_W, PS_H, PS_GT, crs="EPSG:3413", tile=128)
+    gy, gx = np.mgrid[0:PS_H, 0:PS_W]
+    lon, lat = crs.to_lonlat_np(
+        "EPSG:3413", *dst.pixel_center_world(gx.ravel().astype(float),
+                                             gy.ravel().astype(float)))
+    spx, spy = W._dst_pos_in_src_px(dst, src, gx.ravel().astype(float),
+                                    gy.ravel().astype(float))
+    # Mercator-clipped polar cap (|lat| > 85) pins spy to the grid
+    # edge; docs span |lat| < 80 so those rows are provably empty in
+    # the density raster — both engines emit 0 either side of floor().
+    clipped = np.abs(lat) > 85.0
+    assert clipped.any() and (spy[clipped] < 200.0).all()
+    for sp in (spx[~clipped], spy[~clipped]):
+        inside = (sp > -0.5) & (sp < src.width + 0.5)
+        frac = np.abs(sp[inside] - np.round(sp[inside]))
+        assert frac.min() > 1e-6, f"routing margin too small: {frac.min()}"
+
+
+def test_pstereo_rect_bounds_vs_bruteforce():
+    """crs.pstereo_rect_lonlat_bounds must bracket a dense sample of
+    the rectangle's inverse images — including pole-containing and
+    antimeridian-crossing rectangles, where corner sampling fails."""
+    p = crs.PSTEREO_REGISTRY["3413"]
+    rng = np.random.default_rng(9)
+    rects = [(-1e5, 1e5, -1e5, 1e5),          # contains the pole
+             (-2e5, -1e4, 1e4, 3e6),          # crosses the lon0+180 ray?
+             (1e4, 3e6, 1e4, 3e6),            # plain quadrant
+             (-3e6, -1e6, -3e6, -1e6)]
+    for _ in range(40):
+        x0, y0 = rng.uniform(-4e6, 3.8e6, 2)
+        rects.append((x0, x0 + rng.uniform(1e4, 2e6),
+                      y0, y0 + rng.uniform(1e4, 2e6)))
+    for x0, x1, y0, y1 in rects:
+        lon_lo, lon_hi, lat_lo, lat_hi, wrap = crs.pstereo_rect_lonlat_bounds(
+            p, np.array([x0]), np.array([x1]), np.array([y0]), np.array([y1]))
+        gx, gy = np.meshgrid(np.linspace(x0, x1, 160),
+                             np.linspace(y0, y1, 160))
+        lon, lat = p.inverse(gx.ravel(), gy.ravel())
+        assert lat.min() >= lat_lo[0] - 1e-9
+        assert lat.max() <= lat_hi[0] + 1e-9
+        if not wrap[0]:
+            assert lon.min() >= lon_lo[0] - 1e-9
+            assert lon.max() <= lon_hi[0] + 1e-9
+
+
+def test_warp_3857_into_polar_grid(spark):
+    """End-to-end regression for the azimuthal dep path: a CONSTANT
+    z3 mercator band warped into an EPSG:3413 grid that CONTAINS the
+    pole and the antimeridian must stay constant at every dst pixel
+    whose latitude is inside the mercator domain — a missing source
+    tile in the dep relation would leave nodata holes (the bug the
+    generic 9-point sampling had near the branch cut)."""
+    from gdal_spark.raster import grid as G
+    from gdal_spark.raster import warp as W
+    from tests.test_raster_spark import tiles_to_canvas
+    from tests.test_sieve import _tiles
+
+    src = G.world_3857(3, 64)  # 512x512 world
+    tiles = _tiles(spark, np.full((512, 512), 7.0), src)
+    # 64x64 polar grid, pole near the center, reaching past +-180
+    dst = G.GridSpec(64, 64, (-3.31e6, 103000.0, 0.0,
+                              3.29e6, 0.0, -103000.0),
+                     crs="EPSG:3413", tile=16)
+    out = tiles_to_canvas(W.warp(tiles, src, dst, kernel="near"), dst)
+    gy, gx = np.mgrid[0:64, 0:64]
+    _, lat = crs.to_lonlat_np(
+        "EPSG:3413", *dst.pixel_center_world(gx.ravel().astype(float),
+                                             gy.ravel().astype(float)))
+    covered = (np.abs(lat) < 84.0).reshape(64, 64)
+    assert covered.sum() > 2000
+    assert (out[covered] == 7.0).all()
