@@ -187,6 +187,77 @@ LCC_REGISTRY: dict[str, _LCC] = {
 }
 
 
+# ------------------------------------------ Albers Equal-Area Conic
+#
+# Ellipsoidal 2SP — Snyder PP 1395 pp. 98-103 (eqs 14-3/4, 3-12,
+# 14-12a); the reference reaches it via PROJ's aea (ogr/ogrct.cpp).
+# The projection is built on the AUTHALIC latitude function q(phi);
+# the inverse solves q(phi) = q by the fixed Newton step of Snyder
+# eq 3-16 (iteration count pinned so numpy and a SQL mirror agree).
+# Registered:
+#   EPSG:5070  NAD83 / Conus Albers (lat1 29.5N, lat2 45.5N,
+#              lat0 23N, lon0 -96, GRS80)
+
+
+class _Albers:
+    def __init__(self, lat1: float, lat2: float, lat0: float, lon0: float,
+                 e0: float, n0: float, a: float = _A, f: float = _GRS80_F):
+        self.a, self.e = a, float(np.sqrt(f * (2.0 - f)))
+        self.e2 = float(f * (2.0 - f))
+        self.lon0, self.e0, self.n0 = lon0, e0, n0
+        e, e2 = self.e, self.e2
+        p1, p2, p0 = map(np.radians, (lat1, lat2, lat0))
+
+        def m(p):
+            return np.cos(p) / np.sqrt(1.0 - (e * np.sin(p)) ** 2)
+
+        def q(p):   # Snyder 3-12
+            s = np.sin(p)
+            return (1.0 - e2) * (s / (1.0 - e2 * s * s)
+                                 - (1.0 / (2.0 * e))
+                                 * np.log((1.0 - e * s) / (1.0 + e * s)))
+
+        self.q_of = q
+        self.n = float((m(p1) ** 2 - m(p2) ** 2) / (q(p2) - q(p1)))
+        self.C = float(m(p1) ** 2 + self.n * q(p1))
+        self.rho0 = float(a * np.sqrt(self.C - self.n * q(p0)) / self.n)
+        #: q at the pole — |q| <= q_pole; used to clamp asin args
+        self.q_pole = float(q(np.pi / 2.0))
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        phi = np.radians(np.asarray(lat, np.float64))
+        rho = self.a * np.sqrt(self.C - self.n * self.q_of(phi)) / self.n
+        th = self.n * lam
+        return (self.e0 + rho * np.sin(th),
+                self.n0 + self.rho0 - rho * np.cos(th))
+
+    def inverse(self, E, Nn):
+        e, e2 = self.e, self.e2
+        dx = np.asarray(E, np.float64) - self.e0
+        dy = self.rho0 - (np.asarray(Nn, np.float64) - self.n0)
+        sgn = 1.0 if self.n >= 0 else -1.0
+        rho = sgn * np.sqrt(dx * dx + dy * dy)
+        th = np.arctan2(sgn * dx, sgn * dy)
+        qv = (self.C - (rho * self.n / self.a) ** 2) / self.n
+        lam = th / self.n
+        # seed: authalic-sphere latitude (Snyder 14-19 analog)
+        phi = np.arcsin(np.clip(qv / self.q_pole, -1.0, 1.0))
+        for _ in range(10):   # Snyder 3-16 Newton step, fixed count
+            s = np.sin(phi)
+            phi = phi + ((1.0 - e2 * s * s) ** 2 / (2.0 * np.cos(phi))
+                         * (qv / (1.0 - e2) - s / (1.0 - e2 * s * s)
+                            + (1.0 / (2.0 * e))
+                            * np.log((1.0 - e * s) / (1.0 + e * s))))
+        return wrap_lon(np.degrees(lam) + self.lon0), np.degrees(phi)
+
+
+ALBERS_REGISTRY: dict[str, _Albers] = {
+    "5070": _Albers(lat1=29.5, lat2=45.5, lat0=23.0, lon0=-96.0,
+                    e0=0.0, n0=0.0),
+}
+
+
 # ------------------------------------------ Polar Stereographic (B)
 #
 # Variant B (standard parallel), ellipsoidal — Snyder PP 1395
@@ -349,6 +420,8 @@ def to_lonlat_np(crs: str, x: np.ndarray, y: np.ndarray):
         return LCC_REGISTRY[c].inverse(x, y)
     if c in PSTEREO_REGISTRY:
         return PSTEREO_REGISTRY[c].inverse(x, y)
+    if c in ALBERS_REGISTRY:
+        return ALBERS_REGISTRY[c].inverse(x, y)
     raise NotImplementedError(f"CRS {crs} not registered (geo/crs.py)")
 
 
@@ -368,6 +441,8 @@ def from_lonlat_np(crs: str, lon: np.ndarray, lat: np.ndarray):
         return LCC_REGISTRY[c].forward(lon, lat)
     if c in PSTEREO_REGISTRY:
         return PSTEREO_REGISTRY[c].forward(lon, lat)
+    if c in ALBERS_REGISTRY:
+        return ALBERS_REGISTRY[c].forward(lon, lat)
     raise NotImplementedError(f"CRS {crs} not registered (geo/crs.py)")
 
 

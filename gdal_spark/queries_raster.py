@@ -866,8 +866,86 @@ def _warp_pstereo_oracle() -> str:
     """
 
 
+# Albers gate grid (EPSG:5070, NAD83 Conus Albers): CONUS coverage
+# (lon -128..-65, lat 23..52), irrational-ish origin, margin-audited.
+ALB_W, ALB_H, ALB_TILE = 512, 512, 128
+ALB_GT = (-2358279.9155326947, 9027.345678912, 0.0,
+          3180147.6753004473, 0.0, -5703.456789123)
+
+
+def _warp_albers_oracle() -> str:
+    from .geo import crs as _crs
+
+    p = _crs.ALBERS_REGISTRY["5070"]
+    src = G.world_3857(ZOOM, TILE)
+    e, e2 = p.e, p.e2
+    E = f"({ALB_GT[0]!r} + (x + 0.5) * {ALB_GT[1]!r})"
+    N = f"({ALB_GT[3]!r} + (y + 0.5) * ({ALB_GT[5]!r}))"
+    # Snyder 3-16 Newton step, 10 fixed iterations; every operand
+    # order mirrors _Albers.inverse verbatim (s computed once per
+    # iteration in its own CTE stage, like numpy's local variable)
+    step = (f"phi + ((1.0 - {e2!r} * s * s) * (1.0 - {e2!r} * s * s)"
+            f" / (2.0 * cos(phi))"
+            f" * (qv / {1.0 - e2!r} - s / (1.0 - {e2!r} * s * s)"
+            f" + {1.0 / (2.0 * e)!r}"
+            f" * ln((1.0 - {e!r} * s) / (1.0 + {e!r} * s))))")
+    iters = "".join(
+        f""",
+    a{k} AS (SELECT x, y, qv, th, phi, sin(phi) AS s FROM p{k}),
+    p{k + 1} AS (SELECT x, y, qv, th, {step} AS phi FROM a{k})"""
+        for k in range(10))
+    ppx = f"(lon * {mercator.LON2M!r})"
+    ppy = mercator.merc_y_sql("lat")
+    spx = f"((({ppx}) - ({src.gt[0]!r})) / {src.gt[1]!r})"
+    spy = f"((({ppy}) - ({src.gt[3]!r})) / ({src.gt[5]!r}))"
+    return f"""
+    WITH {_px_cte(ZOOM, TILE)},
+    dst0 AS (
+      SELECT x, y, ({E} - {p.e0!r}) AS dx,
+             ({p.rho0!r} - ({N} - {p.n0!r})) AS dy
+      FROM (SELECT range AS x FROM range({ALB_W})),
+           (SELECT range AS y FROM range({ALB_H}))),
+    i1 AS (SELECT x, y, sqrt(dx * dx + dy * dy) AS rho,
+                  atan2(dx, dy) AS th
+           FROM dst0),
+    i2 AS (SELECT x, y, th,
+                  (({p.C!r} - (rho * {p.n!r} / {p.a!r})
+                    * (rho * {p.n!r} / {p.a!r})) / {p.n!r}) AS qv
+           FROM i1),
+    p0 AS (SELECT x, y, qv, th,
+                  asin(CASE WHEN qv / {p.q_pole!r} > 1.0 THEN 1.0
+                            WHEN qv / {p.q_pole!r} < -1.0 THEN -1.0
+                            ELSE qv / {p.q_pole!r} END) AS phi
+           FROM i2){iters},
+    ll0 AS (SELECT x, y, (degrees(th / {p.n!r}) + {p.lon0!r}) AS lon_u,
+                   degrees(phi) AS lat FROM p10),
+    ll AS (SELECT x, y,
+                  (lon_u - 360.0 * floor((lon_u + 180.0) / 360.0)) AS lon,
+                  lat FROM ll0),
+    sp AS (SELECT x, y, CAST(floor({spx}) AS BIGINT) AS sgx,
+                  CAST(floor({spy}) AS BIGINT) AS sgy FROM ll),
+    warped AS (
+      SELECT s.x AS gx, s.y AS gy,
+             CASE WHEN s.sgx BETWEEN 0 AND {N5 - 1}
+                   AND s.sgy BETWEEN 0 AND {N5 - 1}
+                  THEN coalesce(p.v, 0.0) ELSE 0.0 END AS v
+      FROM sp s LEFT JOIN px p ON p.gx = s.sgx AND p.gy = s.sgy
+    )
+    SELECT CAST(gy // {ALB_TILE} AS INTEGER) AS tile_y,
+           CAST(gx // {ALB_TILE} AS INTEGER) AS tile_x,
+           {CK.checksum_sql('v', 'gx', 'gy', ALB_W)} AS checksum,
+           count(*) FILTER (WHERE v <> 0) AS n_nonzero
+    FROM warped GROUP BY tile_y, tile_x
+    HAVING count(*) FILTER (WHERE v <> 0) > 0
+    ORDER BY tile_y, tile_x
+    """
+
+
 def _warp_crs_oracle() -> str:
-    return (f"SELECT 'lcc' AS crs, tile_y, tile_x, checksum, n_nonzero"
+    return (f"SELECT 'albers' AS crs, tile_y, tile_x, checksum, n_nonzero"
+            f" FROM ({_warp_albers_oracle()})"
+            f"\nUNION ALL\n"
+            f"SELECT 'lcc' AS crs, tile_y, tile_x, checksum, n_nonzero"
             f" FROM ({_warp_lcc_oracle()})"
             f"\nUNION ALL\n"
             f"SELECT 'stereo' AS crs, tile_y, tile_x, checksum, n_nonzero"
@@ -877,10 +955,12 @@ def _warp_crs_oracle() -> str:
 
 @register("raster_warp_crs_checksum", oracle=_warp_crs_oracle())
 def warp_crs_checksum(spark, sf_dir):
-    """gdalwarp into non-cylindrical CRS families — one gate, two
-    branches (the reference reaches both via PROJ, ogr/ogrct.cpp:2263;
+    """gdalwarp into non-cylindrical CRS families — one gate, three
+    branches (the reference reaches all via PROJ, ogr/ogrct.cpp:2263;
     geo/crs.py implements the Snyder closed forms):
 
+      albers — EPSG:5070, NAD83 Conus Albers (Equal-Area Conic 2SP;
+               forward pinned to the Snyder PP 1395 worked example)
       lcc    — EPSG:3978, NAD83 Canada Atlas Lambert (Conformal
                Conic 2SP)
       stereo — EPSG:3413, NSIDC Sea Ice Polar Stereographic North
@@ -889,20 +969,23 @@ def warp_crs_checksum(spark, sf_dir):
 
     The z5 density raster warped 3857 -> each CRS with the NEAR
     kernel, per-tile checksums. Each oracle runs the full projection
-    inverse (8 fixed-point conformal-latitude iterations as
-    sequential CTE stages) in DuckDB; NEAR is value selection, and
-    both gate grids' routing margins to pixel boundaries (>= 1e-6 px,
+    inverse (fixed-count latitude iterations as sequential CTE
+    stages) in DuckDB; NEAR is value selection, and every gate
+    grid's routing margin to pixel boundaries (>= 1e-6 px,
     pytest-audited — ~100x the cross-libm transcendental noise)
-    absorb engine differences."""
+    absorbs engine differences."""
     pts = pages.page_points(spark, sf_dir)
     src_spec = G.world_3857(ZOOM, TILE)
     src_tiles = D.density_tiles(pts, ZOOM, TILE)
+    alb_spec = G.GridSpec(ALB_W, ALB_H, ALB_GT, crs="EPSG:5070",
+                          tile=ALB_TILE)
     lcc_spec = G.GridSpec(LCC_W, LCC_H, LCC_GT, crs="EPSG:3978",
                           tile=LCC_TILE)
     ps_spec = G.GridSpec(PS_W, PS_H, PS_GT, crs="EPSG:3413",
                          tile=PS_TILE)
     out = None
-    for tag, spec in (("lcc", lcc_spec), ("stereo", ps_spec)):
+    for tag, spec in (("albers", alb_spec), ("lcc", lcc_spec),
+                      ("stereo", ps_spec)):
         one = (R.tiles_checksum(
                    W.warp(src_tiles, src_spec, spec, kernel="near"), spec)
                .filter(F.col("n_nonzero") > 0)

@@ -281,3 +281,74 @@ def test_warp_3857_into_polar_grid(spark):
     covered = (np.abs(lat) < 84.0).reshape(64, 64)
     assert covered.sum() > 2000
     assert (out[covered] == 7.0).all()
+
+
+def test_albers_worked_example():
+    """Snyder PP 1395 pp. 291-292 ellipsoidal Albers numerical example
+    (Clarke 1866, standard parallels 29.5N/45.5N, origin 23N 96W):
+    lat 35N lon 75W must map to x 1,885,472.7  y 1,535,925.0
+    (published to 0.1 m)."""
+    e2 = 0.0067686580  # Snyder's Clarke 1866 e^2
+    p = crs._Albers(lat1=29.5, lat2=45.5, lat0=23.0, lon0=-96.0,
+                    e0=0.0, n0=0.0, a=6378206.4,
+                    f=float(1.0 - np.sqrt(1.0 - e2)))
+    E, N = p.forward(np.array([-75.0]), np.array([35.0]))
+    np.testing.assert_allclose(E, 1885472.7, atol=0.1)
+    np.testing.assert_allclose(N, 1535925.0, atol=0.1)
+    lon, lat = p.inverse(E, N)
+    np.testing.assert_allclose(lon, -75.0, atol=1e-9)
+    np.testing.assert_allclose(lat, 35.0, atol=1e-9)
+
+
+def test_albers_roundtrip_and_invariants():
+    """EPSG:5070 (NAD83 Conus Albers, GRS80) roundtrip over CONUS, plus
+    the equal-area invariant: the projection's area scale factor
+    h*k = 1 everywhere (checked via the analytic rho(q) relation:
+    d(area) preservation reduces to rho * drho/dphi = -a^2 m / n *
+    dq/dphi / 2 ... verified numerically as |J| == 1 to 1e-6)."""
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-125.0, -66.0, 500)
+    lat = rng.uniform(24.0, 50.0, 500)
+    x, y = crs.transform_np("EPSG:4326", "EPSG:5070", lon, lat)
+    lon2, lat2 = crs.transform_np("EPSG:5070", "EPSG:4326", x, y)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+    # equal-area: the Jacobian of (lon,lat)->(E,N) divided by the
+    # ellipsoidal area element cos(phi)*M*N_r must be 1
+    p = crs.ALBERS_REGISTRY["5070"]
+    d = 1e-6
+    for lo, la in ((-100.0, 35.0), (-80.0, 45.0), (-120.0, 30.0)):
+        E0, N0 = p.forward(np.array([lo]), np.array([la]))
+        Ex, Nx = p.forward(np.array([lo + d]), np.array([la]))
+        Ey, Ny = p.forward(np.array([lo]), np.array([la + d]))
+        J = abs(((Ex - E0) * (Ny - N0) - (Ey - E0) * (Nx - N0))[0]) / d / d
+        phi = np.radians(la)
+        s2 = np.sin(phi) ** 2
+        Mr = p.a * (1 - p.e2) / (1 - p.e2 * s2) ** 1.5
+        Nr = p.a / np.sqrt(1 - p.e2 * s2)
+        area_el = np.cos(phi) * Mr * Nr * np.radians(1.0) ** 2
+        np.testing.assert_allclose(J / area_el, 1.0, rtol=1e-5)
+
+
+def test_albers_gate_routing_margin():
+    """Same soundness audit as the LCC/stereo gates, for the EPSG:5070
+    branch of raster_warp_crs_checksum: no dst pixel center may route
+    within libm-noise of a source pixel boundary."""
+    from gdal_spark.queries_raster import ALB_GT, ALB_H, ALB_W, ZOOM, TILE
+    from gdal_spark.raster import grid as G
+    from gdal_spark.raster import warp as W
+
+    src = G.world_3857(ZOOM, TILE)
+    dst = G.GridSpec(ALB_W, ALB_H, ALB_GT, crs="EPSG:5070", tile=128)
+    gy, gx = np.mgrid[0:ALB_H, 0:ALB_W]
+    lon, lat = crs.to_lonlat_np(
+        "EPSG:5070", *dst.pixel_center_world(gx.ravel().astype(float),
+                                             gy.ravel().astype(float)))
+    # CONUS grid: lat spans ~[17, 53] — no mercator clipping regime
+    assert (np.abs(lat) < 85.0).all()
+    spx, spy = W._dst_pos_in_src_px(dst, src, gx.ravel().astype(float),
+                                    gy.ravel().astype(float))
+    for sp in (spx, spy):
+        inside = (sp > -0.5) & (sp < src.width + 0.5)
+        frac = np.abs(sp[inside] - np.round(sp[inside]))
+        assert frac.min() > 1e-6, f"routing margin too small: {frac.min()}"
