@@ -3,7 +3,7 @@
 entry()      — flagship query: pages -> geo point derivation ->
                broadcast point-in-polygon join vs admin polygons ->
                z8 tile assignment -> per (polygon, tile) rollup.
-queries()    — 49 entries (inside the driver's 50-entry correctness
+queries()    — 50 entries (exactly the driver's 50-entry correctness
                window) covering SURVEY §2 (see COVERAGE.md for the
                line-by-line operator map): relational/OGR-SQL
                semantics, spatial joins + kNN, the raster surface

@@ -117,7 +117,7 @@ def main():
                   "raster_warp_kernels_checksum", "geo_overlay_ops",
                   "raster_grid_nearest", "geo_dissolve_union",
                   "raster_color_relief_checksum",
-                  "raster_warp_crs_checksum"]:
+                  "raster_warp_crs_checksum", "geo_s2_cell_rollup"]:
         fn = Q.QUERIES[qname]
         timed(qname, lambda f=fn: f(spark, SF_DIR).count())
 

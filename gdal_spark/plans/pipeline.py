@@ -105,11 +105,14 @@ def _sort(df: DataFrame, by: list[str] | None = None,
           method: str = "hilbert") -> DataFrame:
     """gdalalg_vector_sort.cpp: attribute sort, or spatial clustering
     by a space-filling-curve key. method="hilbert" (the reference's
-    curve, alg/hilbert.cpp:80) or "zorder" (Morton — one shift-
+    curve, alg/hilbert.cpp:80), "zorder" (Morton — one shift-
     interleave instead of `res` bit rounds, slightly cheaper key,
-    coarser locality). Either way: range-partition + in-partition
-    sort by the key, so rows land spatially clustered WITHOUT a
-    total-order merge."""
+    coarser locality), or "s2" (geo/s2.py cube-face Hilbert — no
+    polar degeneracy: mercator-grid keys stretch cells toward the
+    poles, S2 cells stay near-uniform, so polar datasets cluster as
+    well as equatorial ones). Either way: range-partition +
+    in-partition sort by the key, so rows land spatially clustered
+    WITHOUT a total-order merge."""
     if spatial:
         if method == "hilbert":
             from ..geo import hilbert
@@ -117,9 +120,12 @@ def _sort(df: DataFrame, by: list[str] | None = None,
         elif method == "zorder":
             df = df.withColumn(
                 "__sk", cells.cell_encode_col(F.col(lon), F.col(lat), res))
+        elif method == "s2":
+            from ..geo import s2
+            df = s2.with_s2_cell(df, lon, lat, level=res, out="__sk")
         else:
-            raise ValueError(f"sort method must be 'hilbert' or 'zorder',"
-                             f" got {method!r}")
+            raise ValueError(f"sort method must be 'hilbert', 'zorder',"
+                             f" or 's2', got {method!r}")
         return (df.repartitionByRange("__sk")
                 .sortWithinPartitions("__sk").drop("__sk"))
     return df.orderBy(*by)

@@ -360,6 +360,52 @@ def cell_tile_encode(spark, sf_dir):
     return cell.unionByName(tile).unionByName(dissolve).orderBy("part", "key")
 
 
+def _s2_rollup_oracle(level: int = 12, parent_steps: int = 6) -> str:
+    from .geo import s2 as _s2
+
+    cte, final = _s2.s2_cell_cte_sql("pts", "lon", "lat", level,
+                                     keys="doc_id")
+    nl = f"((s2_cell & -s2_cell) << {2 * parent_steps})"
+    return f"""
+    WITH pts AS ({_PTS_SQL}),{cte},
+    lab AS (SELECT doc_id, s2_cell,
+                   ((s2_cell & -{nl}) | {nl}) AS s2_parent
+            FROM {final})
+    SELECT s2_parent, CAST(s2_parent >> 59 AS INTEGER) AS face,
+           count(*) AS n_pts, count(DISTINCT s2_cell) AS n_cells,
+           min(s2_cell) AS min_cell, max(s2_cell) AS max_cell
+    FROM lab GROUP BY s2_parent ORDER BY s2_parent
+    """
+
+
+@register("geo_s2_cell_rollup", oracle=_s2_rollup_oracle())
+def s2_cell_rollup(spark, sf_dir):
+    """TRUE S2 cell encoding (cube face + quadratic ST + per-face
+    Hilbert curve, geo/s2.py — the north star's "H3/S2 cell encoding"
+    beyond the Morton-quadkey analog) with a hierarchical rollup:
+    level-12 leaf cells aggregated under their level-6 ancestors via
+    the trailing-bit parent = pure int64 bit math (S2's id layout).
+    All JVM column math — the Hilbert walk whole-stage-codegens into
+    straight-line bit ops; the oracle mirrors every stage as CTEs and
+    the trig margin is perturbation-audited (tests/test_s2.py)."""
+    from .geo import s2 as _s2
+
+    p = pages.page_points(spark, sf_dir).select("doc_id", "lon", "lat")
+    enc = _s2.with_s2_cell(p, level=12, out="s2_cell")
+    enc = enc.withColumn("s2_parent",
+                         _s2.s2_parent_col(F.col("s2_cell"), steps=6))
+    return (enc.groupBy("s2_parent")
+            .agg(F.count(F.lit(1)).alias("n_pts"),
+                 F.countDistinct("s2_cell").alias("n_cells"),
+                 F.min("s2_cell").alias("min_cell"),
+                 F.max("s2_cell").alias("max_cell"))
+            .select("s2_parent",
+                    F.shiftright(F.col("s2_parent"), 59).cast("int")
+                    .alias("face"),
+                    "n_pts", "n_cells", "min_cell", "max_cell")
+            .orderBy("s2_parent"))
+
+
 def _pip_oracle() -> str:
     subqs = []
     for pid, _name, ring in admin.admin_rings():

@@ -81,7 +81,7 @@ def test_hilbert_locality_beats_zorder(spark):
     assert h_step < z_step, (h_step, z_step)
 
 
-@pytest.mark.parametrize("method", ["hilbert", "zorder"])
+@pytest.mark.parametrize("method", ["hilbert", "zorder", "s2"])
 def test_sort_step_methods(spark, method):
     rng = np.random.RandomState(5)
     df = spark.createDataFrame(

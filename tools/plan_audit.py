@@ -142,6 +142,13 @@ def main() -> None:
     check("dedup_clusters no-cartesian", plan_of(dc),
           must_not=[r"CartesianProduct"], must=[r"AdaptiveSparkPlan"])
 
+    # 10a. S2 cell rollup: the cube-face Hilbert encode is pure JVM
+    #      column math (codegen bit walk), never a Python node
+    s2q = Q.QUERIES["geo_s2_cell_rollup"](spark, SF_DIR)
+    check("s2_cell_rollup JVM-only", plan_of(s2q),
+          must=[r"HashAggregate"],
+          must_not=[r"MapInPandas|ArrowEvalPython|BatchEvalPython"])
+
     # 10. overlay layer algebra: candidate pairing is a cell equi-join
     from gdal_spark.operators.overlay_join import overlay_intersection_join
     ov = overlay_intersection_join(admin.overlay_df(spark),
