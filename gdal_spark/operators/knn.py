@@ -21,11 +21,17 @@ sorted-neighbor expansion over ring queries":
     shrinks by cos(lat) toward the poles, so a constant-cells bound
     would be wrong off the equator;
  4. ring doubles until it covers the whole grid, at which point the
-    final pass joins the remaining stragglers against the DISTINCT
-    occupied-cell relation (bounded by the data, not by grid
-    resolution) — still the same cell equi-join, so the data side is
-    hash-partitioned once per pass rather than replicated per query.
-    Exact for all inputs, with no cross-join cliff on either side.
+    final pass joins the remaining stragglers against the full cell
+    relation — range-enumerated JVM-side when the grid is coarse,
+    the DISTINCT occupied-cell relation when it is fine (bounded by
+    the data, not by grid resolution) — still the same cell
+    equi-join, so the data side is hash-partitioned once per pass
+    rather than replicated per query. Exact for all inputs, with no
+    cross-join cliff on either side;
+ 5. before any of that, two cheap counts decide whether the whole
+    brute-force candidate volume is small enough that ring rounds
+    cost more than scoring every pair once (AQE-style adaptive
+    strategy choice — never fires at scale).
 
 Distances are squared-euclidean in lon/lat degrees — matching the
 DuckDB oracle's arithmetic bit-for-bit (identical doubles in, exactly
@@ -82,10 +88,20 @@ def knn_join(data: DataFrame, queries: DataFrame, k: int = 5,
     """
     spark = data.sparkSession
     n = 1 << res
+    brute_force = False
     if initial_ring is None:
-        rows_per_cell = max(data.count() / float(4 ** res), 1e-9)
+        d_cnt = data.count()
+        rows_per_cell = max(d_cnt / float(4 ** res), 1e-9)
         est = (np.sqrt(3.0 * k / rows_per_cell) - 1.0) / 2.0
         initial_ring = int(min(max(1, np.ceil(est)), max_ring))
+        # Adaptive strategy choice (AQE-style): if the whole
+        # brute-force candidate volume is small, the ring machinery's
+        # per-round driver actions (persist + isEmpty per doubling)
+        # cost more than just scoring every pair once. Two cheap
+        # counts decide; at scale (billions x millions) this never
+        # fires and the ring path runs unchanged.
+        if d_cnt <= 10_000_000 and d_cnt * queries.count() <= 50_000_000:
+            brute_force = True
     d = data.select(F.col(id_col).alias("neighbor_id"),
                     F.col(lon_col).alias("nx"), F.col(lat_col).alias("ny"),
                     F.col("cell_id").alias("d_cell"))
@@ -127,7 +143,7 @@ def knn_join(data: DataFrame, queries: DataFrame, k: int = 5,
         s = F.least(sx, sn, ss)
         return s * s
 
-    if initial_ring >= max_ring:
+    if brute_force or initial_ring >= max_ring:
         # the density estimate says the search disk must cover
         # (almost) the whole grid, which also means the data set is
         # small (rows << k * 4^res) — the ring machinery would only
@@ -143,15 +159,27 @@ def knn_join(data: DataFrame, queries: DataFrame, k: int = 5,
     while True:
         if ring >= n:
             # Exhaustive pass: pending stragglers must see every data
-            # point, so the candidate grain is pending x OCCUPIED
-            # cells (bounded by the data itself), NOT pending x
-            # (2n+1)^2 Chebyshev offsets — the offset table scales
-            # with grid resolution (multi-billion rows at z15) no
-            # matter how sparse the data is. Still the same cell
-            # equi-join: the data side is hash-shuffled once, never
-            # replicated per query; pending (few stragglers by now)
-            # is the broadcast side.
-            occ = d.select("d_cell").distinct()
+            # point. Candidate grain is pending x ALL CELLS, never
+            # pending x (2n+1)^2 Chebyshev offsets — the offset table
+            # is 4x the grid and needs a per-query dedup. Two shapes:
+            #  - coarse grid (n^2 small): enumerate the n^2 cells
+            #    JVM-side (spark.range — no data-side pass at all);
+            #  - fine grid (n^2 huge, e.g. z15 = 1G cells): join
+            #    against the DISTINCT occupied-cell relation instead,
+            #    which is bounded by the data, not the resolution —
+            #    one extra data shuffle buys a candidate set that no
+            #    longer scales with the grid.
+            # Either way it stays the same cell equi-join: the data
+            # side is hash-shuffled once, never replicated per query;
+            # pending (few stragglers by now) is the broadcast side.
+            if n * n <= 1_048_576:
+                occ = (spark.range(n * n)
+                       .select(cells.cell_from_tile_col(
+                           (F.col("id") % n).cast("int"),
+                           (F.col("id") / n).cast("int"), res)
+                           .alias("d_cell")))
+            else:
+                occ = d.select("d_cell").distinct()
             expand = F.broadcast(
                 pending.select("q_id", "qx", "qy")).crossJoin(occ)
             topk = topk_within(expand.join(d, "d_cell"))

@@ -27,8 +27,11 @@ def test_knn_ring_path_dense_matches_brute(spark):
     pts = pages.synth_pages(spark, 50_000).select(
         "doc_id", "lon", "lat", "cell_id").persist()
     qs = pts.filter(F.col("doc_id") % 2500 == 0)  # 20 queries
+    # initial_ring pinned -> the adaptive brute-force shortcut is
+    # bypassed and the ring search + termination bound is what runs
     got = {(r["q_id"], r["rank"]): r["neighbor_id"]
-           for r in knn.knn_join(pts, qs, k=5, max_ring=16).collect()}
+           for r in knn.knn_join(pts, qs, k=5, max_ring=16,
+                                 initial_ring=2).collect()}
     want = {(r["q_id"], r["rank"]): r["neighbor_id"]
             for r in _brute(pts, qs, 5).collect()}
     assert got == want and len(got) == 100
@@ -53,7 +56,9 @@ def test_knn_exhaustive_pass_via_occupied_cells(spark):
     """Force the ring loop to reach the full-coverage pass (clustered
     data + one far-outlier query, initial_ring pinned small): the
     straggler must complete exactly, and the pass joins against the
-    occupied-cell relation, never an n^2 offset grid."""
+    full cell relation (range-enumerated at this coarse resolution;
+    the occupied-cell distinct at fine ones), never a (2n+1)^2
+    Chebyshev offset grid."""
     pts = pages.synth_pages(spark, 2_000).select(
         "doc_id", "lon", "lat", "cell_id").persist()
     # queries include whatever outliers exist; take extreme-lon rows
