@@ -24,7 +24,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .geo import cells, geom, mercator
+from .geo import cells, geom, hexgrid, mercator
 from .operators import pip_join
 from .sources import admin, pages
 
@@ -286,6 +286,10 @@ def latest_event(spark, sf_dir):
 
 _PTS_SQL = f"SELECT doc_id, {pages.LON_SQL} AS lon, {pages.LAT_SQL} AS lat FROM documents"
 
+_HEX_RES = 5
+_HEX_CTE, _HEX_Q, _HEX_R = hexgrid.hex_qr_sql("lon", "lat", _HEX_RES)
+_HEX_ID = hexgrid.hex_id_sql_from_qr(_HEX_Q, _HEX_R, _HEX_RES)
+
 
 @register(
     "geo_cell_tile_encode",
@@ -309,6 +313,13 @@ _PTS_SQL = f"SELECT doc_id, {pages.LON_SQL} AS lon, {pages.LAT_SQL} AS lat FROM 
              CAST(0 AS BIGINT) AS m3
       FROM ({_PTS_SQL}) GROUP BY key
       UNION ALL
+      SELECT 'hex' AS part, CAST(h AS VARCHAR) AS key,
+             count(*) AS m1, CAST(sum(doc_id) AS BIGINT) AS m2,
+             CAST(0 AS BIGINT) AS m3
+      FROM (WITH hx_src AS ({_PTS_SQL}), {_HEX_CTE}
+            SELECT doc_id, {_HEX_ID} AS h FROM hx_r)
+      GROUP BY key
+      UNION ALL
       SELECT 'dissolve_lang' AS part, lang AS key,
              count(DISTINCT cell_id) AS m1,
              min(cell_id) AS m2, max(cell_id) AS m3
@@ -324,12 +335,17 @@ _PTS_SQL = f"SELECT doc_id, {pages.LON_SQL} AS lon, {pages.LAT_SQL} AS lat FROM 
     """,
 )
 def cell_tile_encode(spark, sf_dir):
-    """Three faces of the cell index in one gate (merged so the whole
+    """Four faces of the cell index in one gate (merged so the whole
     registry fits the driver's 50-entry CORRECTNESS window):
-    part='cell'          vectorized H3/S2-analog cell encoding (geo.cells
-                         Morton quadkey, SURVEY §1) aggregated per cell;
+    part='cell'          vectorized Morton quadkey cell encoding
+                         (geo.cells, SURVEY §1) aggregated per cell;
     part='tile'          web-mercator XYZ tile assignment at z8
                          (gdal2tiles math, SURVEY §2.9);
+    part='hex'           hexagonal aperture-7 cell encoding at res 5
+                         (geo/hexgrid.py, the H3 analog of the north
+                         star's "H3/S2" pair; cube rounding in pure
+                         column math, +-1e-9-degree boundary margin
+                         pytest-audited);
     part='dissolve_lang' attribute dissolve on the cell coverage
                          (apps/gdalalg_vector_dissolve.cpp: per language
                          the dissolved footprint's cell count + extent).
@@ -351,13 +367,21 @@ def cell_tile_encode(spark, sf_dir):
         .select(F.lit("tile").alias("part"), "key", "m1", "m2",
                 zero.alias("m3"))
     )
+    hexb = (
+        p.groupBy(hexgrid.hex_id_col(F.col("lon"), F.col("lat"), _HEX_RES)
+                  .cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).alias("m1"), F.sum("doc_id").alias("m2"))
+        .select(F.lit("hex").alias("part"), "key", "m1", "m2",
+                zero.alias("m3"))
+    )
     dissolve = (
         p.groupBy(F.col("lang").alias("key"))
         .agg(F.countDistinct("cell_id").alias("m1"),
              F.min("cell_id").alias("m2"), F.max("cell_id").alias("m3"))
         .select(F.lit("dissolve_lang").alias("part"), "key", "m1", "m2", "m3")
     )
-    return cell.unionByName(tile).unionByName(dissolve).orderBy("part", "key")
+    return (cell.unionByName(tile).unionByName(hexb)
+            .unionByName(dissolve).orderBy("part", "key"))
 
 
 def _s2_rollup_oracle(level: int = 12, parent_steps: int = 6) -> str:
