@@ -64,17 +64,60 @@ def _signature(e: DataFrame):
     return int(row["n"]), int(row["h"])
 
 
+def _driver_union_find(e: DataFrame) -> DataFrame:
+    """Small-graph fast path: classic union-find on the collected edge
+    list, labels shipped back as a DataFrame. Bounded by the caller's
+    edge-count guard — never reached on a fact-scale graph."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = e.toPandas()
+    if len(pdf) == 0:
+        return e.sparkSession.createDataFrame(
+            [], "node long, comp long")
+    uv = np.concatenate([pdf["u"].to_numpy(np.int64),
+                         pdf["v"].to_numpy(np.int64)])
+    ids, inv = np.unique(uv, return_inverse=True)
+    m = len(pdf)
+    parent = np.arange(len(ids), dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for a, b in zip(inv[:m], inv[m:]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # root = smaller index
+    # full resolution, then root -> min original id (ids is sorted by
+    # np.unique, so the min-index root IS the min-id member)
+    roots = np.array([find(i) for i in range(len(ids))], dtype=np.int64)
+    out = pd.DataFrame({"node": ids, "comp": ids[roots]})
+    return e.sparkSession.createDataFrame(out)
+
+
 def connected_components(edges: DataFrame,
                          src: str = "src", dst: str = "dst",
                          nodes: DataFrame | None = None,
                          node_col: str = "node",
-                         max_rounds: int = 50) -> DataFrame:
+                         max_rounds: int = 50,
+                         driver_edge_cap: int = 1_000_000) -> DataFrame:
     """-> (node, comp) with comp = the component's minimum node id.
 
     edges: undirected edge list (long-castable ids; self-loops and
     duplicates tolerated). nodes (optional, single column `node_col`):
     the full node universe — isolated nodes come back as their own
     component. Deterministic; every round is two shuffles.
+
+    Adaptive strategy choice (AQE-style): the distinct edge relation
+    is counted once, and a graph under `driver_edge_cap` edges runs
+    classic union-find on the driver instead of paying ~log(diameter)
+    alternating-star rounds (each two shuffles + a fixpoint probe) for
+    a graph that fits in one task. The distributed path is unchanged
+    above the cap and remains the 100 TB shape; pass
+    driver_edge_cap=0 to force it.
     """
     e = (edges.select(F.greatest(F.col(src).cast("long"),
                                  F.col(dst).cast("long")).alias("u"),
@@ -82,6 +125,16 @@ def connected_components(edges: DataFrame,
                               F.col(dst).cast("long")).alias("v"))
          .filter(F.col("u") != F.col("v"))
          .distinct())
+
+    if driver_edge_cap and e.count() <= driver_edge_cap:
+        labels = _driver_union_find(e)
+        if nodes is not None:
+            n = (nodes.select(F.col(node_col).cast("long").alias("node"))
+                 .distinct())
+            isolated = (n.join(labels, "node", "left_anti")
+                        .select("node", F.col("node").alias("comp")))
+            labels = labels.unionByName(isolated)
+        return labels
 
     prev_sig = None
     for _ in range(max_rounds):

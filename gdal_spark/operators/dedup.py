@@ -128,8 +128,9 @@ def dup_clusters(pairs: DataFrame, docs: DataFrame | None = None,
     """Near-dup PAIRS -> dup CLUSTERS: (id, cluster_id, is_keeper).
 
     A training-data pipeline needs keeper-per-cluster, not pairs: this
-    runs the distributed large-star/small-star connected-components
-    loop (operators/components.py) over the candidate-pair graph and
+    runs connected components (operators/components.py: the
+    distributed large-star/small-star loop, or driver union-find when
+    the distinct pair graph is tiny) over the candidate-pair graph and
     labels each doc with its cluster's minimum id; the minimum is the
     keeper (deterministic survivor choice). With `docs` given, docs in
     no pair come back as singleton clusters (their own keeper), so the

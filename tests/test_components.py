@@ -34,13 +34,18 @@ def _check(spark, edges, nodes=None):
     if nodes is not None:
         kw["nodes"] = spark.createDataFrame([(n,) for n in nodes],
                                             "node long")
-    got = {r["node"]: r["comp"]
-           for r in connected_components(edf, **kw).collect()}
     universe = set(nodes or [])
     for a, b in edges:
         universe.update((a, b))
     want = _uf_oracle(edges, sorted(universe))
-    assert got == want
+    # both strategies: the adaptive driver union-find (default on
+    # graphs this small) AND the distributed alternating-star path
+    # (forced with driver_edge_cap=0) must agree with the oracle
+    for cap in (1_000_000, 0):
+        got = {r["node"]: r["comp"]
+               for r in connected_components(
+                   edf, driver_edge_cap=cap, **kw).collect()}
+        assert got == want, f"driver_edge_cap={cap}"
 
 
 def test_cc_long_chain(spark):
