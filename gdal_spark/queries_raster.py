@@ -329,10 +329,11 @@ def _warp_average_oracle() -> str:
     """
 
 
-def _warp_kernel_query(spark, sf_dir, kernel: str):
-    pts = pages.page_points(spark, sf_dir)
+def _warp_kernel_query(spark, sf_dir, kernel: str, src_tiles=None):
     src_spec = G.world_3857(ZOOM, TILE)
-    src_tiles = D.density_tiles(pts, ZOOM, TILE)
+    if src_tiles is None:
+        pts = pages.page_points(spark, sf_dir)
+        src_tiles = D.density_tiles(pts, ZOOM, TILE)
     dst_spec = G.world_4326(CW_W, CW_H, tile=CW_TILE)
     out = W.warp(src_tiles, src_spec, dst_spec, kernel=kernel)
     return (R.tiles_checksum(out, dst_spec)
@@ -976,7 +977,9 @@ def warp_crs_checksum(spark, sf_dir):
     absorbs engine differences."""
     pts = pages.page_points(spark, sf_dir)
     src_spec = G.world_3857(ZOOM, TILE)
-    src_tiles = D.density_tiles(pts, ZOOM, TILE)
+    # shared by the three CRS branches (no subplan sharing across
+    # UNION branches otherwise — see warp_kernels_checksum)
+    src_tiles = D.density_tiles(pts, ZOOM, TILE).persist()
     alb_spec = G.GridSpec(ALB_W, ALB_H, ALB_GT, crs="EPSG:5070",
                           tile=ALB_TILE)
     lcc_spec = G.GridSpec(LCC_W, LCC_H, LCC_GT, crs="EPSG:3978",
@@ -1034,13 +1037,25 @@ def warp_kernels_checksum(spark, sf_dir):
     average: exact integer box sums; mode/min/max/med/q1/q3: value
     selection; rms: exact square sums + IEEE sqrt; sum: ordered
     left-fold of fractional-overlap terms via list_reduce)."""
-    near = warp_checksum(spark, sf_dir).select(
-        F.lit("near").alias("kernel"), "tile_y", "tile_x",
-        "checksum", "n_nonzero")
+    # one shared source raster for all 13 branches: the z5 density
+    # aggregation over the points table is the expensive subtree, and
+    # Spark does not share subplans across UNION branches — persist it
+    # once instead of recomputing it per kernel
+    pts = pages.page_points(spark, sf_dir)
+    src_spec = G.world_3857(ZOOM, TILE)
+    src_tiles = D.density_tiles(pts, ZOOM, TILE).persist()
+    dst_near = G.world_4326(WARP_W, WARP_H, tile=WARP_TILE)
+    near = (R.tiles_checksum(
+                W.warp(src_tiles, src_spec, dst_near, kernel="near"),
+                dst_near)
+            .filter(F.col("n_nonzero") > 0)
+            .select(F.lit("near").alias("kernel"), "tile_y", "tile_x",
+                    "checksum", "n_nonzero"))
     out = near
     for k in ("cubic", "cubicspline", "average", "lanczos", "mode",
               "min", "max", "med", "q1", "q3", "rms", "sum"):
-        one = _warp_kernel_query(spark, sf_dir, k).select(
+        one = _warp_kernel_query(spark, sf_dir, k,
+                                 src_tiles=src_tiles).select(
             F.lit(k).alias("kernel"), "tile_y", "tile_x",
             "checksum", "n_nonzero")
         out = out.unionByName(one)
