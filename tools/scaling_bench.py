@@ -118,6 +118,11 @@ def main() -> None:
         loads[cpus] = _wait_idle()
         env = dict(os.environ)
         env["SPARK_GRAFT_CPUS"] = str(cpus)
+        # one child JVM at a time on a 128 GiB host: give it the heap
+        # a real multi-executor deployment would have (the 8g session
+        # default starves the 32-thread child's execution memory at
+        # >=480M persisted rows and it dies in a shuffle acquire)
+        env.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
         # taskset bounds the WHOLE process tree (JVM + every Python UDF
         # worker) to `cpus` hardware cores — without it, a local[N]
         # run's Python workers execute on cores beyond the N task
@@ -128,8 +133,13 @@ def main() -> None:
             ["taskset", "-c", cpu_list, sys.executable,
              os.path.abspath(__file__), "--child", str(cpus)],
             capture_output=True, text=True, env=env, cwd=REPO)
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+        if not lines:
+            sys.stderr.write(f"child local[{cpus}] produced no report; "
+                             f"stderr tail:\n"
+                             + "\n".join(out.stderr.splitlines()[-30:]) + "\n")
+            sys.exit(1)
+        results[cpus] = json.loads(lines[-1])
     lo, hi = LEVELS
     eff = results[hi]["pages_per_sec"] / (
         (hi / lo) * results[lo]["pages_per_sec"])
