@@ -124,7 +124,12 @@ def connected_components(edges: DataFrame,
                       F.least(F.col(src).cast("long"),
                               F.col(dst).cast("long")).alias("v"))
          .filter(F.col("u") != F.col("v"))
-         .distinct())
+         .distinct()
+         # materialize ONCE before the strategy count: the upstream
+         # edge derivation is often the expensive part (e.g. a
+         # minhash candidate join), and without this the count and
+         # the first CC round would each recompute it
+         .localCheckpoint(eager=True))
 
     if driver_edge_cap and e.count() <= driver_edge_cap:
         labels = _driver_union_find(e)
