@@ -167,6 +167,18 @@ def st_buffer_point(x: pd.Series, y: pd.Series, dist: pd.Series) -> pd.Series:
 
 
 @pandas_udf(T.BinaryType())
+def st_buffer(g: pd.Series, dist: pd.Series) -> pd.Series:
+    """ST_Buffer(geom, dist) — SQLite-dialect signature
+    (ogrsqlitesqlfunctions.cpp:1208 OGR2SQLITE_ST_Buffer; GEOS
+    defaults: round caps/joins, 8 quadrant segments). Full style
+    surface lives on geo.buffer.buffer_wkb / pipeline step "buffer"."""
+    from ..geo import buffer as _buffer
+    return pd.Series([
+        _buffer.buffer_wkb(bytes(b), float(d)) if b is not None else None
+        for b, d in zip(g, dist)])
+
+
+@pandas_udf(T.BinaryType())
 def st_simplify(g: pd.Series, tol: pd.Series) -> pd.Series:
     def simp(b, t):
         ty, payload = wkb.decode(b)
@@ -379,6 +391,7 @@ _REGISTRY = {
     "st_intersects_point": st_intersects_point,
     "st_distance_points": st_distance_points,
     "st_buffer_point": st_buffer_point,
+    "st_buffer": st_buffer,
     "st_simplify": st_simplify,
     "st_segmentize": st_segmentize,
     "st_clip_bbox": st_clip_bbox,

@@ -52,6 +52,26 @@ def multipolygon(polys) -> bytes:
     return b"".join(out)
 
 
+def multipoint(coords) -> bytes:
+    c = np.asarray(coords, np.float64).reshape(-1, 2)
+    out = [struct.pack("<BII", 1, MULTIPOINT, len(c))]
+    out += [point(x, y) for x, y in c]
+    return b"".join(out)
+
+
+def multilinestring(lines) -> bytes:
+    out = [struct.pack("<BII", 1, MULTILINESTRING, len(lines))]
+    out += [linestring(c) for c in lines]
+    return b"".join(out)
+
+
+def collection(children: list) -> bytes:
+    """children: list of WKB bytes."""
+    out = [struct.pack("<BII", 1, GEOMETRYCOLLECTION, len(children))]
+    out += [bytes(c) for c in children]
+    return b"".join(out)
+
+
 class _Reader:
     def __init__(self, buf: bytes):
         self.buf = buf

@@ -143,10 +143,38 @@ def _dissolve(df: DataFrame, by: str, lon: str = "lon", lat: str = "lat",
 
 @step_impl("buffer")
 def _buffer(df: DataFrame, dist: float, x: str = "lon", y: str = "lat",
-            out: str = "geom") -> DataFrame:
-    from ..functions.st_funcs import st_buffer_point
-    return df.withColumn(out, st_buffer_point(
-        F.col(x).cast("double"), F.col(y).cast("double"), F.lit(float(dist))))
+            out: str = "geom", col: str | None = None,
+            quad_segs: int = 8, end_cap: str = "round",
+            join: str = "round", mitre_limit: float = 5.0,
+            side: str = "both") -> DataFrame:
+    """`gdal vector buffer` step (apps/gdalalg_vector_buffer.cpp:28-56).
+
+    Two input shapes: col=None buffers (x, y) point columns (the fast
+    path — no WKB decode); col="geom" buffers an arbitrary WKB geometry
+    column with the reference's full style surface (endcap-style,
+    join-style, mitre-limit, quadrant-segments, side)."""
+    if col is None:
+        # point buffers are discs regardless of cap/join style
+        from ..functions.st_funcs import st_buffer_point
+        return df.withColumn(out, st_buffer_point(
+            F.col(x).cast("double"), F.col(y).cast("double"),
+            F.lit(float(dist))))
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..geo import buffer as _buffer_mod
+
+    @pandas_udf(T.BinaryType())
+    def _buf(g: pd.Series) -> pd.Series:
+        return pd.Series([
+            _buffer_mod.buffer_wkb(bytes(b), float(dist),
+                                   quad_segs=quad_segs, end_cap=end_cap,
+                                   join=join, mitre_limit=mitre_limit,
+                                   side=side)
+            if b is not None else None for b in g])
+
+    return df.withColumn(out, _buf(F.col(col)))
 
 
 @step_impl("simplify")
