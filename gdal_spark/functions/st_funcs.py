@@ -191,6 +191,52 @@ def st_simplify(g: pd.Series, tol: pd.Series) -> pd.Series:
                       for b, t in zip(g, tol)])
 
 
+def _simplify_polygon_topo(rings, tol: float):
+    """Per-polygon topology-preserving simplify: every ring keeps
+    simplicity (geom.simplify_preserve_topology), and the tolerance
+    halves until no two RINGS cross either (hole poking through its
+    shell — the cross-ring case GEOS's TopologyPreservingSimplifier
+    also guards)."""
+    t = float(tol)
+    while t > 0.0:
+        out = [geom.simplify_preserve_topology(r, t, closed=True)
+               for r in rings]
+        crossing = False
+        for i in range(len(out)):
+            for j in range(i + 1, len(out)):
+                if any(geom.segments_intersect(tuple(a), tuple(b),
+                                               tuple(c), tuple(d))
+                       for a, b in zip(out[i][:-1], out[i][1:])
+                       for c, d in zip(out[j][:-1], out[j][1:])):
+                    crossing = True
+                    break
+            if crossing:
+                break
+        if not crossing:
+            return out
+        t /= 2.0
+    return rings
+
+
+@pandas_udf(T.BinaryType())
+def st_simplifypreservetopology(g: pd.Series, tol: pd.Series) -> pd.Series:
+    """OGRGeometry::SimplifyPreserveTopology (ogr_geometry.h:595):
+    simplified output never self-intersects, rings never collapse."""
+    def simp(b, t):
+        ty, payload = wkb.decode(b)
+        if ty == wkb.LINESTRING:
+            return wkb.linestring(
+                geom.simplify_preserve_topology(payload, t))
+        if ty == wkb.POLYGON:
+            return wkb.polygon(_simplify_polygon_topo(payload, t))
+        if ty == wkb.MULTIPOLYGON:
+            return wkb.multipolygon(
+                [_simplify_polygon_topo(p, t) for p in payload])
+        return b
+    return pd.Series([simp(bytes(b), float(t)) if b is not None else None
+                      for b, t in zip(g, tol)])
+
+
 @pandas_udf(T.BinaryType())
 def st_segmentize(g: pd.Series, max_len: pd.Series) -> pd.Series:
     def seg(b, ml):
@@ -393,6 +439,7 @@ _REGISTRY = {
     "st_buffer_point": st_buffer_point,
     "st_buffer": st_buffer,
     "st_simplify": st_simplify,
+    "st_simplifypreservetopology": st_simplifypreservetopology,
     "st_segmentize": st_segmentize,
     "st_clip_bbox": st_clip_bbox,
     "st_intersection": st_intersection,

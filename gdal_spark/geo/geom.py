@@ -192,6 +192,47 @@ def simplify_dp(coords: np.ndarray, tol: float) -> np.ndarray:
     return c[keep]
 
 
+def polyline_self_intersects(coords: np.ndarray, closed: bool) -> bool:
+    """True if any two NON-ADJACENT segments of the polyline cross or
+    touch. Adjacent segments (sharing a vertex) are exempt, as is the
+    first/last pair of a closed ring."""
+    c = np.asarray(coords, np.float64)
+    n = len(c) - 1
+    for i in range(n):
+        for j in range(i + 2, n):
+            if closed and i == 0 and j == n - 1:
+                continue
+            if segments_intersect(tuple(c[i]), tuple(c[i + 1]),
+                                  tuple(c[j]), tuple(c[j + 1])):
+                return True
+    return False
+
+
+def simplify_preserve_topology(coords: np.ndarray, tol: float,
+                               closed: bool = False) -> np.ndarray:
+    """Topology-preserving simplification
+    (OGRGeometry::SimplifyPreserveTopology, ogr_geometry.h:595; the
+    reference delegates to GEOS TopologyPreservingSimplifier).
+
+    Contract honored: the output never self-intersects and a closed
+    ring never collapses below a valid triangle. Strategy: plain DP,
+    then validate; on violation halve the tolerance and retry — the
+    limit of tol -> 0 is the input, so termination and validity are
+    guaranteed. (GEOS instead re-inserts individual vertices; same
+    guarantee, different minimality — documented deviation.)"""
+    c = np.asarray(coords, np.float64)
+    t = float(tol)
+    while t > 0.0:
+        s = simplify_dp(c, t)
+        if closed and len(s) < 4:
+            t /= 2.0
+            continue
+        if not polyline_self_intersects(s, closed):
+            return s
+        t /= 2.0
+    return c
+
+
 def buffer_point(x: float, y: float, dist: float, quadsegs: int = 8) -> np.ndarray:
     """Circle approximation ring (OGRGeometry::Buffer for points;
     quadsegs matches GEOS's default 8 segments per quadrant)."""

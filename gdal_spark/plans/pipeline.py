@@ -178,9 +178,11 @@ def _buffer(df: DataFrame, dist: float, x: str = "lon", y: str = "lat",
 
 
 @step_impl("simplify")
-def _simplify(df: DataFrame, tol: float, col: str = "geom") -> DataFrame:
-    from ..functions.st_funcs import st_simplify
-    return df.withColumn(col, st_simplify(F.col(col), F.lit(float(tol))))
+def _simplify(df: DataFrame, tol: float, col: str = "geom",
+              preserve_topology: bool = False) -> DataFrame:
+    from ..functions.st_funcs import st_simplify, st_simplifypreservetopology
+    fn = st_simplifypreservetopology if preserve_topology else st_simplify
+    return df.withColumn(col, fn(F.col(col), F.lit(float(tol))))
 
 
 @step_impl("segmentize")
