@@ -185,8 +185,14 @@ def as_text(buf: bytes) -> str:
     """ST_AsText analog (minimal WKT writer)."""
     t, payload = decode(buf)
 
+    def fmt1(v):
+        # integral doubles print bare (OGRMakeWktCoordinate trim);
+        # otherwise repr = shortest string that round-trips exactly
+        f = float(v)
+        return str(int(f)) if f == int(f) else repr(f)
+
     def fmt_pt(xy):
-        return f"{xy[0]:.10g} {xy[1]:.10g}"
+        return f"{fmt1(xy[0])} {fmt1(xy[1])}"
 
     def fmt_ring(c):
         return "(" + ", ".join(fmt_pt(p) for p in np.asarray(c)) + ")"
@@ -197,6 +203,12 @@ def as_text(buf: bytes) -> str:
         return f"LINESTRING {fmt_ring(payload)}"
     if t == POLYGON:
         return "POLYGON (" + ", ".join(fmt_ring(r) for r in payload) + ")"
+    if t == MULTIPOINT:
+        return "MULTIPOINT (" + ", ".join(
+            f"({fmt_pt(p)})" for p in payload) + ")"
+    if t == MULTILINESTRING:
+        return "MULTILINESTRING (" + ", ".join(
+            fmt_ring(l) for l in payload) + ")"
     if t == MULTIPOLYGON:
         polys = ["(" + ", ".join(fmt_ring(r) for r in p) + ")" for p in payload]
         return "MULTIPOLYGON (" + ", ".join(polys) + ")"
@@ -249,6 +261,12 @@ def from_text(wkt: str) -> bytes:
     if kind == "POLYGON":
         rings = [parse_pts(g.strip("()")) for g in split_groups(body)]
         return polygon(rings)
+    if kind == "MULTIPOINT":
+        return multipoint(np.vstack([parse_pts(g.strip("()"))
+                                     for g in split_groups(body)]))
+    if kind == "MULTILINESTRING":
+        return multilinestring([parse_pts(g.strip("()"))
+                                for g in split_groups(body)])
     if kind == "MULTIPOLYGON":
         polys = []
         for grp in split_groups(body):
