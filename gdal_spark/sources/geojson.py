@@ -178,6 +178,23 @@ def read_geojson(spark: SparkSession, path: str,
     return _finish(df, geom_col)
 
 
+def read_geojson_seq_stream(spark: SparkSession, path: str,
+                            schema: T.StructType | None = None,
+                            sample_path: str | None = None,
+                            geom_col: str = "geom") -> DataFrame:
+    """Structured-Streaming GeoJSONSeq source: new feature files
+    dropped into `path` stream through the same geometry -> WKB
+    conversion as the batch reader (the streaming analog of the
+    reference's append-only seq layer, ogrgeojsonseqdriver.cpp).
+    Streaming requires a fixed schema — pass one, or let a batch probe
+    of `sample_path` (default: `path` itself, which must already hold
+    at least one file) infer it."""
+    if schema is None:
+        schema = spark.read.json(sample_path or path).schema
+    df = spark.readStream.schema(_geometry_as_string(schema)).json(path)
+    return _finish(df, geom_col)
+
+
 # --------------------------------------------------------------- write
 
 

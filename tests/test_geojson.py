@@ -103,6 +103,22 @@ def test_seq_write_read_roundtrip(spark, tmp_path):
     assert want == got  # byte-identical WKB through the sink
 
 
+def test_streaming_seq_source_matches_batch(spark, tmp_path):
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    _write_seq(str(d / "a.geojsonl"))
+    stream = GJ.read_geojson_seq_stream(spark, str(d))
+    assert stream.isStreaming
+    q = (stream.writeStream.format("memory").queryName("gj_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r.name, r.pop, None if r.geom is None else bytes(r.geom))
+           for r in spark.sql("SELECT * FROM gj_stream").collect()}
+    want = {(r.name, r.pop, None if r.geom is None else bytes(r.geom))
+            for r in GJ.read_geojson_seq(spark, str(d)).collect()}
+    assert got == want
+
+
 def test_featurecollection_write_guard_and_roundtrip(spark, tmp_path):
     p = str(tmp_path / "f.geojsonl")
     _write_seq(p)
