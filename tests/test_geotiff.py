@@ -1,0 +1,123 @@
+"""GeoTIFF codec round-trips (frmts/gtiff analog: tiled TIFF + GeoKey
+directory; TIFF 6.0 / OGC GeoTIFF layouts)."""
+
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark.raster import geotiff as GT
+from gdal_spark.raster import grid as G
+
+TS = 16  # small tiles (multiple of 16 per spec) keep fixtures tiny
+
+
+def _spec(w=40, h=35, crs="EPSG:4326"):
+    return G.GridSpec(width=w, height=h,
+                      gt=(10.0, 0.25, 0.0, 55.0, 0.0, -0.25),
+                      crs=crs, tile=TS)
+
+
+def _tiles(spark, spec, seed=3):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for ty in range(spec.tiles_y):
+        for tx in range(spec.tiles_x):
+            h, w = spec.tile_shape(ty, tx)
+            rows.append((ty, tx,
+                         rng.integers(0, 200, h * w).astype(float).tolist()))
+    return spark.createDataFrame(rows, G.TILE_SCHEMA)
+
+
+def _collect(df):
+    return {(r.tile_y, r.tile_x): np.asarray(r.px) for r in df.collect()}
+
+
+@pytest.mark.parametrize("compression", ["deflate", "none"])
+def test_roundtrip_float64(spark, tmp_path, compression):
+    spec = _spec()
+    tiles = _tiles(spark, spec)
+    p = str(tmp_path / "t.tif")
+    GT.write_geotiff(tiles, spec, p, compression=compression)
+    spec2, back = GT.read_geotiff(spark, p)
+    assert spec2 == spec  # size, geotransform, crs, tile all survive
+    want, got = _collect(tiles), _collect(back)
+    assert set(want) == set(got)
+    for k in want:
+        np.testing.assert_array_equal(want[k], got[k])
+
+
+def test_roundtrip_uint8_and_nodata(spark, tmp_path):
+    spec = _spec(w=TS * 2, h=TS)
+    tiles = _tiles(spark, spec)
+    p = str(tmp_path / "b.tif")
+    GT.write_geotiff(tiles, spec, p, dtype="uint8", nodata=255.0)
+    spec2, back = GT.read_geotiff(spark, p)
+    want, got = _collect(tiles), _collect(back)
+    for k in want:
+        np.testing.assert_array_equal(want[k] % 256, got[k])
+    _, tags = GT._parse_ifd(p)
+    assert tags[GT._TAG_BITS] == [8]
+    nd = bytes(tags[GT._TAG_NODATA]).rstrip(b"\x00").decode()
+    assert float(nd) == 255.0
+
+
+def test_missing_tiles_fill_with_nodata(spark, tmp_path):
+    spec = _spec(w=TS * 2, h=TS * 2)
+    one = spark.createDataFrame(
+        [(0, 0, [7.0] * (TS * TS))], G.TILE_SCHEMA)
+    p = str(tmp_path / "m.tif")
+    GT.write_geotiff(one, spec, p, nodata=-1.0)
+    _, back = GT.read_geotiff(spark, p)
+    got = _collect(back)
+    assert len(got) == 4
+    np.testing.assert_array_equal(got[(0, 0)], 7.0)
+    np.testing.assert_array_equal(got[(1, 1)], -1.0)
+
+
+def test_projected_crs_geokeys(spark, tmp_path):
+    spec = G.GridSpec(width=TS, height=TS,
+                      gt=(0.0, 100.0, 0.0, 0.0, 0.0, -100.0),
+                      crs="EPSG:3857", tile=TS)
+    tiles = spark.createDataFrame(
+        [(0, 0, list(map(float, range(TS * TS))))], G.TILE_SCHEMA)
+    p = str(tmp_path / "p.tif")
+    GT.write_geotiff(tiles, spec, p)
+    spec2, _ = GT.read_geotiff(spark, p)
+    assert spec2.crs == "EPSG:3857"
+    _, tags = GT._parse_ifd(p)
+    shorts = tags[GT._TAG_GEOKEYS]
+    assert 3072 in shorts and 3857 in shorts  # ProjectedCSTypeGeoKey
+
+
+def test_header_is_classic_tiff(spark, tmp_path):
+    spec = _spec(w=TS, h=TS)
+    GT.write_geotiff(_tiles(spark, spec), spec, str(tmp_path / "h.tif"))
+    head = open(str(tmp_path / "h.tif"), "rb").read(4)
+    assert head == b"II*\x00"
+
+
+def test_parallel_read_partitions(spark, tmp_path):
+    spec = _spec(w=TS * 4, h=TS * 3)
+    p = str(tmp_path / "par.tif")
+    GT.write_geotiff(_tiles(spark, spec), spec, p)
+    _, back = GT.read_geotiff(spark, p, partitions=5)
+    assert back.rdd.getNumPartitions() == 5
+    assert back.count() == 12
+
+
+def test_scope_fences(spark, tmp_path):
+    spec = _spec(w=TS, h=TS)
+    tiles = _tiles(spark, spec)
+    with pytest.raises(ValueError, match="max_tiles"):
+        GT.write_geotiff(tiles, _spec(w=TS * 300, h=TS * 300), str(
+            tmp_path / "x.tif"), max_tiles=100)
+    rot = G.GridSpec(width=TS, height=TS,
+                     gt=(0.0, 1.0, 0.1, 0.0, 0.1, -1.0), tile=TS)
+    with pytest.raises(NotImplementedError, match="rotated"):
+        GT.write_geotiff(tiles, rot, str(tmp_path / "x.tif"))
+    with pytest.raises(ValueError, match="byte-order"):
+        bad = str(tmp_path / "bad.tif")
+        open(bad, "wb").write(b"XX\x2a\x00" + b"\x00" * 16)
+        GT.read_geotiff(spark, bad)
