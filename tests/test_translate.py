@@ -1,0 +1,91 @@
+"""gdalwarp / gdal_translate file-to-file drivers (apps/gdalwarp_lib.cpp,
+apps/gdal_translate_lib.cpp shapes over the GeoTIFF codec)."""
+
+import numpy as np
+import pytest
+
+from gdal_spark.raster import geotiff as GT
+from gdal_spark.raster import grid as G
+from gdal_spark.raster import translate as TR
+
+TS = 16
+
+
+def _write_src(spark, path, w=48, h=32, crs="EPSG:4326"):
+    spec = G.GridSpec(width=w, height=h,
+                      gt=(10.0, 0.125, 0.0, 52.0, 0.0, -0.125),
+                      crs=crs, tile=TS)
+    rng = np.random.default_rng(5)
+    rows = []
+    for ty in range(spec.tiles_y):
+        for tx in range(spec.tiles_x):
+            hh, ww = spec.tile_shape(ty, tx)
+            rows.append((ty, tx,
+                         rng.integers(1, 100, hh * ww)
+                         .astype(float).tolist()))
+    df = spark.createDataFrame(rows, G.TILE_SCHEMA)
+    GT.write_geotiff(df, spec, path)
+    return spec, {(r.tile_y, r.tile_x): np.asarray(r.px)
+                  for r in df.collect()}
+
+
+def test_gdalwarp_reprojects_file_to_file(spark, tmp_path):
+    src = str(tmp_path / "src.tif")
+    dst = str(tmp_path / "dst.tif")
+    _write_src(spark, src)
+    out_spec = TR.gdalwarp(spark, src, dst, "EPSG:3857", kernel="near",
+                           tile=TS)
+    spec2, tiles2 = GT.read_geotiff(spark, dst)
+    assert spec2 == out_spec and spec2.crs == "EPSG:3857"
+    vals = np.concatenate([np.asarray(r.px) for r in tiles2.collect()])
+    # warped pixels come from the source value set (near kernel)
+    assert set(np.unique(vals[vals > 0])) <= set(range(1, 100))
+    assert (vals > 0).sum() > 0.5 * len(vals)
+
+
+def test_translate_projwin_crop(spark, tmp_path):
+    src = str(tmp_path / "src.tif")
+    dst = str(tmp_path / "crop.tif")
+    spec, blocks = _write_src(spark, src)
+    # world window covering pixel window x:[8,40) y:[8,24)
+    ulx = spec.gt[0] + 8 * spec.gt[1]
+    uly = spec.gt[3] + 8 * spec.gt[5]
+    lrx = spec.gt[0] + 40 * spec.gt[1]
+    lry = spec.gt[3] + 24 * spec.gt[5]
+    out = TR.gdal_translate(spark, src, dst, projwin=(ulx, uly, lrx, lry))
+    assert (out.width, out.height) == (32, 16)
+    spec2, tiles2 = GT.read_geotiff(spark, dst)
+    assert spec2.gt[0] == pytest.approx(ulx)
+    assert spec2.gt[3] == pytest.approx(uly)
+    # crop content matches the source pixel window exactly
+    full = np.zeros((spec.height, spec.width))
+    for (ty, tx), px in blocks.items():
+        h, w = spec.tile_shape(ty, tx)
+        full[ty * TS:ty * TS + h, tx * TS:tx * TS + w] = px.reshape(h, w)
+    got = np.zeros((16, 32))
+    for r in tiles2.collect():
+        h, w = spec2.tile_shape(r.tile_y, r.tile_x)
+        got[r.tile_y * TS:r.tile_y * TS + h,
+            r.tile_x * TS:r.tile_x * TS + w] = \
+            np.asarray(r.px).reshape(h, w)
+    np.testing.assert_array_equal(got, full[8:24, 8:40])
+
+
+def test_translate_outsize_and_scale(spark, tmp_path):
+    src = str(tmp_path / "src.tif")
+    dst = str(tmp_path / "small.tif")
+    _write_src(spark, src)
+    out = TR.gdal_translate(spark, src, dst, outsize=(24, 16),
+                            scale=(0.0, 100.0, 0.0, 1.0), dtype="float32")
+    assert (out.width, out.height) == (24, 16)
+    _, tiles2 = GT.read_geotiff(spark, dst)
+    vals = np.concatenate([np.asarray(r.px) for r in tiles2.collect()])
+    assert vals.min() >= 0.0 and vals.max() <= 1.0
+
+
+def test_translate_bad_window(spark, tmp_path):
+    src = str(tmp_path / "src.tif")
+    _write_src(spark, src)
+    with pytest.raises(ValueError, match="projwin"):
+        TR.gdal_translate(spark, src, str(tmp_path / "x.tif"),
+                          projwin=(999.0, 999.0, 1000.0, 998.0))
