@@ -64,6 +64,42 @@ def main() -> None:
         out["reproject_pts_per_s_at_10m"] = round(
             10_000_000 / out["reproject_10m_s"], 1)
 
+        # --- GTiff create-copy + gdalwarp on the reference's raster
+        # shape (autotest/benchmark/test_gdalwarp.py:30-56 /
+        # test_gtiff.py:94-122: 4096x4096 TILED, EPSG:32631,
+        # gt [400000,1,0,4500000,0,-1], warp -t_srs EPSG:4326 with
+        # near and cubic; theirs is 3-band, ours single-band —
+        # numbers below are per band)
+        import numpy as np
+
+        from gdal_spark.raster import geotiff as GTF
+        from gdal_spark.raster import grid as G
+        from gdal_spark.raster import translate as TR
+
+        size, ts = 4096, 256
+        spec = G.GridSpec(size, size, (400000.0, 1.0, 0.0,
+                                       4500000.0, 0.0, -1.0),
+                          crs="EPSG:32631", tile=ts)
+        n = size // ts
+        tiles = (spark.range(n * n).select(
+            (F.col("id") % n).cast("int").alias("tile_y"),
+            (F.col("id") / n).cast("int").alias("tile_x"),
+            F.array_repeat((F.col("id") % 200 + 1).cast("double"),
+                           ts * ts).alias("px")))
+        src_tif = f"{td}/src.tif"
+        GTF.write_geotiff(tiles, spec, src_tif, dtype="uint8")
+        t0 = time.time()
+        s2, t2 = GTF.read_geotiff(spark, src_tif)
+        GTF.write_geotiff(t2, s2, f"{td}/copy.tif", dtype="uint8")
+        out["gtiff_create_copy_4096_s"] = round(time.time() - t0, 3)
+        for alg in ("near", "cubic"):
+            t0 = time.time()
+            TR.gdalwarp(spark, src_tif, f"{td}/warp_{alg}.tif",
+                        "EPSG:4326", kernel=alg, dtype="uint8")
+            out[f"gdalwarp_4096_{alg}_s"] = round(time.time() - t0, 3)
+        out["gdalwarp_mpix_per_s_near"] = round(
+            size * size / out["gdalwarp_4096_near_s"] / 1e6, 1)
+
     print(json.dumps({"metric": "reference benchmark workloads", **out}))
     spark.stop()
 
