@@ -46,6 +46,7 @@ _DTYPES = {
 }
 _BACK = {(bits, fmt): name for name, (bits, fmt) in _DTYPES.items()}
 
+_TAG_SUBFILE = 254
 _TAG_W, _TAG_H = 256, 257
 _TAG_BITS, _TAG_COMP, _TAG_PHOTO = 258, 259, 262
 _TAG_SPP, _TAG_PLANAR, _TAG_SFMT = 277, 284, 339
@@ -102,81 +103,93 @@ def write_geotiff(tiles: DataFrame, spec: G.GridSpec, path: str,
         raise ValueError("TIFF tile size must be a multiple of 16")
     fill = float(nodata) if nodata is not None else 0.0
 
-    # edge tiles are partial-WIDTH rows, not a prefix: re-pad exactly
-    @F.pandas_udf(T.BinaryType())
-    def pack_exact(ty: pd.Series, tx: pd.Series, px: pd.Series) -> pd.Series:
-        out = []
-        for y, x, arr in zip(ty, tx, px):
-            h, w = spec.tile_shape(int(y), int(x))
-            a = np.asarray(arr, np.float64).reshape(h, w)
-            full = np.full((ts, ts), fill, np.float64)
-            full[:h, :w] = a
-            raw = full.astype(dtype).tobytes()
-            out.append(zlib.compress(raw, 6)
-                       if compression == "deflate" else raw)
-        return pd.Series(out)
+    ordered = _pack_blocks(tiles, spec, dtype, compression, fill)
+    _write_container(path, [(spec, dtype, compression, nodata, ordered,
+                             False)])
 
-    rows = (tiles.select("tile_y", "tile_x",
-                         pack_exact("tile_y", "tile_x", "px").alias("blk"))
-            .collect())
-    blocks = {(r.tile_y, r.tile_x): bytes(r.blk) for r in rows}
-    empty_raw = np.full((ts, ts), fill, np.float64).astype(dtype).tobytes()
-    empty = zlib.compress(empty_raw, 6) if compression == "deflate" \
-        else empty_raw
 
-    ntx, nty = spec.tiles_x, spec.tiles_y
-    ordered = [blocks.get((ty, tx), empty)
-               for ty in range(nty) for tx in range(ntx)]
-    offsets, counts, pos = [], [], 8
-    for b in ordered:
-        offsets.append(pos)
-        counts.append(len(b))
-        pos += len(b)
-
+def _image_entries(spec, dtype, compression, nodata, offsets, counts,
+                   reduced: bool):
     bits, sfmt = _DTYPES[dtype]
-    n = len(ordered)
+    n = len(offsets)
     entries = [
         (_TAG_W, 4, 1, [spec.width]), (_TAG_H, 4, 1, [spec.height]),
         (_TAG_BITS, 3, 1, [bits]),
         (_TAG_COMP, 3, 1, [8 if compression == "deflate" else 1]),
         (_TAG_PHOTO, 3, 1, [1]), (_TAG_SPP, 3, 1, [1]),
         (_TAG_PLANAR, 3, 1, [1]), (_TAG_SFMT, 3, 1, [sfmt]),
-        (_TAG_TW, 4, 1, [ts]), (_TAG_TH, 4, 1, [ts]),
+        (_TAG_TW, 4, 1, [spec.tile]), (_TAG_TH, 4, 1, [spec.tile]),
         (_TAG_TOFF, 4, n, offsets), (_TAG_TCNT, 4, n, counts),
-        (_TAG_SCALE, 12, 3, [spec.gt[1], -spec.gt[5], 0.0]),
-        (_TAG_TIEPOINT, 12, 6, [0.0, 0.0, 0.0, spec.gt[0], spec.gt[3], 0.0]),
-        (_TAG_GEOKEYS, 3, None, _crs_geokeys(spec.crs)),
     ]
+    if reduced:
+        entries.append((_TAG_SUBFILE, 4, 1, [1]))  # reduced-resolution
+    else:
+        entries.extend([
+            (_TAG_SCALE, 12, 3, [spec.gt[1], -spec.gt[5], 0.0]),
+            (_TAG_TIEPOINT, 12, 6,
+             [0.0, 0.0, 0.0, spec.gt[0], spec.gt[3], 0.0]),
+            (_TAG_GEOKEYS, 3, None, _crs_geokeys(spec.crs)),
+        ])
     if nodata is not None:
         nd = (repr(float(nodata)) + "\x00").encode()
         entries.append((_TAG_NODATA, 2, len(nd), list(nd)))
     entries.sort(key=lambda e: e[0])
+    return entries
 
-    _SZ = {2: 1, 3: 2, 4: 4, 12: 8}
+
+def _write_container(path: str, images: list) -> None:
+    """images: [(spec, dtype, compression, nodata, ordered_blocks,
+    reduced)] -> one TIFF with a chained IFD per image (the overview
+    chain layout gdaladdo produces inside the GTiff driver)."""
     _FMT = {2: "B", 3: "H", 4: "I", 12: "d"}
-    ifd_off = pos
-    data_off = ifd_off + 2 + 12 * len(entries) + 4
-    ifd, extra = [], []
-    for tag, typ, cnt, vals in entries:
-        if cnt is None:
-            cnt = len(vals)
-        payload = struct.pack(f"<{len(vals)}{_FMT[typ]}", *vals)
-        if len(payload) <= 4:
-            ifd.append(struct.pack("<HHI", tag, typ, cnt)
-                       + payload.ljust(4, b"\x00"))
-        else:
-            ifd.append(struct.pack("<HHII", tag, typ, cnt, data_off))
-            extra.append(payload)
-            data_off += len(payload)
-    with open(path, "wb") as f:
-        f.write(b"II*\x00" + struct.pack("<I", ifd_off))
+    pos = 8
+    per_img = []
+    for spec, dtype, compression, nodata, ordered, reduced in images:
+        offsets, counts = [], []
         for b in ordered:
-            f.write(b)
-        f.write(struct.pack("<H", len(entries)) + b"".join(ifd)
-                + struct.pack("<I", 0) + b"".join(extra))
+            offsets.append(pos)
+            counts.append(len(b))
+            pos += len(b)
+        per_img.append(_image_entries(spec, dtype, compression, nodata,
+                                      offsets, counts, reduced))
+    # lay out the IFD chain after all pixel data
+    ifd_offs, cursor = [], pos
+    payload_sizes = []
+    for entries in per_img:
+        ifd_offs.append(cursor)
+        sizes = []
+        for tag, typ, cnt, vals in entries:
+            payload = struct.pack(f"<{len(vals)}{_FMT[typ]}", *vals)
+            sizes.append(len(payload) if len(payload) > 4 else 0)
+        payload_sizes.append(sizes)
+        cursor += 2 + 12 * len(entries) + 4 + sum(sizes)
+    with open(path, "wb") as f:
+        f.write(b"II*\x00" + struct.pack("<I", ifd_offs[0]))
+        for _spec, _dt, _cp, _nd, ordered, _r in images:
+            for b in ordered:
+                f.write(b)
+        for i, entries in enumerate(per_img):
+            data_off = ifd_offs[i] + 2 + 12 * len(entries) + 4
+            nxt = ifd_offs[i + 1] if i + 1 < len(per_img) else 0
+            ifd, extra = [], []
+            for tag, typ, cnt, vals in entries:
+                if cnt is None:
+                    cnt = len(vals)
+                payload = struct.pack(f"<{len(vals)}{_FMT[typ]}", *vals)
+                if len(payload) <= 4:
+                    ifd.append(struct.pack("<HHI", tag, typ, cnt)
+                               + payload.ljust(4, b"\x00"))
+                else:
+                    ifd.append(struct.pack("<HHII", tag, typ, cnt,
+                                           data_off))
+                    extra.append(payload)
+                    data_off += len(payload)
+            f.write(struct.pack("<H", len(entries)) + b"".join(ifd)
+                    + struct.pack("<I", nxt) + b"".join(extra))
 
 
-def _parse_ifd(path: str):
+def _parse_ifds(path: str):
+    """-> (byte_order, [tags per IFD along the next-IFD chain])."""
     with open(path, "rb") as f:
         head = f.read(8)
         if head[:2] == b"II":
@@ -191,38 +204,56 @@ def _parse_ifd(path: str):
         if magic != 42:
             raise ValueError("not a TIFF (bad magic)")
         ifd_off = struct.unpack(bo + "I", head[4:8])[0]
-        f.seek(ifd_off)
-        n = struct.unpack(bo + "H", f.read(2))[0]
-        raw = f.read(12 * n)
-        tags = {}
         _SZ = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 12: 8}
         _FMT = {1: "B", 2: "B", 3: "H", 4: "I", 12: "d"}
-        for i in range(n):
-            tag, typ, cnt = struct.unpack_from(bo + "HHI", raw, 12 * i)
-            if typ not in _FMT:
-                continue
-            size = _SZ[typ] * cnt
-            if size <= 4:
-                vals = struct.unpack_from(
-                    bo + f"{cnt}{_FMT[typ]}", raw, 12 * i + 8)
-            else:
-                off = struct.unpack_from(bo + "I", raw, 12 * i + 8)[0]
-                here = f.tell()
-                f.seek(off)
-                vals = struct.unpack(bo + f"{cnt}{_FMT[typ]}",
-                                     f.read(size))
-                f.seek(here)
-            tags[tag] = list(vals)
-    return bo, tags
+        all_tags = []
+        while ifd_off:
+            f.seek(ifd_off)
+            n = struct.unpack(bo + "H", f.read(2))[0]
+            raw = f.read(12 * n)
+            ifd_off = struct.unpack(bo + "I", f.read(4))[0]
+            tags = {}
+            for i in range(n):
+                tag, typ, cnt = struct.unpack_from(bo + "HHI", raw, 12 * i)
+                if typ not in _FMT:
+                    continue
+                size = _SZ[typ] * cnt
+                if size <= 4:
+                    vals = struct.unpack_from(
+                        bo + f"{cnt}{_FMT[typ]}", raw, 12 * i + 8)
+                else:
+                    off = struct.unpack_from(bo + "I", raw, 12 * i + 8)[0]
+                    here = f.tell()
+                    f.seek(off)
+                    vals = struct.unpack(bo + f"{cnt}{_FMT[typ]}",
+                                         f.read(size))
+                    f.seek(here)
+                tags[tag] = list(vals)
+            all_tags.append(tags)
+    return bo, all_tags
+
+
+def _parse_ifd(path: str):
+    bo, all_tags = _parse_ifds(path)
+    return bo, all_tags[0]
 
 
 def read_geotiff(spark: SparkSession, path: str,
-                 partitions: int | None = None
+                 partitions: int | None = None, overview: int = 0
                  ) -> tuple[G.GridSpec, DataFrame]:
     """Tiled GeoTIFF -> (GridSpec, tile relation). One byte-range
-    reader per task; px is always float64 (the engine's tile model)."""
+    reader per task; px is always float64 (the engine's tile model).
+    overview=k selects the k-th reduced-resolution IFD (0 = full
+    resolution); its geotransform derives from the full-resolution
+    georeferencing scaled by the size ratio, as the GTiff driver
+    serves overview bands."""
     path = os.path.abspath(path)
-    bo, tags = _parse_ifd(path)
+    bo, all_tags = _parse_ifds(path)
+    if overview >= len(all_tags):
+        raise ValueError(
+            f"overview {overview}: file has {len(all_tags) - 1} overviews")
+    tags = all_tags[overview]
+    tags0 = all_tags[0]
     if _TAG_STRIP_OFF in tags:
         raise NotImplementedError(
             "strip-organized TIFF: retile it (TILED=YES) — the tiled "
@@ -242,11 +273,14 @@ def read_geotiff(spark: SparkSession, path: str,
     dtype = _BACK.get((bits, sfmt))
     if dtype is None:
         raise NotImplementedError(f"sample type bits={bits} fmt={sfmt}")
-    sx, sy = tags[_TAG_SCALE][0], tags[_TAG_SCALE][1]
-    tp = tags[_TAG_TIEPOINT]
-    gt = (tp[3] - tp[0] * sx, sx, 0.0, tp[4] + tp[1] * sy, 0.0, -sy)
-    crs = _geokeys_crs([int(v) for v in tags[_TAG_GEOKEYS]]) \
-        if _TAG_GEOKEYS in tags else "EPSG:4326"
+    sx0, sy0 = tags0[_TAG_SCALE][0], tags0[_TAG_SCALE][1]
+    # overview pixel size = full extent / overview size
+    sx = sx0 * tags0[_TAG_W][0] / width
+    sy = sy0 * tags0[_TAG_H][0] / height
+    tp = tags0[_TAG_TIEPOINT]
+    gt = (tp[3] - tp[0] * sx0, sx, 0.0, tp[4] + tp[1] * sy0, 0.0, -sy)
+    crs = _geokeys_crs([int(v) for v in tags0[_TAG_GEOKEYS]]) \
+        if _TAG_GEOKEYS in tags0 else "EPSG:4326"
     spec = G.GridSpec(width=width, height=height, gt=gt, crs=crs, tile=ts)
 
     offs, cnts = tags[_TAG_TOFF], tags[_TAG_TCNT]
@@ -280,3 +314,138 @@ def read_geotiff(spark: SparkSession, path: str,
                                 "px": out_px})
 
     return spec, mdf.mapInPandas(gen, schema=G.TILE_SCHEMA)
+
+
+def _reduce_2x2_masked(buf: np.ndarray, kernel: str,
+                       nodata: float | None, fill: float) -> np.ndarray:
+    """(2h, 2w) -> (h, w). NaN marks out-of-extent/absent pixels; a
+    user nodata value is excluded too — partial windows reduce over
+    their VALID pixels only (overview.cpp's nodata-aware averaging)."""
+    h, w = buf.shape[0] // 2, buf.shape[1] // 2
+    a = buf.reshape(h, 2, w, 2).transpose(0, 2, 1, 3).reshape(h, w, 4)
+    if kernel == "near":
+        # top-left child of an in-extent parent pixel always exists
+        return np.where(np.isnan(a[:, :, 0]), fill, a[:, :, 0])
+    valid = ~np.isnan(a)
+    if nodata is not None:
+        valid &= a != nodata
+    n = valid.sum(-1)
+    safe = np.where(valid, a, 0.0)
+    if kernel == "average":
+        out = safe.sum(-1) / np.maximum(n, 1)
+    elif kernel == "sum":
+        out = safe.sum(-1)
+    elif kernel == "rms":
+        out = np.sqrt((safe ** 2).sum(-1) / np.maximum(n, 1))
+    elif kernel == "mode":
+        out = np.full((h, w), fill)
+        for i in range(h):
+            for j in range(w):
+                vs = a[i, j][valid[i, j]]
+                if len(vs):
+                    u, c = np.unique(vs, return_counts=True)
+                    out[i, j] = u[np.argmax(c)]
+        return out
+    else:
+        raise ValueError(f"overview kernel {kernel!r}: "
+                         "want near|average|sum|rms|mode")
+    return np.where(n > 0, out, fill)
+
+
+def overview_once(tiles: DataFrame, spec: G.GridSpec,
+                  kernel: str = "average",
+                  nodata: float | None = None,
+                  fill: float = 0.0) -> tuple[DataFrame, G.GridSpec]:
+    """One 2x reduction of an arbitrary GridSpec tile relation
+    (overview.cpp downsampling restated as a parent-tile gather:
+    parent (ty, tx) groups its <=4 child tiles, one shuffle)."""
+    ospec = G.GridSpec(width=-(-spec.width // 2),
+                       height=-(-spec.height // 2),
+                       gt=(spec.gt[0], spec.gt[1] * 2, spec.gt[2],
+                           spec.gt[3], spec.gt[4], spec.gt[5] * 2),
+                       crs=spec.crs, tile=spec.tile)
+    ts = spec.tile
+
+    keyed = (tiles.withColumn("p_ty", (F.col("tile_y") / 2).cast("int"))
+             .withColumn("p_tx", (F.col("tile_x") / 2).cast("int")))
+
+    def reduce_parent(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        p_ty, p_tx = int(key[0]), int(key[1])
+        buf = np.full((2 * ts, 2 * ts), np.nan, np.float64)
+        for _, r in pdf.iterrows():
+            cy, cx = int(r.tile_y), int(r.tile_x)
+            h, w = spec.tile_shape(cy, cx)
+            buf[(cy - 2 * p_ty) * ts:(cy - 2 * p_ty) * ts + h,
+                (cx - 2 * p_tx) * ts:(cx - 2 * p_tx) * ts + w] = \
+                np.asarray(r.px, np.float64).reshape(h, w)
+        red = _reduce_2x2_masked(buf, kernel, nodata, fill)
+        oh, ow = ospec.tile_shape(p_ty, p_tx)
+        return pd.DataFrame({"tile_y": [p_ty], "tile_x": [p_tx],
+                             "px": [red[:oh, :ow].ravel().tolist()]})
+
+    out = (keyed.groupBy("p_ty", "p_tx")
+           .applyInPandas(reduce_parent, schema=G.TILE_SCHEMA))
+    return out, ospec
+
+
+def add_overviews(spark: SparkSession, path: str,
+                  levels: tuple[int, ...] = (2, 4, 8),
+                  kernel: str = "average", dtype: str = "float64",
+                  compression: str = "deflate",
+                  nodata: float | None = None) -> None:
+    """gdaladdo analog: rewrite the file with a reduced-resolution IFD
+    chain (NewSubfileType=1 per overview, like the GTiff driver's
+    internal overviews). levels must be successive powers of two."""
+    lv = sorted(set(int(l) for l in levels))
+    if any(l & (l - 1) or l < 2 for l in lv):
+        raise ValueError(f"levels must be powers of two >= 2, got {levels}")
+    spec, tiles = read_geotiff(spark, path)
+    fill = float(nodata) if nodata is not None else 0.0
+    images = [(spec, tiles)]
+    cur_t, cur_s, factor = tiles, spec, 1
+    for l in lv:
+        while factor < l:
+            cur_t, cur_s = overview_once(cur_t, cur_s, kernel,
+                                         nodata=nodata, fill=fill)
+            factor *= 2
+        images.append((cur_s, cur_t))
+    packed = []
+    for i, (s, t) in enumerate(images):
+        blocks = _pack_blocks(t, s, dtype, compression, fill)
+        packed.append((s, dtype, compression,
+                       nodata if i == 0 else None, blocks, i > 0))
+    _write_container(path, packed)
+
+
+def _pack_blocks(tiles: DataFrame, spec: G.GridSpec, dtype: str,
+                 compression: str, fill: float) -> list[bytes]:
+    ts = spec.tile
+
+    @F.pandas_udf(T.BinaryType())
+    def pack_exact(ty: pd.Series, tx: pd.Series, px: pd.Series) -> pd.Series:
+        out = []
+        for y, x, arr in zip(ty, tx, px):
+            h, w = spec.tile_shape(int(y), int(x))
+            a = np.asarray(arr, np.float64).reshape(h, w)
+            full = np.full((ts, ts), fill, np.float64)
+            full[:h, :w] = a
+            raw = full.astype(dtype).tobytes()
+            out.append(zlib.compress(raw, 6)
+                       if compression == "deflate" else raw)
+        return pd.Series(out)
+
+    rows = (tiles.select("tile_y", "tile_x",
+                         pack_exact("tile_y", "tile_x", "px").alias("blk"))
+            .collect())
+    blocks = {(r.tile_y, r.tile_x): bytes(r.blk) for r in rows}
+    empty_raw = np.full((ts, ts), fill, np.float64).astype(dtype).tobytes()
+    empty = zlib.compress(empty_raw, 6) if compression == "deflate" \
+        else empty_raw
+    return [blocks.get((ty, tx), empty)
+            for ty in range(spec.tiles_y) for tx in range(spec.tiles_x)]
+
+
+def overview_count(path: str) -> int:
+    """Number of reduced-resolution IFDs in the file."""
+    _, all_tags = _parse_ifds(path)
+    return len(all_tags) - 1

@@ -107,6 +107,66 @@ def test_parallel_read_partitions(spark, tmp_path):
     assert back.count() == 12
 
 
+def test_add_overviews_gdaladdo(spark, tmp_path):
+    spec = _spec(w=TS * 4, h=TS * 4)  # 64x64
+    tiles = _tiles(spark, spec)
+    p = str(tmp_path / "ovr.tif")
+    GT.write_geotiff(tiles, spec, p)
+    GT.add_overviews(spark, p, levels=(2, 4), kernel="average")
+    assert GT.overview_count(p) == 2
+    # full-res survives the rewrite bit-exactly
+    spec0, back0 = GT.read_geotiff(spark, p)
+    assert spec0 == spec
+    want = _collect(tiles)
+    for k, v in _collect(back0).items():
+        np.testing.assert_array_equal(v, want[k])
+    # overview 1 = one 2x2 average reduction, same extent
+    spec1, back1 = GT.read_geotiff(spark, p, overview=1)
+    assert (spec1.width, spec1.height) == (32, 32)
+    assert spec1.gt[1] == spec.gt[1] * 2 and spec1.gt[0] == spec.gt[0]
+    full = np.zeros((64, 64))
+    for (ty, tx), px in want.items():
+        full[ty * TS:(ty + 1) * TS, tx * TS:(tx + 1) * TS] = \
+            px.reshape(TS, TS)
+    expect1 = full.reshape(32, 2, 32, 2).mean(axis=(1, 3))
+    got1 = np.zeros((32, 32))
+    for r in back1.collect():
+        h, w = spec1.tile_shape(r.tile_y, r.tile_x)
+        got1[r.tile_y * TS:r.tile_y * TS + h,
+             r.tile_x * TS:r.tile_x * TS + w] = \
+            np.asarray(r.px).reshape(h, w)
+    np.testing.assert_allclose(got1, expect1)
+    # overview 2 halves again
+    spec2, _ = GT.read_geotiff(spark, p, overview=2)
+    assert (spec2.width, spec2.height) == (16, 16)
+    with pytest.raises(ValueError, match="overview"):
+        GT.read_geotiff(spark, p, overview=3)
+    with pytest.raises(ValueError, match="powers of two"):
+        GT.add_overviews(spark, p, levels=(3,))
+
+
+def test_overview_odd_size_edges(spark, tmp_path):
+    spec = _spec(w=40, h=35)  # non-multiple of 2*tile
+    tiles = _tiles(spark, spec)
+    p = str(tmp_path / "odd.tif")
+    GT.write_geotiff(tiles, spec, p)
+    GT.add_overviews(spark, p, levels=(2,), kernel="near")
+    spec1, back1 = GT.read_geotiff(spark, p, overview=1)
+    assert (spec1.width, spec1.height) == (20, 18)
+    # near kernel picks the top-left child pixel
+    full = np.zeros((35, 40))
+    for (ty, tx), px in _collect(tiles).items():
+        h, w = spec.tile_shape(ty, tx)
+        full[ty * TS:ty * TS + h, tx * TS:tx * TS + w] = px.reshape(h, w)
+    got = np.zeros((18, 20))
+    for r in back1.collect():
+        h, w = spec1.tile_shape(r.tile_y, r.tile_x)
+        got[r.tile_y * TS:r.tile_y * TS + h,
+            r.tile_x * TS:r.tile_x * TS + w] = \
+            np.asarray(r.px).reshape(h, w)
+    np.testing.assert_array_equal(got[:17, :20], full[:34:2, ::2])
+
+
 def test_scope_fences(spark, tmp_path):
     spec = _spec(w=TS, h=TS)
     tiles = _tiles(spark, spec)
