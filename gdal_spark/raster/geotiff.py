@@ -19,7 +19,9 @@ tile relation (tile_y, tile_x, px):
    ranges — intra-file parallelism (path must be executor-visible,
    like the GeoPackage reader).
 
-Scope fences (loud raises): single band; TILED organization on read
+Multi-band rasters store separate planes (PlanarConfiguration=2,
+band-major tile order) — write_geotiff_bands / read_geotiff(band=k).
+Scope fences (loud raises): TILED organization on read
 (strip TIFFs: convert with `gdal_translate -co TILED=YES`-style
 retiling); classic TIFF (no BigTIFF); north-up geotransform on write.
 Both byte orders read; writes are little-endian (II).
@@ -109,15 +111,17 @@ def write_geotiff(tiles: DataFrame, spec: G.GridSpec, path: str,
 
 
 def _image_entries(spec, dtype, compression, nodata, offsets, counts,
-                   reduced: bool):
+                   reduced: bool, n_bands: int = 1):
     bits, sfmt = _DTYPES[dtype]
     n = len(offsets)
     entries = [
         (_TAG_W, 4, 1, [spec.width]), (_TAG_H, 4, 1, [spec.height]),
-        (_TAG_BITS, 3, 1, [bits]),
+        (_TAG_BITS, 3, n_bands, [bits] * n_bands),
         (_TAG_COMP, 3, 1, [8 if compression == "deflate" else 1]),
-        (_TAG_PHOTO, 3, 1, [1]), (_TAG_SPP, 3, 1, [1]),
-        (_TAG_PLANAR, 3, 1, [1]), (_TAG_SFMT, 3, 1, [sfmt]),
+        (_TAG_PHOTO, 3, 1, [2 if n_bands == 3 else 1]),
+        (_TAG_SPP, 3, 1, [n_bands]),
+        (_TAG_PLANAR, 3, 1, [2 if n_bands > 1 else 1]),
+        (_TAG_SFMT, 3, n_bands, [sfmt] * n_bands),
         (_TAG_TW, 4, 1, [spec.tile]), (_TAG_TH, 4, 1, [spec.tile]),
         (_TAG_TOFF, 4, n, offsets), (_TAG_TCNT, 4, n, counts),
     ]
@@ -144,14 +148,16 @@ def _write_container(path: str, images: list) -> None:
     _FMT = {2: "B", 3: "H", 4: "I", 12: "d"}
     pos = 8
     per_img = []
-    for spec, dtype, compression, nodata, ordered, reduced in images:
+    for img in images:
+        spec, dtype, compression, nodata, ordered, reduced = img[:6]
+        n_bands = img[6] if len(img) > 6 else 1
         offsets, counts = [], []
         for b in ordered:
             offsets.append(pos)
             counts.append(len(b))
             pos += len(b)
         per_img.append(_image_entries(spec, dtype, compression, nodata,
-                                      offsets, counts, reduced))
+                                      offsets, counts, reduced, n_bands))
     # lay out the IFD chain after all pixel data
     ifd_offs, cursor = [], pos
     payload_sizes = []
@@ -165,8 +171,8 @@ def _write_container(path: str, images: list) -> None:
         cursor += 2 + 12 * len(entries) + 4 + sum(sizes)
     with open(path, "wb") as f:
         f.write(b"II*\x00" + struct.pack("<I", ifd_offs[0]))
-        for _spec, _dt, _cp, _nd, ordered, _r in images:
-            for b in ordered:
+        for img in images:
+            for b in img[4]:
                 f.write(b)
         for i, entries in enumerate(per_img):
             data_off = ifd_offs[i] + 2 + 12 * len(entries) + 4
@@ -239,8 +245,8 @@ def _parse_ifd(path: str):
 
 
 def read_geotiff(spark: SparkSession, path: str,
-                 partitions: int | None = None, overview: int = 0
-                 ) -> tuple[G.GridSpec, DataFrame]:
+                 partitions: int | None = None, overview: int = 0,
+                 band: int = 0) -> tuple[G.GridSpec, DataFrame]:
     """Tiled GeoTIFF -> (GridSpec, tile relation). One byte-range
     reader per task; px is always float64 (the engine's tile model).
     overview=k selects the k-th reduced-resolution IFD (0 = full
@@ -258,8 +264,13 @@ def read_geotiff(spark: SparkSession, path: str,
         raise NotImplementedError(
             "strip-organized TIFF: retile it (TILED=YES) — the tiled "
             "layout is the distributed-read path")
-    if tags.get(_TAG_SPP, [1])[0] != 1:
-        raise NotImplementedError("single-band TIFFs only")
+    n_bands = tags.get(_TAG_SPP, [1])[0]
+    if n_bands > 1 and tags.get(_TAG_PLANAR, [1])[0] != 2:
+        raise NotImplementedError(
+            "multi-band TIFFs: only separate planes "
+            "(PlanarConfiguration=2) are supported")
+    if band >= n_bands:
+        raise ValueError(f"band {band}: file has {n_bands} band(s)")
     comp = tags.get(_TAG_COMP, [1])[0]
     if comp not in (1, 8):
         raise NotImplementedError(f"compression {comp}: support none(1)/"
@@ -284,6 +295,9 @@ def read_geotiff(spark: SparkSession, path: str,
     spec = G.GridSpec(width=width, height=height, gt=gt, crs=crs, tile=ts)
 
     offs, cnts = tags[_TAG_TOFF], tags[_TAG_TCNT]
+    per_band = len(offs) // n_bands
+    offs = offs[band * per_band:(band + 1) * per_band]
+    cnts = cnts[band * per_band:(band + 1) * per_band]
     ntx = spec.tiles_x
     meta = [(i // ntx, i % ntx, int(offs[i]), int(cnts[i]))
             for i in range(len(offs))]
@@ -443,6 +457,41 @@ def _pack_blocks(tiles: DataFrame, spec: G.GridSpec, dtype: str,
         else empty_raw
     return [blocks.get((ty, tx), empty)
             for ty in range(spec.tiles_y) for tx in range(spec.tiles_x)]
+
+
+def write_geotiff_bands(bands: list[DataFrame], spec: G.GridSpec,
+                        path: str, dtype: str = "float64",
+                        compression: str = "deflate",
+                        nodata: float | None = None,
+                        max_tiles: int = 65536) -> None:
+    """Multi-band tiled GeoTIFF, separate planes (PlanarConfiguration=2,
+    band-major tile order per TIFF 6.0). Each band is its own tile
+    relation over the SAME GridSpec; per-tile deflate still runs
+    distributed per band."""
+    if spec.tiles_x * spec.tiles_y * len(bands) > max_tiles:
+        raise ValueError(
+            f"{spec.tiles_x * spec.tiles_y * len(bands)} tile blocks > "
+            f"max_tiles={max_tiles}: write the parquet tile store at scale")
+    fill = float(nodata) if nodata is not None else 0.0
+    ordered = []
+    for b in bands:
+        ordered.extend(_pack_blocks(b, spec, dtype, compression, fill))
+    _write_container(path, [(spec, dtype, compression, nodata, ordered,
+                             False, len(bands))])
+
+
+def read_geotiff_bands(spark: SparkSession, path: str,
+                       partitions: int | None = None
+                       ) -> tuple[G.GridSpec, list[DataFrame]]:
+    """All bands of a multi-band GeoTIFF as one tile relation per band."""
+    _, all_tags = _parse_ifds(path)
+    n = all_tags[0].get(_TAG_SPP, [1])[0]
+    spec = None
+    out = []
+    for b in range(n):
+        spec, df = read_geotiff(spark, path, partitions=partitions, band=b)
+        out.append(df)
+    return spec, out
 
 
 def overview_count(path: str) -> int:

@@ -167,6 +167,25 @@ def test_overview_odd_size_edges(spark, tmp_path):
     np.testing.assert_array_equal(got[:17, :20], full[:34:2, ::2])
 
 
+def test_multiband_separate_planes(spark, tmp_path):
+    spec = _spec(w=TS * 2, h=TS * 2)
+    bands = [_tiles(spark, spec, seed=i) for i in range(3)]
+    p = str(tmp_path / "rgb.tif")
+    GT.write_geotiff_bands(bands, spec, p, dtype="uint8")
+    _, tags = GT._parse_ifd(p)
+    assert tags[GT._TAG_SPP] == [3] and tags[GT._TAG_PLANAR] == [2]
+    assert tags[GT._TAG_PHOTO] == [2]  # RGB
+    assert len(tags[GT._TAG_TOFF]) == 12  # 4 tiles x 3 planes
+    spec2, dfs = GT.read_geotiff_bands(spark, p)
+    assert spec2 == spec and len(dfs) == 3
+    for b in range(3):
+        want, got = _collect(bands[b]), _collect(dfs[b])
+        for k in want:
+            np.testing.assert_array_equal(want[k] % 256, got[k])
+    with pytest.raises(ValueError, match="band"):
+        GT.read_geotiff(spark, p, band=3)
+
+
 def test_scope_fences(spark, tmp_path):
     spec = _spec(w=TS, h=TS)
     tiles = _tiles(spark, spec)
