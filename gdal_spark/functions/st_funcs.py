@@ -191,6 +191,25 @@ def st_simplify(g: pd.Series, tol: pd.Series) -> pd.Series:
                       for b, t in zip(g, tol)])
 
 
+def st_transform_fn(src_crs: str, dst_crs: str):
+    """Factory for an ST_Transform UDF pinned to a CRS pair
+    (OGRGeometry::transform / ogr2ogr -s_srs/-t_srs; Transform3 in the
+    SQLite dialect, ogrsqlitesqlfunctions.cpp:1153). Works on any WKB
+    geometry through all registered CRS families (geo/crs.py)."""
+    from ..geo import crs as _crs
+
+    def fn(xs, ys):
+        return _crs.transform_np(src_crs, dst_crs, xs, ys)
+
+    @pandas_udf(T.BinaryType())
+    def st_transform(g: pd.Series) -> pd.Series:
+        return pd.Series([
+            wkb.map_coords(bytes(b), fn) if b is not None else None
+            for b in g])
+
+    return st_transform
+
+
 def _simplify_polygon_topo(rings, tol: float):
     """Per-polygon topology-preserving simplify: every ring keeps
     simplicity (geom.simplify_preserve_topology), and the tolerance

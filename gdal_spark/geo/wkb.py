@@ -129,6 +129,41 @@ def _decode(r: _Reader):
     raise ValueError(f"unsupported WKB type {t}")
 
 
+def map_coords(buf: bytes, fn) -> bytes:
+    """Apply fn(xs, ys) -> (xs', ys') to every coordinate of the
+    geometry and re-encode (the transform hook OGRGeometry::transform
+    drives through OGRCoordinateTransformation)."""
+    t, payload = decode(buf)
+    if t == POINT:
+        xs, ys = fn(np.array([payload[0]]), np.array([payload[1]]))
+        return point(float(xs[0]), float(ys[0]))
+
+    def ring(c):
+        c = np.asarray(c, np.float64)
+        xs, ys = fn(c[:, 0], c[:, 1])
+        return np.column_stack([xs, ys])
+
+    if t == LINESTRING:
+        return linestring(ring(payload))
+    if t == MULTIPOINT:
+        return multipoint(ring(np.asarray(payload, np.float64)
+                               .reshape(-1, 2)))
+    if t == MULTILINESTRING:
+        return multilinestring([ring(l) for l in payload])
+    if t == POLYGON:
+        return polygon([ring(r) for r in payload])
+    if t == MULTIPOLYGON:
+        return multipolygon([[ring(r) for r in p] for p in payload])
+    if t == GEOMETRYCOLLECTION:
+        enc = {POINT: lambda p: point(*p), LINESTRING: linestring,
+               POLYGON: polygon, MULTIPOINT: multipoint,
+               MULTILINESTRING: multilinestring,
+               MULTIPOLYGON: multipolygon}
+        return collection([map_coords(enc[kt](kp), fn)
+                           for kt, kp in payload])
+    raise ValueError(f"map_coords unsupported for type {t}")
+
+
 def geometry_type_name(buf: bytes) -> str:
     """ST_GeometryType analog (returns OGC name)."""
     _, t = _Reader(bytes(buf)).header()

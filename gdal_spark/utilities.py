@@ -1,0 +1,135 @@
+"""The classic GDAL/OGR command-line utilities as file-to-file
+compositions of the distributed operators.
+
+Reference surfaces: apps/ogr2ogr_lib.cpp (-where/-select/-limit/
+-s_srs/-t_srs), apps/gdal_rasterize_lib.cpp (-burn/-a/-add/-at),
+alg/polygonizer (gdal_polygonize), apps/gdal_contour_bin.cpp
+(-fl/-i), apps/gdaldem_lib.cpp (slope/aspect/hillshade/TRI/TPI/
+roughness). Like raster/translate.py (gdalwarp, gdal_translate,
+gdaladdo), each CLI option maps onto an existing distributed operator
+— these functions only open, compose, and write, so the physical plan
+is the operators' plans.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .raster import contour as RC
+from .raster import focal as RF
+from .raster import geotiff as GT
+from .raster import grid as G
+from .raster import polygonize as RP
+from .raster import rasterize as RR
+from .sources import registry as REG
+
+
+def ogr2ogr(spark: SparkSession, src: str, dst: str,
+            where: str | None = None, select: list[str] | None = None,
+            limit: int | None = None, s_srs: str = "EPSG:4326",
+            t_srs: str | None = None, geom_col: str = "geom",
+            sql: str | None = None, **write_kw) -> DataFrame:
+    """`ogr2ogr [-where] [-select] [-limit] [-s_srs/-t_srs] [-sql]
+    src dst` (apps/ogr2ogr_lib.cpp option order). WKB carries no CRS,
+    so -t_srs needs the source CRS via s_srs (default the reference's
+    common case, EPSG:4326). Returns the written DataFrame."""
+    df = REG.open_vector(spark, src)
+    if sql is not None:
+        df.createOrReplaceTempView("src_layer")
+        df = spark.sql(sql)
+    if where is not None:
+        df = df.filter(where)
+    if select is not None:
+        keep = list(select) + ([geom_col] if geom_col in df.columns
+                               and geom_col not in select else [])
+        df = df.select(*keep)
+    if limit is not None:
+        df = df.limit(int(limit))
+    if t_srs is not None and t_srs != s_srs:
+        from .functions.st_funcs import st_transform_fn
+        tr = st_transform_fn(s_srs, t_srs)
+        df = df.withColumn(geom_col, tr(F.col(geom_col)))
+    REG.write_vector(df, dst, **write_kw)
+    return df
+
+
+def gdal_rasterize(spark: SparkSession, src: str, dst: str,
+                   spec: G.GridSpec, burn: float | None = None,
+                   attribute: str | None = None, add: bool = False,
+                   all_touched: bool = False, geom_col: str = "geom",
+                   dtype: str = "float64", nodata: float | None = None
+                   ) -> G.GridSpec:
+    """`gdal_rasterize [-burn v | -a field] [-add] [-at] src dst`
+    (apps/gdal_rasterize_lib.cpp). The output grid is the caller's
+    GridSpec (-te/-tr/-ts equivalent)."""
+    if (burn is None) == (attribute is None):
+        raise ValueError("pass exactly one of burn= / attribute=")
+    df = REG.open_vector(spark, src)
+    burn_col = F.col(attribute).cast("double") if attribute is not None \
+        else F.lit(float(burn))
+    feats = (df.withColumn("fid", F.monotonically_increasing_id())
+             if "fid" not in df.columns else df)
+    feats = feats.select(F.col("fid").cast("long").alias("fid"),
+                         burn_col.alias("burn"),
+                         F.col(geom_col).alias("geom"))
+    tiles = RR.rasterize(feats, spec, merge="add" if add else "replace",
+                         all_touched=all_touched)
+    GT.write_geotiff(tiles, spec, dst, dtype=dtype, nodata=nodata)
+    return spec
+
+
+def gdal_polygonize(spark: SparkSession, src: str, dst: str,
+                    connect8: bool = False) -> DataFrame:
+    """`gdal_polygonize src dst` — raster components to vector
+    features with traced ring geometry (value + pixel count kept as
+    attributes, like the utility's DN field)."""
+    spec, tiles = GT.read_geotiff(spark, src)
+    polys = RP.polygonize_geoms(tiles, spec)
+    out = polys.select(
+        F.col("value").alias("DN"), F.col("n_px"), F.col("geom"))
+    REG.write_vector(out, dst)
+    return out
+
+
+def gdal_contour(spark: SparkSession, src: str, dst: str,
+                 levels: list[float] | None = None,
+                 interval: float | None = None) -> DataFrame:
+    """`gdal_contour [-fl levels | -i interval] src dst`
+    (apps/gdal_contour_bin.cpp). Interval mode derives the fixed
+    levels from the raster's min/max, like ContourGenerate."""
+    spec, tiles = GT.read_geotiff(spark, src)
+    if levels is None:
+        if interval is None:
+            raise ValueError("pass levels= or interval=")
+        mm = tiles.select(
+            F.min(F.array_min("px")).alias("lo"),
+            F.max(F.array_max("px")).alias("hi")).collect()[0]
+        lo = np.ceil(mm.lo / interval) * interval
+        levels = list(np.arange(lo, mm.hi, interval))
+        if not levels:
+            raise ValueError(
+                f"interval {interval} yields no levels in "
+                f"[{mm.lo}, {mm.hi}]")
+    lines = RC.contour_polylines(tiles, spec, [float(l) for l in levels])
+    out = lines.select(F.col("level").alias("ELEV"), "n_points",
+                       "closed", "length", "geom")
+    REG.write_vector(out, dst)
+    return out
+
+
+_DEM_MODES = ("slope", "aspect", "hillshade", "tri", "tpi", "roughness")
+
+
+def gdaldem(spark: SparkSession, mode: str, src: str, dst: str,
+            z_factor: float = 1.0, dtype: str = "float64",
+            nodata: float | None = None) -> G.GridSpec:
+    """`gdaldem <mode> src dst [-z]` (apps/gdaldem_lib.cpp) over the
+    halo-exchange focal operator."""
+    if mode not in _DEM_MODES:
+        raise ValueError(f"mode {mode!r}: want one of {_DEM_MODES}")
+    spec, tiles = GT.read_geotiff(spark, src)
+    out = RF.focal(tiles, spec, mode, z_factor=z_factor)
+    GT.write_geotiff(out, spec, dst, dtype=dtype, nodata=nodata)
+    return spec

@@ -1,0 +1,140 @@
+"""Classic GDAL/OGR utilities as file-to-file compositions
+(gdal_spark/utilities.py) + st_transform."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark import utilities as U
+from gdal_spark.geo import crs as CRS
+from gdal_spark.geo import geom, wkb
+from gdal_spark.raster import geotiff as GT
+from gdal_spark.raster import grid as G
+from gdal_spark.sources import registry as REG
+
+TS = 16
+
+
+def test_st_transform_any_geometry(spark):
+    from gdal_spark.functions.st_funcs import st_transform_fn
+
+    sq = [np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)]
+    df = spark.createDataFrame(
+        [(1, wkb.point(10.0, 50.0)), (2, wkb.polygon(sq))],
+        "id int, geom binary")
+    tr = st_transform_fn("EPSG:4326", "EPSG:3857")
+    rows = {r.id: bytes(r.g) for r in
+            df.select("id", tr(F.col("geom")).alias("g")).collect()}
+    x, y = CRS.transform_np("EPSG:4326", "EPSG:3857",
+                            np.array([10.0]), np.array([50.0]))
+    t, (px, py) = wkb.decode(rows[1])
+    assert (px, py) == (x[0], y[0])
+    t2, rings = wkb.decode(rows[2])
+    assert t2 == wkb.POLYGON
+    # corners transform exactly like the scalar path
+    cx, cy = CRS.transform_np("EPSG:4326", "EPSG:3857",
+                              sq[0][:, 0], sq[0][:, 1])
+    np.testing.assert_array_equal(rings[0][:, 0], cx)
+    np.testing.assert_array_equal(rings[0][:, 1], cy)
+
+
+def _vec_fixture(spark, tmp_path):
+    sq = [np.array([[0.5, 0.5], [4.5, 0.5], [4.5, 4.5], [0.5, 4.5],
+                    [0.5, 0.5]], float)]
+    tri = [np.array([[6.0, 6.0], [9.0, 6.0], [7.5, 9.0], [6.0, 6.0]],
+                    float)]
+    df = spark.createDataFrame(
+        [(1, "a", 3.0, wkb.polygon(sq)), (2, "b", 7.0, wkb.polygon(tri))],
+        "fid long, name string, val double, geom binary")
+    p = str(tmp_path / "src.geojsonl")
+    REG.write_vector(df, p)
+    return p
+
+
+def test_ogr2ogr_filter_select_transform(spark, tmp_path):
+    src = _vec_fixture(spark, tmp_path)
+    dst = str(tmp_path / "out.geojsonl")
+    out = U.ogr2ogr(spark, src, dst, where="val > 5", select=["name"],
+                    t_srs="EPSG:3857")
+    assert set(out.columns) == {"name", "geom"}
+    back = REG.open_vector(spark, dst)
+    rows = back.collect()
+    assert [r.name for r in rows] == ["b"]
+    t, rings = wkb.decode(bytes(rows[0].geom))
+    # now in metres: web-mercator x of lon 6 deg
+    assert abs(rings[0][:, 0].max()) > 600_000
+
+
+def test_ogr2ogr_sql_mode(spark, tmp_path):
+    src = _vec_fixture(spark, tmp_path)
+    dst = str(tmp_path / "sql.geojsonl")
+    out = U.ogr2ogr(
+        spark, src, dst,
+        sql="SELECT name, val * 2 AS dv, geom FROM src_layer "
+            "WHERE fid = 1")
+    [r] = REG.open_vector(spark, dst).collect()
+    assert (r.name, r.dv) == ("a", 6.0)
+
+
+def test_rasterize_then_polygonize_roundtrip(spark, tmp_path):
+    src = _vec_fixture(spark, tmp_path)
+    tif = str(tmp_path / "burn.tif")
+    spec = G.GridSpec(width=TS * 2, height=TS * 2,
+                      gt=(0.0, 0.3125, 0.0, 10.0, 0.0, -0.3125),
+                      crs="EPSG:4326", tile=TS)
+    U.gdal_rasterize(spark, src, tif, spec, attribute="val")
+    spec2, tiles = GT.read_geotiff(spark, tif)
+    vals = np.concatenate([np.asarray(r.px) for r in tiles.collect()])
+    assert set(np.unique(vals)) == {0.0, 3.0, 7.0}
+
+    vec = str(tmp_path / "polys.geojsonl")
+    out = U.gdal_polygonize(spark, tif, vec)
+    back = REG.open_vector(spark, vec)
+    dn = sorted(r.DN for r in back.collect())
+    # zero is the background/mask value (the utility's default nodata
+    # skip), so only the burned components emit features
+    assert dn == [3.0, 7.0]
+    # burned areas: polygon pixel counts match the raster
+    npx = {r.DN: r.n_px for r in back.collect()}
+    assert npx[3.0] == (vals == 3.0).sum()
+    assert npx[7.0] == (vals == 7.0).sum()
+
+
+def test_contour_interval_mode(spark, tmp_path):
+    spec = G.GridSpec(width=TS * 2, height=TS,
+                      gt=(0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+                      crs="EPSG:4326", tile=TS)
+    # smooth ramp 0..31 across x
+    rows = []
+    for tx in range(2):
+        h, w = spec.tile_shape(0, tx)
+        a = np.tile(np.arange(tx * TS, tx * TS + w, dtype=float), (h, 1))
+        rows.append((0, tx, a.ravel().tolist()))
+    tiles = spark.createDataFrame(rows, G.TILE_SCHEMA)
+    tif = str(tmp_path / "ramp.tif")
+    GT.write_geotiff(tiles, spec, tif)
+    vec = str(tmp_path / "contours.geojsonl")
+    out = U.gdal_contour(spark, tif, vec, interval=8.0)
+    levels = sorted({r.ELEV for r in REG.open_vector(spark, vec)
+                     .collect()})
+    assert levels == [8.0, 16.0, 24.0]
+
+
+def test_gdaldem_slope(spark, tmp_path):
+    spec = G.GridSpec(width=TS, height=TS,
+                      gt=(0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+                      crs="EPSG:4326", tile=TS)
+    a = np.tile(np.arange(TS, dtype=float), (TS, 1))  # constant dz/dx=1
+    tiles = spark.createDataFrame([(0, 0, a.ravel().tolist())],
+                                  G.TILE_SCHEMA)
+    tif = str(tmp_path / "dem.tif")
+    GT.write_geotiff(tiles, spec, tif)
+    out_tif = str(tmp_path / "slope.tif")
+    U.gdaldem(spark, "slope", tif, out_tif)
+    _, back = GT.read_geotiff(spark, out_tif)
+    arr = np.vstack([np.asarray(r.px).reshape(TS, TS)
+                     for r in back.collect()])
+    # interior slope of a unit ramp = 45 degrees
+    assert np.allclose(arr[4:-4, 4:-4], 45.0)
+    with pytest.raises(ValueError, match="mode"):
+        U.gdaldem(spark, "bogus", tif, out_tif)
