@@ -119,6 +119,70 @@ def gdal_contour(spark: SparkSession, src: str, dst: str,
     return out
 
 
+def gdalinfo(spark: SparkSession, src: str,
+             stats: bool = False) -> dict:
+    """`gdalinfo [-stats] src` — dataset report as a dict
+    (apps/gdalinfo_lib.cpp fields: size, CRS, geotransform, corner
+    coords, band count, overview count; -stats adds distributed
+    min/max/mean/std over the tile relation)."""
+    spec, tiles = GT.read_geotiff(spark, src)
+    _, all_tags = GT._parse_ifds(src)
+    n_bands = all_tags[0].get(GT._TAG_SPP, [1])[0]
+    ul = (spec.gt[0], spec.gt[3])
+    lr = (spec.gt[0] + spec.width * spec.gt[1],
+          spec.gt[3] + spec.height * spec.gt[5])
+    out = {"size": (spec.width, spec.height), "crs": spec.crs,
+           "geotransform": spec.gt, "bands": n_bands,
+           "overviews": len(all_tags) - 1, "tile": spec.tile,
+           "corner_ul": ul, "corner_lr": lr}
+    if stats:
+        r = tiles.select(
+            F.explode("px").alias("v")).agg(
+            F.min("v").alias("mn"), F.max("v").alias("mx"),
+            F.avg("v").alias("mean"),
+            F.stddev_pop("v").alias("std")).collect()[0]
+        out["stats"] = {"min": r.mn, "max": r.mx, "mean": r.mean,
+                        "std": r.std}
+    return out
+
+
+def gdal_merge(spark: SparkSession, srcs: list[str], dst: str,
+               method: str = "first", dtype: str = "float64",
+               nodata: float | None = None) -> G.GridSpec:
+    """`gdal_merge.py` analog: mosaic same-grid rasters (first source
+    wins by default, like the utility's paint order; sum/max/min/mean
+    via the mosaic operator). All inputs must share the grid —
+    reproject with gdalwarp first otherwise."""
+    specs_tiles = [GT.read_geotiff(spark, s) for s in srcs]
+    spec0 = specs_tiles[0][0]
+    for s, _ in specs_tiles[1:]:
+        if s != spec0:
+            raise ValueError(
+                "gdal_merge inputs must share one grid — run gdalwarp "
+                f"first ({s} != {spec0})")
+    from .raster import calc as RCALC
+    merged = RCALC.mosaic([t for _, t in specs_tiles], method=method)
+    GT.write_geotiff(merged, spec0, dst, dtype=dtype, nodata=nodata)
+    return spec0
+
+
+def gdallocationinfo(spark: SparkSession, src: str,
+                     points: list[tuple[float, float]],
+                     kernel: str = "near") -> list[float]:
+    """`gdallocationinfo -geoloc src x y ...` — sample the raster at
+    world coordinates (apps/gdallocationinfo.cpp over the
+    interpolate-at-point operator)."""
+    from .raster import calc as RCALC
+    spec, tiles = GT.read_geotiff(spark, src)
+    pts = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(points)],
+        "pt_id long, x double, y double")
+    got = {r.pt_id: r.value
+           for r in RCALC.interpolate_at_points(
+               tiles, spec, pts, kernel=kernel).collect()}
+    return [got.get(i) for i in range(len(points))]
+
+
 _DEM_MODES = ("slope", "aspect", "hillshade", "tri", "tpi", "roughness")
 
 

@@ -120,6 +120,44 @@ def test_contour_interval_mode(spark, tmp_path):
     assert levels == [8.0, 16.0, 24.0]
 
 
+def test_gdalinfo_merge_locationinfo(spark, tmp_path):
+    spec = G.GridSpec(width=TS * 2, height=TS,
+                      gt=(0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+                      crs="EPSG:4326", tile=TS)
+    a = str(tmp_path / "a.tif")
+    b = str(tmp_path / "b.tif")
+    t1 = spark.createDataFrame([(0, 0, [5.0] * (TS * TS))], G.TILE_SCHEMA)
+    t2 = spark.createDataFrame([(0, 0, [9.0] * (TS * TS)),
+                                (0, 1, [2.0] * (TS * TS))], G.TILE_SCHEMA)
+    GT.write_geotiff(t1, spec, a)
+    GT.write_geotiff(t2, spec, b)
+
+    info = U.gdalinfo(spark, a, stats=True)
+    assert info["size"] == (32, 16) and info["crs"] == "EPSG:4326"
+    assert info["bands"] == 1 and info["overviews"] == 0
+    assert info["corner_lr"] == (32.0, -16.0)
+    assert info["stats"]["max"] == 5.0  # right tile is implicit fill 0
+
+    m = str(tmp_path / "m.tif")
+    U.gdal_merge(spark, [a, b], m, method="max")
+    _, tiles = GT.read_geotiff(spark, m)
+    got = {(r.tile_y, r.tile_x): np.asarray(r.px).max()
+           for r in tiles.collect()}
+    assert got[(0, 0)] == 9.0 and got[(0, 1)] == 2.0
+
+    # sample pixel centers: (0.5,-0.5) in tile (0,0), (20.5,-0.5) in (0,1)
+    vals = U.gdallocationinfo(spark, m, [(0.5, -0.5), (20.5, -0.5)])
+    assert vals == [9.0, 2.0]
+
+    with pytest.raises(ValueError, match="share one grid"):
+        other = G.GridSpec(width=TS, height=TS,
+                           gt=(0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+                           crs="EPSG:4326", tile=TS)
+        c = str(tmp_path / "c.tif")
+        GT.write_geotiff(t1, other, c)
+        U.gdal_merge(spark, [a, c], str(tmp_path / "x.tif"))
+
+
 def test_gdaldem_slope(spark, tmp_path):
     spec = G.GridSpec(width=TS, height=TS,
                       gt=(0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
