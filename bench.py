@@ -112,7 +112,7 @@ def main():
                   "tpch_q5_local_supplier", "geo_pip_join_broadcast",
                   "geo_pip_join_shuffle", "geo_knn_ring",
                   "dedup_minhash_pairs", "dedup_clusters",
-                  "text_stats_by_lang",
+                  "format_roundtrip_geojsonl",
                   "raster_density_pyramid_checksum",
                   "raster_warp_kernels_checksum", "geo_overlay_ops",
                   "raster_grid_nearest", "geo_dissolve_union",

@@ -583,31 +583,44 @@ def dedup_clusters_q(spark, sf_dir):
 
 
 @register(
-    "text_stats_by_lang",
+    "format_roundtrip_geojsonl",
     oracle="""
     SELECT lang, count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-           CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
-           CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)
-             AS ws_tokens
+           min(text) AS min_text, max(text) AS max_text
     FROM documents GROUP BY lang ORDER BY lang
     """,
 )
-def text_stats(spark, sf_dir):
-    """Text analysis aggregates: doc counts, char sums, whitespace
-    token counts — all JVM string functions, no UDF."""
-    d = _t(spark, sf_dir, "documents")
-    tok = F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + F.lit(1)
-    return (
-        d.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("sum_chars"),
-            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
-            F.sum(tok).alias("ws_tokens"),
-        )
-        .orderBy("lang")
-    )
+def format_roundtrip_geojsonl(spark, sf_dir):
+    """Hard-gates the round-3 format-driver stack end-to-end: the
+    documents table (plus a derived point geometry) writes through the
+    distributed GeoJSONSeq sink (sources/geojson.py — the reference's
+    line-delimited driver, ogrgeojsonseqdriver.cpp), reads back
+    through the splittable source, and aggregates; the oracle computes
+    the same aggregate straight from the parquet table, so any
+    row/field lost or altered by the JSON encode/decode or the
+    WKT-free geometry path breaks the value hash. The former
+    text_stats_by_lang aggregate lives on inside text_metrics
+    (part='stats')."""
+    import tempfile
+
+    from .functions.st_funcs import st_makepoint
+    from .sources import geojson as GJ
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", "text")
+    pts = d.withColumn("geom", st_makepoint(
+        (F.col("doc_id") % 360 - 180).cast("double"),
+        (F.col("doc_id") % 170 - 85).cast("double")))
+    out = tempfile.mkdtemp(prefix="gjseq_gate_") + "/docs"
+    GJ.write_geojson_seq(pts, out)
+    back = GJ.read_geojson_seq(spark, out)
+    return (back.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 F.min("text").alias("min_text"),
+                 F.max("text").alias("max_text"))
+            .orderBy("lang"))
 
 
 @register(

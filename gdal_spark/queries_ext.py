@@ -1147,6 +1147,12 @@ def _langid_oracle_core() -> str:
              fingerprint AS s, n_shingles AS m1,
              CAST(0 AS BIGINT) AS m2, CAST(0 AS BIGINT) AS m3
       FROM ({_FP_ORACLE})
+      UNION ALL
+      SELECT 'stats' AS part, lang AS key, CAST(NULL AS VARCHAR) AS s,
+             count(*) AS m1, CAST(sum(n_chars) AS BIGINT) AS m2,
+             CAST(sum(length(text) - length(replace(text, ' ', '')) + 1)
+                  AS BIGINT) AS m3
+      FROM documents GROUP BY lang
     ) ORDER BY part, key
     """,
 )
@@ -1156,7 +1162,11 @@ def text_metrics_q(spark, sf_dir):
     part='langid'   stopword-scored language-ID confusion matrix;
     part='quality'  token-length / filler-ratio quality buckets;
     part='fp'       winnowing-style 8-gram fingerprint + shingle
-                    cardinality per document.
+                    cardinality per document;
+    part='stats'    per-language doc counts, char sums, whitespace
+                    token counts (absorbed from the former
+                    text_stats_by_lang gate — its slot now hard-gates
+                    the GeoJSONSeq round-trip).
     All JVM string expressions, no Python UDFs."""
     zero = F.lit(0).cast("long")
     lid = langid_stopwords(spark, sf_dir).select(
@@ -1174,7 +1184,20 @@ def text_metrics_q(spark, sf_dir):
         F.col("doc_id").cast("string").alias("key"),
         F.col("fingerprint").alias("s"), F.col("n_shingles").alias("m1"),
         zero.alias("m2"), zero.alias("m3"))
-    return lid.unionByName(qb).unionByName(fp).orderBy("part", "key")
+    d = _t(spark, sf_dir, "documents")
+    tok = (F.length("text")
+           - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+           + F.lit(1))
+    st = (d.groupBy("lang")
+          .agg(F.count(F.lit(1)).alias("m1"),
+               F.sum("n_chars").alias("m2"),
+               F.sum(tok).alias("m3"))
+          .select(F.lit("stats").alias("part"),
+                  F.col("lang").alias("key"),
+                  F.lit(None).cast("string").alias("s"),
+                  "m1", "m2", "m3"))
+    return (lid.unionByName(qb).unionByName(fp).unionByName(st)
+            .orderBy("part", "key"))
 
 
 @register(

@@ -1,0 +1,143 @@
+"""`gdal raster pipeline` analog: fluent chain over (GridSpec, tiles).
+
+Reference: apps/gdalalg_raster_pipeline.cpp:174-241 registers the step
+algorithms (read ! clip ! resize ! reproject ! calc ! color-map !
+slope/aspect/... ! sieve ! fill-nodata ! contour ! polygonize !
+write); each step here maps 1:1 onto an existing distributed operator,
+so chaining adds no new execution machinery — the pipeline object just
+threads (spec, tiles) through them, mirroring plans/pipeline.py on the
+vector side.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import calc as C
+from . import focal as RF
+from . import geotiff as GT
+from . import grid as G
+from . import warp as W
+
+RSTEPS: dict[str, Callable] = {}
+
+
+def rstep(name: str):
+    def deco(fn):
+        RSTEPS[name] = fn
+        return fn
+    return deco
+
+
+class RasterPipeline:
+    """Threaded (spec, tiles) state; every step returns a new pipeline."""
+
+    def __init__(self, spark: SparkSession, spec: G.GridSpec,
+                 tiles: DataFrame):
+        self.spark = spark
+        self.spec = spec
+        self.tiles = tiles
+
+    @classmethod
+    def read(cls, spark: SparkSession, path: str,
+             **kw) -> "RasterPipeline":
+        spec, tiles = GT.read_geotiff(spark, path, **kw)
+        return cls(spark, spec, tiles)
+
+    @classmethod
+    def of(cls, spark: SparkSession, spec: G.GridSpec,
+           tiles: DataFrame) -> "RasterPipeline":
+        return cls(spark, spec, tiles)
+
+    def step(self, name: str, **kw) -> "RasterPipeline":
+        if name not in RSTEPS:
+            raise ValueError(f"unknown raster step {name!r}; "
+                             f"have {sorted(RSTEPS)}")
+        tiles, spec = RSTEPS[name](self.tiles, self.spec, **kw)
+        return RasterPipeline(self.spark, spec, tiles)
+
+    def write(self, path: str, **kw) -> "RasterPipeline":
+        GT.write_geotiff(self.tiles, self.spec, path, **kw)
+        return self
+
+    def df(self) -> DataFrame:
+        return self.tiles
+
+
+@rstep("clip")
+def _clip(tiles, spec, x0: int, y0: int, w: int, h: int):
+    return C.crop(tiles, spec, x0, y0, w, h)
+
+
+@rstep("resize")
+def _resize(tiles, spec, w: int, h: int, kernel: str = "bilinear"):
+    return C.resize(tiles, spec, w, h, kernel=kernel)
+
+
+@rstep("reproject")
+def _reproject(tiles, spec, dst_crs: str, kernel: str = "near",
+               tile: int = 256, dst_spec: G.GridSpec | None = None):
+    dst = dst_spec or W.suggested_warp_output(spec, dst_crs, tile=tile)
+    return W.warp(tiles, spec, dst, kernel=kernel), dst
+
+
+@rstep("calc")
+def _calc(tiles, spec, fn):
+    return C.calc(tiles, fn), spec
+
+
+@rstep("scale")
+def _scale(tiles, spec, src_min: float, src_max: float,
+           dst_min: float = 0.0, dst_max: float = 1.0):
+    a = (dst_max - dst_min) / (src_max - src_min)
+    return C.calc(tiles, lambda v: (v - F.lit(float(src_min))) * F.lit(a)
+                  + F.lit(float(dst_min))), spec
+
+
+@rstep("reclassify")
+def _reclassify(tiles, spec, bounds, values):
+    return C.reclassify(tiles, bounds, values), spec
+
+
+@rstep("color-map")
+def _color_map(tiles, spec, ramp, channel: str = "r",
+               nearest: bool = False):
+    rgb = C.color_relief(tiles, ramp, nearest=nearest)
+    return (rgb.select("tile_y", "tile_x",
+                       F.col(channel).alias("px")), spec)
+
+
+@rstep("slope")
+def _slope(tiles, spec, z_factor: float = 1.0):
+    return RF.focal(tiles, spec, "slope", z_factor=z_factor), spec
+
+
+@rstep("aspect")
+def _aspect(tiles, spec):
+    return RF.focal(tiles, spec, "aspect"), spec
+
+
+@rstep("hillshade")
+def _hillshade(tiles, spec, z_factor: float = 1.0):
+    return RF.focal(tiles, spec, "hillshade", z_factor=z_factor), spec
+
+
+@rstep("sieve")
+def _sieve(tiles, spec, threshold: int, connect8: bool = False):
+    from . import sieve as SV
+    return SV.sieve(tiles, spec, threshold, connect8=connect8), spec
+
+
+@rstep("fill-nodata")
+def _fillnodata(tiles, spec, nodata: float = 0.0, iterations: int = 3):
+    return RF.fillnodata(tiles, spec, nodata=nodata,
+                         iterations=iterations), spec
+
+
+@rstep("overview")
+def _overview(tiles, spec, kernel: str = "average",
+              nodata: float | None = None):
+    return GT.overview_once(tiles, spec, kernel=kernel, nodata=nodata)

@@ -1,0 +1,60 @@
+"""`gdal raster pipeline` fluent chain (raster/rpipeline.py;
+apps/gdalalg_raster_pipeline.cpp:174-241 step registry analog)."""
+
+import numpy as np
+import pytest
+
+from gdal_spark.raster import geotiff as GT
+from gdal_spark.raster import grid as G
+from gdal_spark.raster.rpipeline import RSTEPS, RasterPipeline
+
+TS = 16
+
+
+def _src(spark, tmp_path):
+    spec = G.GridSpec(width=TS * 2, height=TS * 2,
+                      gt=(0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+                      crs="EPSG:4326", tile=TS)
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            base = float(10 * (2 * ty + tx) + 1)
+            rows.append((ty, tx, [base] * (TS * TS)))
+    tiles = spark.createDataFrame(rows, G.TILE_SCHEMA)
+    p = str(tmp_path / "src.tif")
+    GT.write_geotiff(tiles, spec, p)
+    return p, spec
+
+
+def test_chain_read_clip_resize_scale_write(spark, tmp_path):
+    p, spec = _src(spark, tmp_path)
+    out = str(tmp_path / "out.tif")
+    pipe = (RasterPipeline.read(spark, p)
+            .step("clip", x0=0, y0=0, w=TS * 2, h=TS)
+            .step("resize", w=TS, h=TS // 2, kernel="near")
+            .step("scale", src_min=0.0, src_max=100.0)
+            .write(out))
+    spec2, tiles2 = GT.read_geotiff(spark, out)
+    assert (spec2.width, spec2.height) == (TS, TS // 2)
+    vals = np.unique(np.concatenate(
+        [np.asarray(r.px) for r in tiles2.collect()]))
+    # top row values 1 and 11 scaled /100
+    np.testing.assert_allclose(sorted(vals), [0.01, 0.11])
+
+
+def test_chain_reproject_and_overview(spark, tmp_path):
+    p, spec = _src(spark, tmp_path)
+    pipe = (RasterPipeline.read(spark, p)
+            .step("reproject", dst_crs="EPSG:3857", tile=TS))
+    assert pipe.spec.crs == "EPSG:3857"
+    ov = pipe.step("overview", kernel="near")
+    assert ov.spec.width == -(-pipe.spec.width // 2)
+
+    with pytest.raises(ValueError, match="unknown raster step"):
+        pipe.step("bogus")
+
+
+def test_step_registry_contents():
+    assert {"clip", "resize", "reproject", "calc", "scale",
+            "reclassify", "color-map", "slope", "aspect", "hillshade",
+            "sieve", "fill-nodata", "overview"} <= set(RSTEPS)
