@@ -141,3 +141,79 @@ def _fillnodata(tiles, spec, nodata: float = 0.0, iterations: int = 3):
 def _overview(tiles, spec, kernel: str = "average",
               nodata: float | None = None):
     return GT.overview_once(tiles, spec, kernel=kernel, nodata=nodata)
+
+
+# ----------------------------------------------------- terminal helpers
+
+
+def as_features(tiles: DataFrame, spec: G.GridSpec,
+                geometry: str = "polygon",
+                skip_value: float | None = 0.0) -> DataFrame:
+    """`gdal raster as-features` (apps/gdalalg_raster_as_features.cpp):
+    one vector feature per pixel — (px_x, px_y, value, geom), geometry
+    the pixel footprint polygon or its center point. Row explosion is
+    the operator's nature; skip_value drops background pixels first
+    (the tool's default nodata skip), and the explosion runs
+    distributed per tile."""
+    import pandas as pd
+
+    from ..geo import wkb as _wkb
+
+    if geometry not in ("polygon", "point"):
+        raise ValueError("geometry: want 'polygon' or 'point'")
+
+    def gen(batches):
+        import numpy as np
+        for pdf in batches:
+            out = {"px_x": [], "px_y": [], "value": [], "geom": []}
+            for _, r in pdf.iterrows():
+                ty, tx = int(r.tile_y), int(r.tile_x)
+                h, w = spec.tile_shape(ty, tx)
+                a = np.asarray(r.px, np.float64).reshape(h, w)
+                ys, xs = np.nonzero(a != skip_value) \
+                    if skip_value is not None else \
+                    np.indices((h, w)).reshape(2, -1)
+                gx = xs + tx * spec.tile
+                gy = ys + ty * spec.tile
+                for x, y, v in zip(gx, gy, a[ys, xs]):
+                    x0 = spec.gt[0] + x * spec.gt[1]
+                    y0 = spec.gt[3] + y * spec.gt[5]
+                    x1, y1 = x0 + spec.gt[1], y0 + spec.gt[5]
+                    if geometry == "point":
+                        g = _wkb.point((x0 + x1) / 2, (y0 + y1) / 2)
+                    else:
+                        g = _wkb.polygon([[(x0, y0), (x1, y0), (x1, y1),
+                                           (x0, y1), (x0, y0)]])
+                    out["px_x"].append(int(x))
+                    out["px_y"].append(int(y))
+                    out["value"].append(float(v))
+                    out["geom"].append(g)
+            yield pd.DataFrame(out)
+
+    return tiles.mapInPandas(
+        gen, schema="px_x long, px_y long, value double, geom binary")
+
+
+def compare(a: DataFrame, b: DataFrame) -> dict:
+    """`gdal raster compare` (apps/gdalalg_raster_compare.cpp): pixel
+    diff statistics of two same-grid tile relations — entirely
+    JVM-side (zip_with + aggregate, no Python stage)."""
+    j = (a.select("tile_y", "tile_x", F.col("px").alias("pa"))
+         .join(b.select("tile_y", "tile_x", F.col("px").alias("pb")),
+               ["tile_y", "tile_x"], "full"))
+    diff = F.zip_with("pa", "pb",
+                      lambda x, y: F.abs(F.coalesce(x, F.lit(0.0))
+                                         - F.coalesce(y, F.lit(0.0))))
+    absd = lambda c: F.transform(c, lambda v: F.abs(v))
+    r = (j.select(F.explode(
+            F.when(F.col("pa").isNull(), absd(F.col("pb")))
+            .when(F.col("pb").isNull(), absd(F.col("pa")))
+            .otherwise(diff)).alias("d"))
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum((F.col("d") != 0).cast("long")).alias("n_diff"),
+              F.max("d").alias("max_abs"),
+              F.avg("d").alias("mean_abs")).collect()[0])
+    return {"n_px": r.n, "n_diff": r.n_diff,
+            "max_abs": float(r.max_abs or 0.0),
+            "mean_abs": float(r.mean_abs or 0.0),
+            "identical": r.n_diff == 0}

@@ -54,6 +54,41 @@ def test_chain_reproject_and_overview(spark, tmp_path):
         pipe.step("bogus")
 
 
+def test_as_features_and_compare(spark, tmp_path):
+    from gdal_spark.geo import wkb
+    from gdal_spark.raster.rpipeline import as_features, compare
+
+    spec = G.GridSpec(width=TS, height=TS,
+                      gt=(100.0, 2.0, 0.0, 50.0, 0.0, -2.0),
+                      crs="EPSG:4326", tile=TS)
+    a = np.zeros((TS, TS))
+    a[3, 5] = 7.0
+    a[10, 2] = 9.0
+    ta = spark.createDataFrame([(0, 0, a.ravel().tolist())],
+                               G.TILE_SCHEMA)
+    feats = as_features(ta, spec).collect()
+    assert len(feats) == 2  # background skipped
+    by_val = {r.value: r for r in feats}
+    assert (by_val[7.0].px_x, by_val[7.0].px_y) == (5, 3)
+    t, rings = wkb.decode(bytes(by_val[7.0].geom))
+    assert t == wkb.POLYGON
+    # pixel footprint corners in world coords
+    assert rings[0][0].tolist() == [100.0 + 5 * 2.0, 50.0 - 3 * 2.0]
+    pts = as_features(ta, spec, geometry="point").collect()
+    tp, (cx, cy) = wkb.decode(bytes(
+        {r.value: r for r in pts}[9.0].geom))
+    assert tp == wkb.POINT and (cx, cy) == (100 + 2.5 * 2, 50 - 10.5 * 2)
+
+    b = a.copy()
+    b[0, 0] = 1.0
+    tb = spark.createDataFrame([(0, 0, b.ravel().tolist())],
+                               G.TILE_SCHEMA)
+    same = compare(ta, ta)
+    assert same["identical"] and same["n_px"] == TS * TS
+    d = compare(ta, tb)
+    assert not d["identical"] and d["n_diff"] == 1 and d["max_abs"] == 1.0
+
+
 def test_step_registry_contents():
     assert {"clip", "resize", "reproject", "calc", "scale",
             "reclassify", "color-map", "slope", "aspect", "hillshade",
