@@ -143,6 +143,50 @@ def _overview(tiles, spec, kernel: str = "average",
     return GT.overview_once(tiles, spec, kernel=kernel, nodata=nodata)
 
 
+def blend(base: DataFrame, overlay: DataFrame, mode: str = "src-over",
+          opacity: float = 100.0, vmax: float = 255.0) -> DataFrame:
+    """`gdal raster blend` (apps/gdalalg_raster_blend.cpp:46-53
+    composition modes over byte-range values, Porter-Duff / W3C
+    compositing formulas): src-over, multiply, screen, overlay,
+    darken, lighten with an overlay opacity percentage. Pure JVM —
+    one full join on the tile key + zip_with; a tile missing on one
+    side passes the other side through."""
+    a = opacity / 100.0
+
+    def combine(b, o):
+        if mode == "src-over":
+            out = o
+        elif mode == "multiply":
+            out = b * o / F.lit(vmax)
+        elif mode == "screen":
+            out = F.lit(vmax) - (F.lit(vmax) - b) * (F.lit(vmax) - o) \
+                / F.lit(vmax)
+        elif mode == "overlay":
+            out = F.when(
+                b < F.lit(vmax / 2.0), F.lit(2.0) * b * o / F.lit(vmax)
+            ).otherwise(F.lit(vmax) - F.lit(2.0) * (F.lit(vmax) - b)
+                        * (F.lit(vmax) - o) / F.lit(vmax))
+        elif mode == "darken":
+            out = F.least(b, o)
+        elif mode == "lighten":
+            out = F.greatest(b, o)
+        else:
+            raise ValueError(
+                f"mode {mode!r}: want src-over|multiply|screen|overlay"
+                "|darken|lighten")
+        return b * F.lit(1.0 - a) + out * F.lit(a)
+
+    j = (base.select("tile_y", "tile_x", F.col("px").alias("pb"))
+         .join(overlay.select("tile_y", "tile_x",
+                              F.col("px").alias("po")),
+               ["tile_y", "tile_x"], "full"))
+    return j.select(
+        "tile_y", "tile_x",
+        F.when(F.col("pb").isNull(), F.col("po"))
+        .when(F.col("po").isNull(), F.col("pb"))
+        .otherwise(F.zip_with("pb", "po", combine)).alias("px"))
+
+
 # ----------------------------------------------------- terminal helpers
 
 

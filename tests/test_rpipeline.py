@@ -89,6 +89,33 @@ def test_as_features_and_compare(spark, tmp_path):
     assert not d["identical"] and d["n_diff"] == 1 and d["max_abs"] == 1.0
 
 
+def test_blend_modes(spark):
+    from gdal_spark.raster.rpipeline import blend
+
+    base = spark.createDataFrame([(0, 0, [100.0] * 4),
+                                  (0, 1, [50.0] * 4)], G.TILE_SCHEMA)
+    over = spark.createDataFrame([(0, 0, [200.0] * 4),
+                                  (1, 0, [30.0] * 4)], G.TILE_SCHEMA)
+
+    def val(df, ty, tx):
+        return {(r.tile_y, r.tile_x): r.px[0] for r in df.collect()}[
+            (ty, tx)]
+
+    assert val(blend(base, over), 0, 0) == 200.0  # src-over full opacity
+    assert val(blend(base, over, opacity=50.0), 0, 0) == 150.0
+    assert val(blend(base, over, mode="multiply"), 0, 0) == \
+        pytest.approx(100 * 200 / 255)
+    assert val(blend(base, over, mode="darken"), 0, 0) == 100.0
+    assert val(blend(base, over, mode="lighten"), 0, 0) == 200.0
+    assert val(blend(base, over, mode="screen"), 0, 0) == \
+        pytest.approx(255 - (255 - 100) * (255 - 200) / 255)
+    # pass-through where a side is missing
+    out = blend(base, over, mode="multiply")
+    assert val(out, 0, 1) == 50.0 and val(out, 1, 0) == 30.0
+    with pytest.raises(ValueError, match="mode"):
+        blend(base, over, mode="bogus")
+
+
 def test_step_registry_contents():
     assert {"clip", "resize", "reproject", "calc", "scale",
             "reclassify", "color-map", "slope", "aspect", "hillshade",
