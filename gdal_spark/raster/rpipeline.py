@@ -143,6 +143,59 @@ def _overview(tiles, spec, kernel: str = "average",
     return GT.overview_once(tiles, spec, kernel=kernel, nodata=nodata)
 
 
+@rstep("unscale")
+def _unscale(tiles, spec, scale: float = 1.0, offset: float = 0.0):
+    """`gdal raster unscale`: apply the band scale/offset
+    (v * scale + offset), the inverse of a -scale write."""
+    return C.calc(tiles, lambda v: v * F.lit(float(scale))
+                  + F.lit(float(offset))), spec
+
+
+@rstep("nodata-edit")
+def _nodata_edit(tiles, spec, src: float, dst: float):
+    """`gdal raster nodata-edit`-style value replacement."""
+    return C.calc(tiles, lambda v: F.when(v == F.lit(float(src)),
+                                          F.lit(float(dst)))
+                  .otherwise(v)), spec
+
+
+def create(spark: SparkSession, spec: G.GridSpec,
+           value: float = 0.0) -> "RasterPipeline":
+    """`gdal raster create`: constant raster — tiles generated
+    DISTRIBUTED from a range over tile ids (no driver materialization;
+    apps/gdalalg_raster_create.cpp)."""
+    ntx = spec.tiles_x
+    ids = spark.range(ntx * spec.tiles_y)
+    full = spec.tile * spec.tile
+
+    @F.pandas_udf("array<double>")
+    def fill(ty, tx):
+        import pandas as pd
+        out = []
+        for y, x in zip(ty, tx):
+            h, w = spec.tile_shape(int(y), int(x))
+            out.append([float(value)] * (h * w))
+        return pd.Series(out)
+
+    tiles = (ids.select(
+        (F.col("id") / ntx).cast("int").alias("tile_y"),
+        (F.col("id") % ntx).cast("int").alias("tile_x"))
+        .withColumn("px", fill("tile_y", "tile_x")))
+    return RasterPipeline(spark, spec, tiles)
+
+
+def stack(pipelines: list["RasterPipeline"], path: str,
+          **kw) -> None:
+    """`gdal raster stack`: same-grid single-band inputs -> one
+    multi-band GeoTIFF (separate planes)."""
+    spec0 = pipelines[0].spec
+    for p in pipelines[1:]:
+        if p.spec != spec0:
+            raise ValueError("stack inputs must share one grid")
+    GT.write_geotiff_bands([p.tiles for p in pipelines], spec0, path,
+                           **kw)
+
+
 def blend(base: DataFrame, overlay: DataFrame, mode: str = "src-over",
           opacity: float = 100.0, vmax: float = 255.0) -> DataFrame:
     """`gdal raster blend` (apps/gdalalg_raster_blend.cpp:46-53

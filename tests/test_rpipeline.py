@@ -116,6 +116,34 @@ def test_blend_modes(spark):
         blend(base, over, mode="bogus")
 
 
+def test_create_unscale_nodata_stack(spark, tmp_path):
+    from gdal_spark.raster.rpipeline import create, stack
+
+    spec = G.GridSpec(width=40, height=35,
+                      gt=(0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+                      crs="EPSG:4326", tile=TS)
+    p = create(spark, spec, value=3.0)
+    assert p.tiles.count() == spec.tiles_x * spec.tiles_y
+    # edge tiles carry their true (smaller) pixel counts
+    sizes = {(r.tile_y, r.tile_x): len(r.px) for r in p.tiles.collect()}
+    assert sizes[(0, 0)] == TS * TS
+    assert sizes[(2, 2)] == 3 * 8  # 35-32=3 rows, 40-32=8 cols
+
+    q = (p.step("unscale", scale=2.0, offset=1.0)
+          .step("nodata-edit", src=7.0, dst=-1.0))
+    vals = set()
+    for r in q.tiles.collect():
+        vals.update(r.px)
+    assert vals == {-1.0}  # 3*2+1=7 -> all replaced
+
+    out = str(tmp_path / "stacked.tif")
+    stack([p, q], out)
+    spec2, dfs = GT.read_geotiff_bands(spark, out)
+    assert len(dfs) == 2
+    assert np.asarray(dfs[0].collect()[0].px).max() == 3.0
+    assert np.asarray(dfs[1].collect()[0].px).min() == -1.0
+
+
 def test_step_registry_contents():
     assert {"clip", "resize", "reproject", "calc", "scale",
             "reclassify", "color-map", "slope", "aspect", "hillshade",
