@@ -35,12 +35,17 @@ def gdalwarp(spark: SparkSession, src_path: str, dst_path: str,
     GeoTIFF into another. The destination grid defaults to the
     GDALSuggestedWarpOutput edge-walk choice; pass dst_spec to pin it
     (gdalwarp -te/-tr/-ts). Returns the destination GridSpec."""
-    src_spec, src_tiles = GT.read_geotiff(spark, src_path)
+    src_spec, src_bands = GT.read_geotiff_bands(spark, src_path)
     dst = dst_spec or W.suggested_warp_output(src_spec, dst_crs, tile=tile)
-    out = W.warp(src_tiles, src_spec, dst, kernel=kernel, nodata=nodata)
-    GT.write_geotiff(out, dst, dst_path, dtype=dtype,
-                     compression=compression,
-                     nodata=nodata if nodata != 0.0 else None)
+    warped = [W.warp(b, src_spec, dst, kernel=kernel, nodata=nodata)
+              for b in src_bands]
+    nd = nodata if nodata != 0.0 else None
+    if len(warped) == 1:
+        GT.write_geotiff(warped[0], dst, dst_path, dtype=dtype,
+                         compression=compression, nodata=nd)
+    else:
+        GT.write_geotiff_bands(warped, dst, dst_path, dtype=dtype,
+                               compression=compression, nodata=nd)
     return dst
 
 

@@ -83,6 +83,27 @@ def test_translate_outsize_and_scale(spark, tmp_path):
     assert vals.min() >= 0.0 and vals.max() <= 1.0
 
 
+def test_gdalwarp_multiband(spark, tmp_path):
+    spec = G.GridSpec(width=TS * 2, height=TS * 2,
+                      gt=(10.0, 0.125, 0.0, 52.0, 0.0, -0.125),
+                      crs="EPSG:4326", tile=TS)
+    bands = []
+    for v in (10.0, 20.0, 30.0):
+        rows = [(ty, tx, [v] * (TS * TS))
+                for ty in range(2) for tx in range(2)]
+        bands.append(spark.createDataFrame(rows, G.TILE_SCHEMA))
+    src = str(tmp_path / "rgb_src.tif")
+    GT.write_geotiff_bands(bands, spec, src, dtype="uint8")
+    dst = str(tmp_path / "rgb_warp.tif")
+    TR.gdalwarp(spark, src, dst, "EPSG:3857", kernel="near", tile=TS)
+    spec2, dfs = GT.read_geotiff_bands(spark, dst)
+    assert spec2.crs == "EPSG:3857" and len(dfs) == 3
+    for df, v in zip(dfs, (10.0, 20.0, 30.0)):
+        vals = np.concatenate([np.asarray(r.px) for r in df.collect()])
+        assert set(np.unique(vals)) <= {0.0, v}
+        assert (vals == v).sum() > 0.5 * len(vals)
+
+
 def test_translate_bad_window(spark, tmp_path):
     src = str(tmp_path / "src.tif")
     _write_src(spark, src)
