@@ -82,7 +82,7 @@ def _geokeys_crs(shorts: list[int]) -> str:
 def write_geotiff(tiles: DataFrame, spec: G.GridSpec, path: str,
                   dtype: str = "float64", compression: str = "deflate",
                   nodata: float | None = None,
-                  max_tiles: int = 65536) -> None:
+                  max_tiles: int = 65536, cog: bool = False) -> None:
     """Tile relation + GridSpec -> one tiled GeoTIFF. Compression is
     distributed (per-tile deflate in the UDF); the driver only
     concatenates compressed blocks — guarded by max_tiles, since one
@@ -107,7 +107,7 @@ def write_geotiff(tiles: DataFrame, spec: G.GridSpec, path: str,
 
     ordered = _pack_blocks(tiles, spec, dtype, compression, fill)
     _write_container(path, [(spec, dtype, compression, nodata, ordered,
-                             False)])
+                             False)], cog=cog)
 
 
 def _image_entries(spec, dtype, compression, nodata, offsets, counts,
@@ -141,39 +141,85 @@ def _image_entries(spec, dtype, compression, nodata, offsets, counts,
     return entries
 
 
-def _write_container(path: str, images: list) -> None:
+def _write_container(path: str, images: list, cog: bool = False) -> None:
     """images: [(spec, dtype, compression, nodata, ordered_blocks,
-    reduced)] -> one TIFF with a chained IFD per image (the overview
-    chain layout gdaladdo produces inside the GTiff driver)."""
+    reduced[, n_bands])] -> one TIFF with a chained IFD per image (the
+    overview chain layout gdaladdo produces inside the GTiff driver).
+
+    cog=True emits the Cloud-Optimized layout instead
+    (frmts/gtiff/cogdriver.cpp contract): the whole IFD chain sits at
+    the FRONT of the file so one small initial range-read captures all
+    metadata, and pixel data follows with overview blocks FIRST and
+    the full-resolution blocks LAST — the order an overview-first
+    renderer streams them."""
     _FMT = {2: "B", 3: "H", 4: "I", 12: "d"}
-    pos = 8
-    per_img = []
+
+    def entry_bytes(entries):
+        """(ifd_size, external_payload_size) for a built entry list."""
+        ext = 0
+        for tag, typ, cnt, vals in entries:
+            payload_len = len(vals) * {2: 1, 3: 2, 4: 4, 12: 8}[typ]
+            if payload_len > 4:
+                ext += payload_len
+        return 2 + 12 * len(entries) + 4, ext
+
+    parsed = []
     for img in images:
         spec, dtype, compression, nodata, ordered, reduced = img[:6]
         n_bands = img[6] if len(img) > 6 else 1
-        offsets, counts = [], []
-        for b in ordered:
-            offsets.append(pos)
-            counts.append(len(b))
-            pos += len(b)
-        per_img.append(_image_entries(spec, dtype, compression, nodata,
-                                      offsets, counts, reduced, n_bands))
-    # lay out the IFD chain after all pixel data
-    ifd_offs, cursor = [], pos
-    payload_sizes = []
-    for entries in per_img:
-        ifd_offs.append(cursor)
-        sizes = []
-        for tag, typ, cnt, vals in entries:
-            payload = struct.pack(f"<{len(vals)}{_FMT[typ]}", *vals)
-            sizes.append(len(payload) if len(payload) > 4 else 0)
-        payload_sizes.append(sizes)
-        cursor += 2 + 12 * len(entries) + 4 + sum(sizes)
+        parsed.append((spec, dtype, compression, nodata, ordered,
+                       reduced, n_bands))
+
+    if cog:
+        # IFD chain first: sizes are offset-independent, so build a
+        # dummy pass to measure, lay out IFDs from byte 8, then data
+        # (overviews first, full-res last)
+        dummy = [_image_entries(s, dt, cp, nd, [0] * len(od),
+                                [0] * len(od), rd, nb)
+                 for s, dt, cp, nd, od, rd, nb in parsed]
+        ifd_offs, cursor = [], 8
+        for entries in dummy:
+            ifd_offs.append(cursor)
+            sz, ext = entry_bytes(entries)
+            cursor += sz + ext
+        data_order = list(range(len(parsed)))[::-1]  # overviews first
+        block_offs: dict[int, list[int]] = {}
+        for i in data_order:
+            offs = []
+            for b in parsed[i][4]:
+                offs.append(cursor)
+                cursor += len(b)
+            block_offs[i] = offs
+    else:
+        # classic layout: data from byte 8, IFD chain at the end
+        pos = 8
+        block_offs = {}
+        for i, (s, dt, cp, nd, ordered, rd, nb) in enumerate(parsed):
+            offs = []
+            for b in ordered:
+                offs.append(pos)
+                pos += len(b)
+            block_offs[i] = offs
+        data_order = list(range(len(parsed)))
+        ifd_offs, cursor = [], pos
+
+    per_img = []
+    for i, (s, dt, cp, nd, ordered, rd, nb) in enumerate(parsed):
+        per_img.append(_image_entries(
+            s, dt, cp, nd, block_offs[i],
+            [len(b) for b in ordered], rd, nb))
+    if not cog:
+        for entries in per_img:
+            ifd_offs.append(cursor)
+            sz, ext = entry_bytes(entries)
+            cursor += sz + ext
+
     with open(path, "wb") as f:
         f.write(b"II*\x00" + struct.pack("<I", ifd_offs[0]))
-        for img in images:
-            for b in img[4]:
-                f.write(b)
+        if not cog:
+            for i in data_order:
+                for b in parsed[i][4]:
+                    f.write(b)
         for i, entries in enumerate(per_img):
             data_off = ifd_offs[i] + 2 + 12 * len(entries) + 4
             nxt = ifd_offs[i + 1] if i + 1 < len(per_img) else 0
@@ -192,6 +238,10 @@ def _write_container(path: str, images: list) -> None:
                     data_off += len(payload)
             f.write(struct.pack("<H", len(entries)) + b"".join(ifd)
                     + struct.pack("<I", nxt) + b"".join(extra))
+        if cog:
+            for i in data_order:
+                for b in parsed[i][4]:
+                    f.write(b)
 
 
 def _parse_ifds(path: str):
@@ -406,7 +456,7 @@ def add_overviews(spark: SparkSession, path: str,
                   levels: tuple[int, ...] = (2, 4, 8),
                   kernel: str = "average", dtype: str = "float64",
                   compression: str = "deflate",
-                  nodata: float | None = None) -> None:
+                  nodata: float | None = None, cog: bool = False) -> None:
     """gdaladdo analog: rewrite the file with a reduced-resolution IFD
     chain (NewSubfileType=1 per overview, like the GTiff driver's
     internal overviews). levels must be successive powers of two."""
@@ -428,7 +478,7 @@ def add_overviews(spark: SparkSession, path: str,
         blocks = _pack_blocks(t, s, dtype, compression, fill)
         packed.append((s, dtype, compression,
                        nodata if i == 0 else None, blocks, i > 0))
-    _write_container(path, packed)
+    _write_container(path, packed, cog=cog)
 
 
 def _pack_blocks(tiles: DataFrame, spec: G.GridSpec, dtype: str,

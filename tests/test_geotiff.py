@@ -186,6 +186,37 @@ def test_multiband_separate_planes(spark, tmp_path):
         GT.read_geotiff(spark, p, band=3)
 
 
+def test_cog_layout(spark, tmp_path):
+    spec = _spec(w=TS * 4, h=TS * 4)
+    tiles = _tiles(spark, spec)
+    p = str(tmp_path / "cog.tif")
+    GT.write_geotiff(tiles, spec, p)
+    GT.add_overviews(spark, p, levels=(2, 4), cog=True)
+    # content identical to the classic layout
+    spec0, back0 = GT.read_geotiff(spark, p)
+    assert spec0 == spec
+    want = _collect(tiles)
+    for k, v in _collect(back0).items():
+        np.testing.assert_array_equal(v, want[k])
+    assert GT.overview_count(p) == 2
+    # layout: IFD chain entirely before any pixel data, and overview
+    # blocks before full-resolution blocks
+    _, all_tags = GT._parse_ifds(p)
+    first_data = min(min(t[GT._TAG_TOFF]) for t in all_tags)
+    hdr = open(p, "rb").read(8)
+    first_ifd = struct.unpack("<I", hdr[4:8])[0]
+    assert first_ifd == 8  # metadata up front
+    assert min(all_tags[2][GT._TAG_TOFF]) < min(all_tags[1][GT._TAG_TOFF])
+    assert min(all_tags[1][GT._TAG_TOFF]) < min(all_tags[0][GT._TAG_TOFF])
+    assert first_data > first_ifd
+    # single-image COG write works too
+    p2 = str(tmp_path / "cog1.tif")
+    GT.write_geotiff(tiles, spec, p2, cog=True)
+    spec2, back2 = GT.read_geotiff(spark, p2)
+    for k, v in _collect(back2).items():
+        np.testing.assert_array_equal(v, want[k])
+
+
 def test_scope_fences(spark, tmp_path):
     spec = _spec(w=TS, h=TS)
     tiles = _tiles(spark, spec)
