@@ -52,19 +52,21 @@ def remove_boilerplate_lines(docs: DataFrame, id_col: str = "doc_id",
     preserved; empty/short lines kept verbatim)."""
     tagged = docs.withColumn("__id__", F.col(id_col))
     freq = line_frequencies(tagged, text_col, min_len=min_len)
-    keep_set = freq.filter(F.col("n_docs") <= max_docs_per_line)
+    # broadcast the DROP side: boilerplate lines (freq > threshold) are
+    # few; the keep side is corpus-sized and must never ship anywhere
+    drop_set = (freq.filter(F.col("n_docs") > max_docs_per_line)
+                .select("line_hash"))
     exploded = (tagged.select(
         "__id__",
         F.posexplode(F.split(F.col(text_col), "\n"))
         .alias("pos", "line")))
-    kept = (exploded
-            .withColumn("line_hash", F.xxhash64(F.trim("line")))
-            .withColumn("short",
-                        F.length(F.trim("line")) < min_len)
-            .join(F.broadcast(keep_set.select("line_hash")
-                              .withColumn("__keep__", F.lit(True))),
-                  "line_hash", "left")
-            .filter(F.col("short") | F.col("__keep__").isNotNull()))
+    hashed = (exploded
+              .withColumn("line_hash", F.xxhash64(F.trim("line")))
+              .withColumn("short",
+                          F.length(F.trim("line")) < min_len))
+    kept = (hashed.filter(~F.col("short"))
+            .join(F.broadcast(drop_set), "line_hash", "left_anti")
+            .unionByName(hashed.filter(F.col("short"))))
     rebuilt = (kept.groupBy("__id__")
                .agg(F.array_join(
                    F.transform(

@@ -192,10 +192,14 @@ def read_shapefile(spark: SparkSession, path: str,
               .select(F.regexp_replace(F.element_at(F.split("path", "/"), -1),
                                        r"\.dbf$", "").alias("base"),
                       F.col("content").alias("dbf")))
-    first = dbf_df.select("dbf").limit(1).collect()
+    # schema probe: only the dbf HEADER travels to the driver (dBASE
+    # caps at 255 fields -> 32 + 255*32 + 1 bytes bound the descriptor
+    # block), not the first file's full contents
+    first = (dbf_df.select(F.substring("dbf", 1, 32 + 255 * 32 + 1)
+                           .alias("hdr")).limit(1).collect())
     if not first:
         raise FileNotFoundError(f"no .dbf next to {shp_glob}")
-    _, _, _, fields = _dbf_fields(bytes(first[0].dbf))
+    _, _, _, fields = _dbf_fields(bytes(first[0].hdr))
     schema = T.StructType(
         [T.StructField(n, _spark_type(t, l, d), True)
          for n, t, l, d in fields]
