@@ -129,6 +129,12 @@ def main():
                                        n_hashes=16, bands=4,
                                        hash_fn="xxhash64").count())
 
+    # boilerplate removal + repetition quality metrics (round-3 ops)
+    from gdal_spark.operators import boilerplate as BL
+    timed("boilerplate_and_gopher",
+          lambda: (BL.remove_boilerplate_lines(docs).count()
+                   + BL.gopher_repetition_metrics(docs).count()))
+
     # numpy matmul similarity path
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     qv = emb.filter(F.col("vec_id") % 100 == 0)
