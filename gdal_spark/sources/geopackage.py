@@ -196,11 +196,6 @@ def write_geopackage(df: DataFrame, path: str, layer: str = "layer",
                      max_features: int = 1_000_000) -> None:
     """Write one feature layer into a fresh .gpkg (single-writer by
     format; guarded by max_features — use parquet at scale)."""
-    n = df.count()
-    if n > max_features:
-        raise ValueError(
-            f"{n} features > max_features={max_features}: a GeoPackage "
-            "is one SQLite file; write parquet/GeoJSONSeq at scale")
     if os.path.exists(path):
         os.remove(path)
     attrs = [f for f in df.schema.fields if f.name != geom_col]
@@ -231,31 +226,82 @@ def write_geopackage(df: DataFrame, path: str, layer: str = "layer",
             geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL,
             z TINYINT NOT NULL, m TINYINT NOT NULL,
             PRIMARY KEY (table_name, column_name))""")
+        # a user integer column named fid becomes the primary key
+        # (the reference's FID column mapping, ogrgeopackagetablelayer.cpp)
+        fid_field = next(
+            (f for f in attrs if f.name.lower() == "fid"
+             and isinstance(f.dataType, (T.LongType, T.IntegerType))), None)
+        if fid_field is not None:
+            attrs = [f for f in attrs if f is not fid_field]
         coldefs = ", ".join(f'"{f.name}" {_decl(f.dataType)}' for f in attrs)
+        fid_name = fid_field.name if fid_field is not None else "fid"
         con.execute(f'CREATE TABLE "{layer}" '
-                    f"(fid INTEGER PRIMARY KEY AUTOINCREMENT"
+                    f'("{fid_name}" INTEGER PRIMARY KEY'
+                    f"{'' if fid_field is not None else ' AUTOINCREMENT'}"
                     f"{', ' + coldefs if coldefs else ''}, "
                     f'"{geom_col}" GEOMETRY)')
+        ins_cols = ([fid_field.name] if fid_field is not None else []) \
+            + [f.name for f in attrs] + [geom_col]
         ins = (f'INSERT INTO "{layer}" '
-               f"({', '.join(chr(34) + f.name + chr(34) for f in attrs)}"
-               f"{', ' if attrs else ''}\"{geom_col}\") VALUES "
-               f"({', '.join(['?'] * (len(attrs) + 1))})")
-        bx = [np.inf, np.inf, -np.inf, -np.inf]
-        for row in df.toLocalIterator():
-            g = row[geom_col]
-            blob = wkb_to_gpkg_blob(bytes(g), srs_id) if g is not None \
-                else None
-            if g is not None:
-                t, payload = wkb.decode(bytes(g))
+               f"({', '.join(chr(34) + c + chr(34) for c in ins_cols)}) "
+               f"VALUES ({', '.join(['?'] * len(ins_cols))})")
+        # WKB -> GeoPackageBinary + envelope runs DISTRIBUTED; the
+        # driver only streams finished rows into batched executemany
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("blob binary, xmin double, ymin double, "
+                    "xmax double, ymax double")
+        def conv(g: pd.Series) -> pd.DataFrame:
+            rows = []
+            for b in g:
+                if b is None:
+                    rows.append((None, None, None, None, None))
+                    continue
+                blob = wkb_to_gpkg_blob(bytes(b), srs_id)
+                t, payload = wkb.decode(bytes(b))
                 pts = np.array([payload]) if t == wkb.POINT \
                     else _all_points(t, payload)
-                bx = [min(bx[0], pts[:, 0].min()),
-                      min(bx[1], pts[:, 1].min()),
-                      max(bx[2], pts[:, 0].max()),
-                      max(bx[3], pts[:, 1].max())]
-            con.execute(ins, [row[f.name] for f in attrs] + [blob])
-        if not np.isfinite(bx[0]):
-            bx = [None, None, None, None]
+                rows.append((blob, float(pts[:, 0].min()),
+                             float(pts[:, 1].min()),
+                             float(pts[:, 0].max()),
+                             float(pts[:, 1].max())))
+            return pd.DataFrame(rows, columns=["blob", "xmin", "ymin",
+                                               "xmax", "ymax"])
+
+        sel = ([F.col(fid_field.name)] if fid_field is not None else []) \
+            + [F.col(f.name) for f in attrs] + [F.col("__g__.blob")]
+        prepared = (df.withColumn("__g__", conv(F.col(geom_col)))
+                    .select(*sel, "__g__.xmin", "__g__.ymin",
+                            "__g__.xmax", "__g__.ymax").persist())
+        # one job: row-count guard + dataset envelope together
+        bounds = prepared.agg(
+            F.count(F.lit(1)), F.min("xmin"), F.min("ymin"),
+            F.max("xmax"), F.max("ymax")).collect()[0]
+        n = bounds[0]
+        if n > max_features:
+            prepared.unpersist()
+            raise ValueError(
+                f"{n} features > max_features={max_features}: a "
+                "GeoPackage is one SQLite file; write parquet/"
+                "GeoJSONSeq at scale")
+        bx = [bounds[1], bounds[2], bounds[3], bounds[4]]
+        con.commit()  # close the DDL transaction before PRAGMAs
+        con.execute("PRAGMA synchronous = OFF")
+        con.execute("PRAGMA journal_mode = MEMORY")
+        batch: list = []
+        ncols = len(ins_cols)
+        for row in prepared.drop("xmin", "ymin", "xmax", "ymax") \
+                .toLocalIterator(prefetchPartitions=True):
+            batch.append(tuple(
+                bytes(v) if isinstance(v, (bytes, bytearray)) else v
+                for v in row[:ncols]))
+            if len(batch) >= 10_000:
+                con.executemany(ins, batch)
+                batch = []
+        if batch:
+            con.executemany(ins, batch)
+        prepared.unpersist()
         con.execute(
             "INSERT INTO gpkg_contents VALUES "
             "(?, 'features', ?, '', datetime('now'), ?, ?, ?, ?, ?)",

@@ -48,6 +48,30 @@ def main() -> None:
         out["translate_features_per_s"] = round(
             50_000 / out["translate_50k_x20str_s"], 1)
 
+        # --- the same translate through the REAL GeoPackage driver
+        # (the reference workload IS gpkg->gpkg, test_ogr2ogr.py:26-58;
+        # our gpkg sink is single-writer by format, reader is
+        # rowid-range parallel)
+        from gdal_spark.geo import wkb as _wkb
+        from gdal_spark.sources import geopackage as GPKG
+
+        @F.pandas_udf("binary")
+        def mkpt(i):
+            import pandas as pd
+            return pd.Series([
+                _wkb.point(float(v % 360 - 180), float(v % 170 - 85))
+                for v in i])
+
+        gsrc = src.withColumn("geom", mkpt("id"))
+        GPKG.write_geopackage(gsrc, f"{td}/src.gpkg", layer="f")
+        t0 = time.time()
+        df_in = GPKG.read_geopackage(spark, f"{td}/src.gpkg")
+        GPKG.write_geopackage(df_in.drop("fid"), f"{td}/dst.gpkg",
+                              layer="f")
+        out["translate_gpkg_50k_s"] = round(time.time() - t0, 3)
+        out["translate_gpkg_features_per_s"] = round(
+            50_000 / out["translate_gpkg_50k_s"], 1)
+
         # --- reproject 10k points (their workload size)
         def reproject(n: int) -> float:
             pts = (spark.range(n).select(
