@@ -305,31 +305,57 @@ def write_shapefile(df: DataFrame, path: str, geom_col: str = "geom",
     """Write one .shp/.shx/.dbf triple (path without extension).
     Single-writer by format design (shpopen.c appends to one file);
     guarded by max_features — use parquet/GeoJSONSeq at scale."""
-    n = df.count()
+    fields = _infer_dbf_fields(df.schema, geom_col)
+    names = [f.name for f in df.schema.fields if f.name != geom_col]
+
+    # shape + dbf record encoding runs DISTRIBUTED; the driver only
+    # streams finished bytes (same shape as the GeoPackage writer)
+    b_fields = fields
+
+    @F.pandas_udf("stype int, body binary, rec binary, "
+                  "xmin double, ymin double, xmax double, ymax double")
+    def conv(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, row in pdf.iterrows():
+            stype, body = _wkb_to_shape(
+                bytes(row[geom_col]) if row[geom_col] is not None
+                else None)
+            if stype != SHP_NULL:
+                pts = _shape_points(stype, body)
+                bb = (float(pts[:, 0].min()), float(pts[:, 1].min()),
+                      float(pts[:, 0].max()), float(pts[:, 1].max()))
+            else:
+                bb = (None, None, None, None)
+            rec = b" " + b"".join(
+                _dbf_format(row[nm], ft, fl, fd)
+                for nm, (_, ft, fl, fd) in zip(names, b_fields))
+            out.append((stype, body, rec) + bb)
+        return pd.DataFrame(out, columns=["stype", "body", "rec",
+                                          "xmin", "ymin", "xmax",
+                                          "ymax"])
+
+    prepared = df.withColumn("__s__", conv(F.struct("*"))).persist()
+    agg = prepared.agg(
+        F.count(F.lit(1)), F.max("__s__.stype"),
+        F.min("__s__.xmin"), F.min("__s__.ymin"),
+        F.max("__s__.xmax"), F.max("__s__.ymax")).collect()[0]
+    n = agg[0]
     if n > max_features:
+        prepared.unpersist()
         raise ValueError(
             f"{n} features > max_features={max_features}: a shapefile "
             "is a single file triple; write parquet or GeoJSONSeq "
             "instead")
-    fields = _infer_dbf_fields(df.schema, geom_col)
-    names = [f.name for f in df.schema.fields if f.name != geom_col]
-
-    shp_recs, dbf_recs = [], []
-    shape_type = SHP_NULL
-    bx = [np.inf, np.inf, -np.inf, -np.inf]
-    for row in df.toLocalIterator():
-        stype, body = _wkb_to_shape(row[geom_col])
-        if stype != SHP_NULL:
-            shape_type = stype
-            pts = _shape_points(stype, body)
-            bx = [min(bx[0], pts[:, 0].min()), min(bx[1], pts[:, 1].min()),
-                  max(bx[2], pts[:, 0].max()), max(bx[3], pts[:, 1].max())]
-        shp_recs.append(body)
-        dbf_recs.append(b" " + b"".join(
-            _dbf_format(row[nm], ft, fl, fd)
-            for nm, (_, ft, fl, fd) in zip(names, fields)))
-    if not np.isfinite(bx[0]):
+    shape_type = int(agg[1] or SHP_NULL)
+    bx = [agg[2], agg[3], agg[4], agg[5]]
+    if bx[0] is None:
         bx = [0.0, 0.0, 0.0, 0.0]
+    shp_recs, dbf_recs = [], []
+    for row in prepared.select("__s__.body", "__s__.rec") \
+            .toLocalIterator(prefetchPartitions=True):
+        shp_recs.append(bytes(row.body))
+        dbf_recs.append(bytes(row.rec))
+    prepared.unpersist()
 
     shp_body, shx_body, off = [], [], 50  # offsets in 16-bit words
     for i, body in enumerate(shp_recs):
