@@ -66,6 +66,9 @@ def open_vector(spark: SparkSession, path: str, **kw) -> DataFrame:
     if low.endswith(".gpkg"):
         from . import geopackage
         return geopackage.read_geopackage(spark, path, **kw)
+    if low.endswith(".kml"):
+        from . import kml
+        return kml.read_kml(spark, path, **kw)
     if low.endswith(".csv"):
         return read_csv_wkt(spark, path, **kw)
     if low.endswith((".parquet", ".pq")) or low.endswith(".orc"):
@@ -73,7 +76,7 @@ def open_vector(spark: SparkSession, path: str, **kw) -> DataFrame:
         return spark.read.format(fmt).load(path)
     raise ValueError(
         f"no registered driver identifies {path!r} "
-        "(have: geojsonl/geojson/shp/gpkg/csv/parquet/orc)")
+        "(have: geojsonl/geojson/shp/gpkg/kml/csv/parquet/orc)")
 
 
 def write_vector(df: DataFrame, path: str, **kw) -> None:
@@ -91,6 +94,9 @@ def write_vector(df: DataFrame, path: str, **kw) -> None:
     if low.endswith(".gpkg"):
         from . import geopackage
         return geopackage.write_geopackage(df, path, **kw)
+    if low.endswith(".kml"):
+        from . import kml
+        return kml.write_kml(df, path, **kw)
     if low.endswith(".csv"):
         return write_csv_wkt(df, path, **kw)
     if low.endswith((".parquet", ".pq")):
