@@ -119,6 +119,86 @@ def gdal_contour(spark: SparkSession, src: str, dst: str,
     return out
 
 
+def ogrinfo(spark: SparkSession, src: str, geom_col: str = "geom",
+            summary: bool = True) -> dict:
+    """`ogrinfo -so src` (apps/ogrinfo_lib.cpp report): feature count,
+    field schema, geometry-type histogram and layer extent — computed
+    in ONE distributed aggregate over the opened layer."""
+    df = REG.open_vector(spark, src)
+    out = {"fields": {f.name: f.dataType.simpleString()
+                      for f in df.schema.fields}}
+    if not summary:
+        return out
+    has_geom = geom_col in df.columns
+    if has_geom:
+        from .functions.st_funcs import st_geometrytype
+        from .geo import wkb as _wkb
+
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("xmin double, ymin double, xmax double, ymax double")
+        def env(g):
+            rows = []
+            for b in g:
+                if b is None:
+                    rows.append((None, None, None, None))
+                    continue
+                t, payload = _wkb.decode(bytes(b))
+                if t == _wkb.POINT:
+                    rows.append((payload[0], payload[1],
+                                 payload[0], payload[1]))
+                    continue
+                import numpy as np
+                pts = np.vstack([r for r in _flat_coords(t, payload)])
+                rows.append((float(pts[:, 0].min()),
+                             float(pts[:, 1].min()),
+                             float(pts[:, 0].max()),
+                             float(pts[:, 1].max())))
+            return pd.DataFrame(rows, columns=["xmin", "ymin",
+                                               "xmax", "ymax"])
+
+        agg = (df.withColumn("__e__", env(F.col(geom_col)))
+               .withColumn("__t__", st_geometrytype(F.col(geom_col)))
+               .groupBy("__t__")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.min("__e__.xmin").alias("x0"),
+                    F.min("__e__.ymin").alias("y0"),
+                    F.max("__e__.xmax").alias("x1"),
+                    F.max("__e__.ymax").alias("y1")).collect())
+        out["feature_count"] = int(sum(r.n for r in agg))
+        out["geometry_types"] = {r["__t__"] or "NULL": int(r.n)
+                                 for r in agg}
+        xs = [r for r in agg if r.x0 is not None]
+        if xs:
+            out["extent"] = (min(r.x0 for r in xs),
+                             min(r.y0 for r in xs),
+                             max(r.x1 for r in xs),
+                             max(r.y1 for r in xs))
+    else:
+        out["feature_count"] = df.count()
+    return out
+
+
+def _flat_coords(t, payload):
+    from .geo import wkb as _wkb
+    if t == _wkb.LINESTRING:
+        yield payload
+    elif t == _wkb.MULTIPOINT:
+        import numpy as np
+        yield np.asarray(payload, float).reshape(-1, 2)
+    elif t == _wkb.POLYGON:
+        yield from payload
+    elif t == _wkb.MULTILINESTRING:
+        yield from payload
+    elif t == _wkb.MULTIPOLYGON:
+        for p in payload:
+            yield from p
+    elif t == _wkb.GEOMETRYCOLLECTION:
+        for kt, kp in payload:
+            yield from _flat_coords(kt, kp)
+
+
 def gdalinfo(spark: SparkSession, src: str,
              stats: bool = False) -> dict:
     """`gdalinfo [-stats] src` — dataset report as a dict

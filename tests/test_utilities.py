@@ -120,6 +120,16 @@ def test_contour_interval_mode(spark, tmp_path):
     assert levels == [8.0, 16.0, 24.0]
 
 
+def test_ogrinfo_summary(spark, tmp_path):
+    src = _vec_fixture(spark, tmp_path)
+    info = U.ogrinfo(spark, src)
+    assert info["feature_count"] == 2
+    assert info["geometry_types"] == {"POLYGON": 2}
+    assert info["fields"]["name"] == "string"
+    x0, y0, x1, y1 = info["extent"]
+    assert (x0, y0) == (0.5, 0.5) and (x1, y1) == (9.0, 9.0)
+
+
 def test_gdalinfo_merge_locationinfo(spark, tmp_path):
     spec = G.GridSpec(width=TS * 2, height=TS,
                       gt=(0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
