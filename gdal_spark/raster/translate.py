@@ -55,12 +55,13 @@ def gdal_translate(spark: SparkSession, src_path: str, dst_path: str,
                    scale: tuple[float, float, float, float] | None = None,
                    resize_kernel: str = "bilinear",
                    dtype: str = "float64", compression: str = "deflate",
-                   nodata: float | None = None) -> G.GridSpec:
-    """`gdal_translate [-projwin ulx uly lrx lry] [-outsize w h]
-    [-scale src_min src_max dst_min dst_max] [-ot type] src dst`.
-    Options apply in the reference's order: window, then resize, then
-    rescale, then type conversion at write."""
-    spec, tiles = GT.read_geotiff(spark, src_path)
+                   nodata: float | None = None,
+                   band: int = 0) -> G.GridSpec:
+    """`gdal_translate [-b band] [-projwin ulx uly lrx lry]
+    [-outsize w h] [-scale src_min src_max dst_min dst_max] [-ot type]
+    src dst`. Options apply in the reference's order: band selection,
+    window, resize, rescale, then type conversion at write."""
+    spec, tiles = GT.read_geotiff(spark, src_path, band=band)
     if projwin is not None:
         ulx, uly, lrx, lry = projwin
         px0, py0 = spec.world_to_pixel(np.array([ulx]), np.array([uly]))

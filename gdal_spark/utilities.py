@@ -30,17 +30,30 @@ def ogr2ogr(spark: SparkSession, src: str, dst: str,
             where: str | None = None, select: list[str] | None = None,
             limit: int | None = None, s_srs: str = "EPSG:4326",
             t_srs: str | None = None, geom_col: str = "geom",
-            sql: str | None = None, **write_kw) -> DataFrame:
+            sql: str | None = None,
+            clipsrc: tuple[float, float, float, float] | None = None,
+            **write_kw) -> DataFrame:
     """`ogr2ogr [-where] [-select] [-limit] [-s_srs/-t_srs] [-sql]
-    src dst` (apps/ogr2ogr_lib.cpp option order). WKB carries no CRS,
-    so -t_srs needs the source CRS via s_srs (default the reference's
-    common case, EPSG:4326). Returns the written DataFrame."""
+    [-clipsrc xmin ymin xmax ymax] src dst` (apps/ogr2ogr_lib.cpp
+    option order). WKB carries no CRS, so -t_srs needs the source CRS
+    via s_srs (default the reference's common case, EPSG:4326).
+    clipsrc CLIPS polygon geometry to the rectangle (st_clip_bbox) and
+    drops features whose geometry leaves the window empty. Returns the
+    written DataFrame."""
     df = REG.open_vector(spark, src)
     if sql is not None:
         df.createOrReplaceTempView("src_layer")
         df = spark.sql(sql)
     if where is not None:
         df = df.filter(where)
+    if clipsrc is not None:
+        from .functions.st_funcs import st_clip_bbox, st_isempty
+        x0, y0, x1, y1 = (float(v) for v in clipsrc)
+        df = (df.withColumn(geom_col, st_clip_bbox(
+                  F.col(geom_col), F.lit(x0), F.lit(y0),
+                  F.lit(x1), F.lit(y1)))
+              .filter(F.col(geom_col).isNotNull()
+                      & ~st_isempty(F.col(geom_col))))
     if select is not None:
         keep = list(select) + ([geom_col] if geom_col in df.columns
                                and geom_col not in select else [])

@@ -65,6 +65,23 @@ def test_ogr2ogr_filter_select_transform(spark, tmp_path):
     assert abs(rings[0][:, 0].max()) > 600_000
 
 
+def test_ogr2ogr_clipsrc(spark, tmp_path):
+    src = _vec_fixture(spark, tmp_path)
+    dst = str(tmp_path / "clip.geojsonl")
+    # window covers only the square feature (a)
+    out = U.ogr2ogr(spark, src, dst, clipsrc=(0.0, 0.0, 5.0, 5.0))
+    rows = REG.open_vector(spark, dst).collect()
+    assert [r.name for r in rows] == ["a"]
+    t, rings = wkb.decode(bytes(rows[0].geom))
+    assert geom.polygon_area(rings) == pytest.approx(16.0)  # unclipped
+    # a tighter window clips the square itself
+    out2 = U.ogr2ogr(spark, src, str(tmp_path / "c2.geojsonl"),
+                     clipsrc=(0.0, 0.0, 2.5, 2.5))
+    [r2] = REG.open_vector(spark, str(tmp_path / "c2.geojsonl")).collect()
+    t2, rings2 = wkb.decode(bytes(r2.geom))
+    assert geom.polygon_area(rings2) == pytest.approx(4.0)  # 2x2 corner
+
+
 def test_ogr2ogr_sql_mode(spark, tmp_path):
     src = _vec_fixture(spark, tmp_path)
     dst = str(tmp_path / "sql.geojsonl")
