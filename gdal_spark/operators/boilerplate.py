@@ -26,10 +26,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """The explode-heavy stages below do their partial aggregation in
+    the MAP stage; a single-file input would run that serially, so
+    fan narrow inputs out to the cluster width first (cost: one round
+    of the small doc relation, repaid ~core-count-fold in the
+    explode)."""
+    want = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < max(2, want // 2):
+        return docs.repartition(want)
+    return docs
+
+
 def line_frequencies(docs: DataFrame, text_col: str = "text",
                      min_len: int = 1) -> DataFrame:
     """(line_hash, n_docs) — how many DISTINCT documents contain each
     (trimmed) line. Lines shorter than min_len chars are ignored."""
+    docs = _spread(docs)
     lines = (docs.select(F.col("__id__") if "__id__" in docs.columns
                          else F.monotonically_increasing_id().alias("__id__"),
                          F.explode(F.split(F.col(text_col), "\n"))
@@ -50,7 +63,7 @@ def remove_boilerplate_lines(docs: DataFrame, id_col: str = "doc_id",
     max_docs_per_line documents (the C4/RefinedWeb boilerplate rule).
     Returns the input columns with text_col rewritten (line order
     preserved; empty/short lines kept verbatim)."""
-    tagged = docs.withColumn("__id__", F.col(id_col))
+    tagged = _spread(docs).withColumn("__id__", F.col(id_col))
     freq = line_frequencies(tagged, text_col, min_len=min_len)
     # broadcast the DROP side: boilerplate lines (freq > threshold) are
     # few; the keep side is corpus-sized and must never ship anywhere
@@ -89,6 +102,7 @@ def gopher_repetition_metrics(docs: DataFrame, id_col: str = "doc_id",
     top_ngram_char_frac  chars covered by the most frequent word
                          n-gram / total chars
     All JVM expressions (split/explode/window-free groupBys)."""
+    docs = _spread(docs)
     lines = (docs.select(id_col,
                          F.explode(F.split(F.col(text_col), "\n"))
                          .alias("line"))
@@ -105,6 +119,11 @@ def gopher_repetition_metrics(docs: DataFrame, id_col: str = "doc_id",
          / F.sum(F.col("n") * F.col("len")))
         .alias("dup_line_char_frac")))
 
+    # NOTE: hashing each window inside the transform lambda
+    # (xxhash64(w[i], ...) per element) was A/B-measured ~5x SLOWER —
+    # SQL higher-order functions evaluate their lambda interpreted
+    # per element (same finding as the PIP HOF A/B in BASELINE.md),
+    # so the codegen'd concat_ws + explode stays.
     words = (docs.withColumn("w", F.split(F.col(text_col), r"\s+"))
              .select(id_col, F.expr(
                  f"CASE WHEN size(w) >= {ngram} THEN "
