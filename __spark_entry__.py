@@ -61,4 +61,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(Q.ORACLES)
+    """Registry oracles + golden-literal pins for the three
+    non-relational gates (sieve cascade / viewshed ray walk / IDW
+    float-sum order): their expected outputs are computed once by the
+    single-node numpy reference implementations and emitted as
+    `SELECT ... FROM (VALUES ...)` — the reference's own golden-constant
+    discipline (autotest/pymod/gdaltest.py:298-366 checksum pinning)."""
+    from gdal_spark import golden
+
+    out = dict(Q.ORACLES)
+    out.update(golden.golden_oracles())
+    return out
