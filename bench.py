@@ -22,6 +22,28 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "2000000"))
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+MAX_LOAD = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
+
+
+def _load1() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
+def _wait_idle(max_load: float = MAX_LOAD, timeout_s: float = 300.0) -> float:
+    """Idle-host gate (same rule as tools/scaling_bench.py): a
+    contaminated measurement is worse than a late one — BENCH_r03
+    recorded 1.4-4x regressions on diff-clean code because the host was
+    busy. Blocks until the 1-min load average drops below `max_load`
+    (or the timeout passes); the load at measurement start is published
+    in the JSON so a contended run is visible in the record."""
+    t0 = time.time()
+    while True:
+        load1 = _load1()
+        if load1 <= max_load or time.time() - t0 > timeout_s:
+            return load1
+        time.sleep(5.0)
 
 
 def main():
@@ -33,15 +55,31 @@ def main():
     from gdal_spark.session import get_spark
     from gdal_spark.sources import admin, pages
 
+    load_at_start = _wait_idle()
+
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=2 * CPUS)
     spark.sparkContext.setLogLevel("ERROR")
 
     times: dict[str, float] = {}
 
     def timed(name, fn):
+        """Single-shot timing — for sections whose first run has
+        one-time side effects (persist materialization, warm-up)."""
         t0 = time.time()
         out = fn()
         times[name] = round(time.time() - t0, 3)
+        return out
+
+    def timed_min(name, fn):
+        """min-of-REPEATS timing for idempotent query sections: the
+        minimum is the least-contended observation (the statistic the
+        reference's own 20%-regression CI gate assumes)."""
+        best, out = float("inf"), None
+        for _ in range(max(1, REPEATS)):
+            t0 = time.time()
+            out = fn()
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
         return out
 
     # ---- headline: spatial join + tile assignment over synthetic pages
@@ -70,13 +108,13 @@ def main():
         j = pip_join.pip_join_shuffle(pts, polys, salt_map=salt)
         return j.groupBy("poly_id").count().count()
 
-    timed("pip_tile_broadcast", pip_tile_broadcast)
-    timed("pip_shuffle_salted", pip_shuffle_salted)
+    timed_min("pip_tile_broadcast", pip_tile_broadcast)
+    timed_min("pip_shuffle_salted", pip_shuffle_salted)
     pages_per_sec = round(n_pages / times["pip_tile_broadcast"], 1)
     pts.unpersist()
 
     # ---- pure-JVM cell encode throughput
-    timed("cell_encode_10m", lambda: pages.synth_pages(spark, 10_000_000)
+    timed_min("cell_encode_10m", lambda: pages.synth_pages(spark, 10_000_000)
           .agg(F.sum("cell_id")).collect())
 
     # ---- raster surface: density -> pyramid -> warp over synthetic pages
@@ -104,7 +142,7 @@ def main():
         base.unpersist()
         return (n_tiles, n3, nw)
 
-    timed("raster_density_pyramid_warp_2m", raster_pipeline)
+    timed_min("raster_density_pyramid_warp_2m", raster_pipeline)
     rpts.unpersist()
 
     # ---- representative operator queries at SF_DIR
@@ -119,26 +157,26 @@ def main():
                   "raster_color_relief_checksum",
                   "raster_warp_crs_checksum", "geo_s2_cell_rollup"]:
         fn = Q.QUERIES[qname]
-        timed(qname, lambda f=fn: f(spark, SF_DIR).count())
+        timed_min(qname, lambda f=fn: f(spark, SF_DIR).count())
 
     # production minhash path (gate query keeps md5 for the oracle)
     from gdal_spark.operators import dedup as DD
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    timed("dedup_minhash_pairs_xxh",
+    timed_min("dedup_minhash_pairs_xxh",
           lambda: DD.minhash_lsh_pairs(docs, "doc_id", "text",
                                        n_hashes=16, bands=4,
                                        hash_fn="xxhash64").count())
 
     # boilerplate removal + repetition quality metrics (round-3 ops)
     from gdal_spark.operators import boilerplate as BL
-    timed("boilerplate_and_gopher",
+    timed_min("boilerplate_and_gopher",
           lambda: (BL.remove_boilerplate_lines(docs).count()
                    + BL.gopher_repetition_metrics(docs).count()))
 
     # numpy matmul similarity path
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     qv = emb.filter(F.col("vec_id") % 100 == 0)
-    timed("similarity_topk_numpy",
+    timed_min("similarity_topk_numpy",
           lambda: similarity.topk_cosine(emb, qv, k=10, method="numpy").count())
 
     total = round(sum(times.values()), 3)
@@ -151,6 +189,9 @@ def main():
         "pages_per_sec": pages_per_sec,
         "bench_pages": n_pages,
         "cpus": CPUS,
+        "repeats": REPEATS,
+        "loadavg_at_start": load_at_start,
+        "loadavg_at_end": _load1(),
     }))
     spark.stop()
 

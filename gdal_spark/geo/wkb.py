@@ -159,7 +159,15 @@ def map_coords(buf: bytes, fn) -> bytes:
                POLYGON: polygon, MULTIPOINT: multipoint,
                MULTILINESTRING: multilinestring,
                MULTIPOLYGON: multipolygon}
-        return collection([map_coords(enc[kt](kp), fn)
+
+        def encode_child(kt, kp):
+            # nested collections re-encode recursively (legal WKB;
+            # ogrgeometrycollection.cpp allows collection members)
+            if kt == GEOMETRYCOLLECTION:
+                return collection([encode_child(ct, cp) for ct, cp in kp])
+            return enc[kt](kp)
+
+        return collection([map_coords(encode_child(kt, kp), fn)
                            for kt, kp in payload])
     raise ValueError(f"map_coords unsupported for type {t}")
 

@@ -20,6 +20,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+#: driver-collect budget for the brute-force query side; beyond this,
+#: use the bucketed paths (lsh_bucketed_topk / ivf_topk).
+MAX_BROADCAST_QUERIES = 500_000
+
+
 def _norm_col(vec):
     return F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
 
@@ -55,7 +60,17 @@ def _topk_cosine_numpy(data: DataFrame, queries: DataFrame, k: int,
     """Arrow-batch matmul path: per batch of N data rows and Q queries,
     one (N,dim)x(dim,Q) BLAS call, then per-partition partial top-k;
     final exact top-k by a tiny shuffle of N_partitions*k rows."""
-    q_rows = queries.select(id_col, vec_col).collect()
+    # budget-guard the driver collect (same rule as gridding's
+    # MAX_BROADCAST_POINTS / proximity's MAX_BROADCAST_TARGETS): the
+    # limit bounds the collect itself, so an oversized query set can
+    # never OOM the driver before the check fires.
+    q_rows = queries.select(id_col, vec_col).limit(MAX_BROADCAST_QUERIES + 1).collect()
+    if len(q_rows) > MAX_BROADCAST_QUERIES:
+        raise ValueError(
+            f"query set exceeds the broadcast budget "
+            f"({MAX_BROADCAST_QUERIES} rows); brute-force top-k is "
+            f"inherently all-pairs — use lsh_bucketed_topk or ivf_topk "
+            f"for large query sets")
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)

@@ -463,21 +463,29 @@ def add_overviews(spark: SparkSession, path: str,
     lv = sorted(set(int(l) for l in levels))
     if any(l & (l - 1) or l < 2 for l in lv):
         raise ValueError(f"levels must be powers of two >= 2, got {levels}")
-    spec, tiles = read_geotiff(spark, path)
+    # every band gets an overview chain (gdaladdo builds overviews for
+    # ALL bands; dropping bands 1..n-1 here would corrupt the file)
+    spec, bands = read_geotiff_bands(spark, path)
     fill = float(nodata) if nodata is not None else 0.0
-    images = [(spec, tiles)]
-    cur_t, cur_s, factor = tiles, spec, 1
+    images = [(spec, list(bands))]
+    cur_b, cur_s, factor = list(bands), spec, 1
     for l in lv:
         while factor < l:
-            cur_t, cur_s = overview_once(cur_t, cur_s, kernel,
-                                         nodata=nodata, fill=fill)
+            nxt_b, nxt_s = [], None
+            for bt in cur_b:
+                ot, nxt_s = overview_once(bt, cur_s, kernel,
+                                          nodata=nodata, fill=fill)
+                nxt_b.append(ot)
+            cur_b, cur_s = nxt_b, nxt_s
             factor *= 2
-        images.append((cur_s, cur_t))
+        images.append((cur_s, list(cur_b)))
     packed = []
-    for i, (s, t) in enumerate(images):
-        blocks = _pack_blocks(t, s, dtype, compression, fill)
+    for i, (s, bts) in enumerate(images):
+        blocks = []
+        for bt in bts:  # band-major tile order (PlanarConfiguration=2)
+            blocks.extend(_pack_blocks(bt, s, dtype, compression, fill))
         packed.append((s, dtype, compression,
-                       nodata if i == 0 else None, blocks, i > 0))
+                       nodata if i == 0 else None, blocks, i > 0, len(bts)))
     _write_container(path, packed, cog=cog)
 
 

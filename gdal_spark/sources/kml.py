@@ -188,8 +188,10 @@ def _geom_to_kml(buf: bytes) -> str:
 
 
 def _esc(s) -> str:
+    # &quot; is required in the <Data name="..."> attribute position
+    # (harmless in text content)
     return (str(s).replace("&", "&amp;").replace("<", "&lt;")
-            .replace(">", "&gt;"))
+            .replace(">", "&gt;").replace('"', "&quot;"))
 
 
 def write_kml(df: DataFrame, path: str, geom_col: str = "geom",

@@ -296,7 +296,11 @@ def _dbf_format(v, ftype: str, flen: int, fdec: int) -> bytes:
         return b"T" if v else b"F"
     if ftype == "N":
         s = f"{v:.{fdec}f}" if fdec else str(int(v))
-        return s.rjust(flen)[:flen].encode("latin-1")
+        if len(s) > flen:
+            # dbfopen.c overflow convention: '*' fill, readers see NULL
+            # (never silently truncate digits)
+            return b"*" * flen
+        return s.rjust(flen).encode("latin-1")
     return str(v)[:flen].ljust(flen).encode("latin-1")
 
 

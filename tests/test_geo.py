@@ -261,3 +261,21 @@ def test_convex_hull_and_simplify():
     line = np.array([[0, 0], [1, 0.001], [2, 0], [3, 0.3], [4, 0]], float)
     simp = geom.simplify_dp(line, 0.01)
     assert len(simp) == 4  # drops the 0.001 vertex, keeps the 0.3 one
+
+
+def test_map_coords_nested_geometry_collection():
+    """A GeometryCollection containing a GeometryCollection (legal WKB)
+    must transform recursively, not die on the encoder lookup."""
+    from gdal_spark.geo import wkb as W
+
+    inner = W.collection([W.point(1.0, 2.0),
+                          W.linestring([[0.0, 0.0], [3.0, 4.0]])])
+    outer = W.collection([W.point(10.0, 20.0), inner])
+    out = W.map_coords(outer, lambda xs, ys: (xs + 1.0, ys * 2.0))
+    t, kids = W.decode(out)
+    assert t == W.GEOMETRYCOLLECTION
+    assert kids[0] == (W.POINT, (11.0, 40.0))
+    it, ikids = kids[1]
+    assert it == W.GEOMETRYCOLLECTION
+    assert ikids[0] == (W.POINT, (2.0, 4.0))
+    assert ikids[1][1].tolist() == [[1.0, 0.0], [4.0, 8.0]]

@@ -231,3 +231,39 @@ def test_scope_fences(spark, tmp_path):
         bad = str(tmp_path / "bad.tif")
         open(bad, "wb").write(b"XX\x2a\x00" + b"\x00" * 16)
         GT.read_geotiff(spark, bad)
+
+
+def test_add_overviews_multiband_keeps_all_bands(spark, tmp_path):
+    """gdaladdo builds overview chains for EVERY band; the rewrite must
+    preserve bands 1..n-1 bit-exactly and reduce each independently."""
+    spec = _spec(w=TS * 2, h=TS * 2)
+    bands = [_tiles(spark, spec, seed=10 + i) for i in range(3)]
+    p = str(tmp_path / "rgb_ovr.tif")
+    GT.write_geotiff_bands(bands, spec, p)
+    GT.add_overviews(spark, p, levels=(2,), kernel="average")
+    assert GT.overview_count(p) == 1
+    spec0, dfs0 = GT.read_geotiff_bands(spark, p)
+    assert spec0 == spec and len(dfs0) == 3
+    fulls = []
+    for b in range(3):
+        want = _collect(bands[b])
+        got = _collect(dfs0[b])
+        full = np.zeros((spec.height, spec.width))
+        for k, v in want.items():
+            np.testing.assert_array_equal(got[k], v)
+            full[k[0] * TS:(k[0] + 1) * TS, k[1] * TS:(k[1] + 1) * TS] = \
+                v.reshape(TS, TS)
+        fulls.append(full)
+    # each band's overview is its own 2x2 average
+    spec1, _ = GT.read_geotiff(spark, p, overview=1, band=0)
+    assert (spec1.width, spec1.height) == (spec.width // 2, spec.height // 2)
+    for b in range(3):
+        _, df1 = GT.read_geotiff(spark, p, overview=1, band=b)
+        got1 = np.zeros((spec1.height, spec1.width))
+        for r in df1.collect():
+            h, w = spec1.tile_shape(r.tile_y, r.tile_x)
+            got1[r.tile_y * TS:r.tile_y * TS + h,
+                 r.tile_x * TS:r.tile_x * TS + w] = \
+                np.asarray(r.px).reshape(h, w)
+        expect = fulls[b].reshape(spec1.height, 2, spec1.width, 2).mean(axis=(1, 3))
+        np.testing.assert_allclose(got1, expect)

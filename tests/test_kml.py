@@ -78,3 +78,15 @@ def test_write_guard(spark, tmp_path):
     with pytest.raises(ValueError, match="max_features"):
         KML.write_kml(_df(spark), str(tmp_path / "x.kml"),
                       max_features=2)
+
+
+def test_esc_quotes_in_attribute_position(spark, tmp_path):
+    """A '"' in a column name lands inside <Data name="...">; it must
+    escape to &quot; or ET.fromstring rejects the file."""
+    import xml.etree.ElementTree as ET
+
+    from gdal_spark.sources.kml import _esc
+
+    assert _esc('he said "hi" & <bye>') == "he said &quot;hi&quot; &amp; &lt;bye&gt;"
+    name = 'a"b'
+    ET.fromstring(f'<Data name="{_esc(name)}"><value>x</value></Data>')

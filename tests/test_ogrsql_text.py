@@ -168,9 +168,92 @@ def test_unsupported_join_shapes_raise(spark, layers):
         "ON my_layer.strfield = my_layer2.strfield2",
         "SELECT * FROM my_layer RIGHT JOIN my_layer2 "
         "ON my_layer.strfield = my_layer2.strfield2",
-        # ON must reference the joined table (ogr_sql_test.py:833)
+        # ON may not reference ANOTHER layer than the primary and the
+        # joined secondary (ogr_sql_test.py:834, swq_select.cpp:916)
         "SELECT * FROM my_layer LEFT JOIN my_layer2 "
-        "ON my_layer.strfield = my_layer.strfield",
+        "ON my_layer.intfield = my_layer3.k3",
+        # unknown joined layer (ogr_sql_test.py:832-833)
+        "SELECT * FROM my_layer LEFT JOIN foo "
+        "ON my_layer.strfield = foo.strfield",
     ):
         with pytest.raises(NotImplementedError):
             execute_sql(spark, bad, layers, dialect="OGRSQL")
+
+
+def test_join_with_table_aliases(spark, layers):
+    """ogr_join_test.py:112-128 (tests 5-7): aliased primary and
+    secondary."""
+    out = execute_sql(spark, """
+        SELECT p.intfield, il.extra
+        FROM my_layer p LEFT JOIN my_layer2 il
+          ON p.strfield = il.strfield2
+        ORDER BY p.intfield""", layers, dialect="OGRSQL")
+    assert _rows(out, "intfield", "extra") == [
+        (1, 10), (2, 20), (3, 30), (4, 20), (5, None)]
+
+
+def test_join_on_and_of_equalities(spark, layers):
+    """ogr_join_test.py:429-443 (test 22): compound AND equi ON."""
+    out = execute_sql(spark, """
+        SELECT my_layer.intfield, my_layer3.tag
+        FROM my_layer LEFT JOIN my_layer3
+          ON my_layer.intfield = my_layer3.k3 AND my_layer3.tag = 'b'
+        ORDER BY my_layer.intfield""", layers, dialect="OGRSQL")
+    assert _rows(out, "intfield", "tag") == [
+        (1, None), (2, "b"), (3, None), (4, None), (5, None)]
+
+
+def test_join_on_inequality_first_match(spark, layers):
+    """Arbitrary ON expression (GetFilterForJoin ogr_gensql.cpp:1333):
+    each primary row pairs with the FIRST secondary in FID order
+    satisfying the expression."""
+    out = execute_sql(spark, """
+        SELECT my_layer.intfield, my_layer3.tag
+        FROM my_layer LEFT JOIN my_layer3
+          ON my_layer3.k3 > my_layer.intfield
+        ORDER BY my_layer.intfield""", layers, dialect="OGRSQL")
+    # FID order of my_layer3 rows: (1,a) (2,b) (2,bb) (9,z)
+    assert _rows(out, "intfield", "tag") == [
+        (1, "b"), (2, "z"), (3, "z"), (4, "z"), (5, "z")]
+
+
+def test_join_on_primary_only_condition(spark, layers):
+    """ogr_join_test.py:489-540 (join ON a primary-only predicate):
+    rows satisfying it join the secondary's FIRST record, others get
+    NULL."""
+    out = execute_sql(spark, """
+        SELECT my_layer.intfield, my_layer2.extra
+        FROM my_layer LEFT JOIN my_layer2
+          ON my_layer.realfield = 2.5
+        ORDER BY my_layer.intfield""", layers, dialect="OGRSQL")
+    assert _rows(out, "intfield", "extra") == [
+        (1, None), (2, 10), (3, None), (4, None), (5, None)]
+
+
+def test_same_secondary_joined_in_two_union_branches(spark, layers):
+    """Two UNION ALL branches each joining my_layer2 (the round-3
+    ADVICE regression case): the per-clause rewrite must not clobber
+    the later branch's ON references."""
+    out = execute_sql(spark, """
+        SELECT my_layer.intfield AS v, my_layer2.extra AS e
+        FROM my_layer JOIN my_layer2
+          ON my_layer.strfield = my_layer2.strfield2
+        WHERE my_layer.intfield = 1
+        UNION ALL
+        SELECT my_layer.intfield AS v, my_layer2.extra AS e
+        FROM my_layer JOIN my_layer2
+          ON my_layer.strfield = my_layer2.strfield2
+        WHERE my_layer.intfield = 4
+        ORDER BY v""", layers, dialect="OGRSQL")
+    assert _rows(out, "v", "e") == [(1, 10), (4, 20)]
+
+
+def test_join_reversed_on_orientation(spark, layers):
+    """ogr_join_test.py:369-374 (test 18): secondary.key = primary.key."""
+    out = execute_sql(spark, """
+        SELECT my_layer.intfield, my_layer2.extra
+        FROM my_layer LEFT JOIN my_layer2
+          ON my_layer2.strfield2 = my_layer.strfield
+        ORDER BY my_layer.intfield""", layers, dialect="OGRSQL")
+    assert _rows(out, "intfield", "extra") == [
+        (1, 10), (2, 20), (3, 30), (4, 20), (5, None)]

@@ -313,3 +313,22 @@ def test_text_byte_identity_invariant(spark, sf_dir):
     bad = p.withColumn("t2", extracted).filter(
         F.md5(F.encode(F.col("t2"), "utf-8")) != F.md5(F.encode(F.col("text"), "utf-8")))
     assert bad.count() == 0
+
+
+def test_topk_cosine_numpy_query_broadcast_guard(spark, monkeypatch):
+    """The brute-force query-side collect is budget-guarded: past
+    MAX_BROADCAST_QUERIES it must raise (pointing at the bucketed
+    paths), never collect an unbounded query set onto the driver."""
+    import pytest
+
+    from gdal_spark.operators import similarity as S
+
+    emb = spark.range(20).selectExpr(
+        "id AS vec_id",
+        "array(CAST(id AS DOUBLE), 1.0, 2.0) AS embedding")
+    monkeypatch.setattr(S, "MAX_BROADCAST_QUERIES", 5)
+    with pytest.raises(ValueError, match="lsh_bucketed_topk"):
+        S.topk_cosine(emb, emb, k=3, method="numpy").collect()
+    # under the budget the path still works
+    small = emb.filter("vec_id < 4")
+    assert S.topk_cosine(emb, small, k=3, method="numpy").count() == 12

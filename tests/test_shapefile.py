@@ -111,3 +111,16 @@ def test_write_guard(spark, tmp_path):
     df = _mkdf(spark)
     with pytest.raises(ValueError, match="max_features"):
         SHP.write_shapefile(df, str(tmp_path / "x"), max_features=2)
+
+
+def test_dbf_numeric_overflow_writes_star_fill(spark, tmp_path):
+    """dbfopen.c convention: a numeric wider than its field writes '*'
+    fill (reader -> NULL) instead of silently truncating digits."""
+    from gdal_spark.sources.shapefile import _dbf_format, _dbf_value
+
+    raw = _dbf_format(9223372036854775807, "N", 18, 0)
+    assert raw == b"*" * 18
+    assert _dbf_value(raw, "N", 0) is None
+    # in-range values still round-trip
+    ok = _dbf_format(123456, "N", 18, 0)
+    assert _dbf_value(ok, "N", 0) == 123456
