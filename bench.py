@@ -153,7 +153,7 @@ def main():
                   "format_roundtrip_geojsonl",
                   "raster_density_pyramid_checksum",
                   "raster_warp_kernels_checksum", "geo_overlay_ops",
-                  "raster_grid_nearest", "geo_dissolve_union",
+                  "raster_grid_metrics", "geo_dissolve_union",
                   "raster_color_relief_checksum",
                   "raster_warp_crs_checksum", "geo_s2_cell_rollup"]:
         fn = Q.QUERIES[qname]

@@ -154,20 +154,23 @@ def _golden_idw(sf_dir: str) -> str:
                        ["tile_y", "tile_x"])
 
 
-_CACHE: dict[str, str] | None = None
+_CACHE: dict[str, dict[str, str]] = {}
 
 
 def golden_oracles(sf_dir: str = GOLDEN_SF_DIR) -> dict[str, str]:
-    """{gate name -> pinned-literal DuckDB SQL}; {} if data is absent."""
-    global _CACHE
-    if _CACHE is not None:
-        return dict(_CACHE)
+    """{gate name -> pinned-literal DuckDB SQL} for the parquet at
+    `sf_dir` (default: the driver's sf0.01 gate); {} if data is
+    absent. Literals are a pure function of the input data, so any
+    scale factor can be pinned (tests/test_queries_oracle.py pins
+    sf0.001, the driver sf0.01)."""
+    if sf_dir in _CACHE:
+        return dict(_CACHE[sf_dir])
     if not os.path.exists(f"{sf_dir}/documents.parquet"):
         return {}
     canvas = _density_canvas(sf_dir)
-    _CACHE = {
+    _CACHE[sf_dir] = {
         "raster_viewshed_counts": _golden_viewshed(canvas),
         "raster_sieve_checksum": _golden_sieve(canvas),
         "raster_grid_idw": _golden_idw(sf_dir),
     }
-    return dict(_CACHE)
+    return dict(_CACHE[sf_dir])

@@ -1402,26 +1402,221 @@ def _grid_nearest_oracle() -> str:
     """
 
 
-@register("raster_grid_nearest", oracle=_grid_nearest_oracle())
-def grid_nearest_q(spark, sf_dir):
-    """GDALGridNearestNeighbor (alg/gdalgrid.cpp): each z1 node takes
-    its nearest page point's n_chars within a 3000 km radius (mercator
-    meters); distance ties break to the smallest value. Pure value
-    selection (no float accumulation), so the SQL oracle reproduces the
-    grid bit-for-bit; runs on the scatter (per-point tile fan-out)
-    physical path."""
+GM_NODATA = -1.0
+GM_SMOOTH = 5.0e5      # invdistnn smoothing (meters)
+GM_MAXPTS = 4          # invdistnn nearest-neighbour cap
+# The metric gate sums float distances, so point coords must be
+# IEEE-identical in Spark and DuckDB: Y maps lat linearly into the
+# mercator range (one multiply — exact) instead of through log/tan,
+# whose JVM and libm implementations differ in the last ulp. The real
+# mercator transform is gated elsewhere (density/tile/warp gates, where
+# only floor-binning consumes it).
+GM_Y_SCALE = mercator.ORIGIN_SHIFT / 80.0
+
+
+def _grid_metrics_oracle() -> str:
+    """One relational oracle for the WHOLE gdalgrid metric family.
+    Value-selection metrics (nearest/min/max/range/count) are plain
+    aggregates; the order-sensitive float folds (average distances,
+    invdistnn weighted sums) are pinned with DuckDB `list_reduce` left
+    folds over exactly the candidate order the engine kernels sum in
+    (sorted-point order; rank-then-quadrant round-robin for the
+    per-quadrant variant) — every term is elementary IEEE arithmetic
+    (power=2 avoids pow), so the fold is bit-exact."""
+    spec = G.world_3857(GN_ZOOM, GN_TILE)
+    r = GN_RADIUS
+
+    def D(v: float) -> str:
+        # a bare decimal literal parses as DECIMAL in DuckDB; float
+        # constants must enter the expression tree as DOUBLE or the
+        # node-coordinate arithmetic silently runs in decimal
+        return f"CAST('{v!r}' AS DOUBLE)"
+
+    r1sq, r2sq, r12sq = D(r * r), D(r * r), D((r * r) * (r * r))
+    s2 = D(GM_SMOOTH * GM_SMOOTH)
+    rr = D(r * r)
+    nx = f"({D(spec.gt[0])} + (x + 0.5) * {D(spec.gt[1])})"
+    ny = f"({D(spec.gt[3])} + (y + 0.5) * ({D(spec.gt[5])}))"
+    ppx = f"({pages.LON_SQL} * {D(mercator.LON2M)})"
+    ppy = f"({pages.LAT_SQL} * {D(GM_Y_SCALE)})"
+    fold = "(a, b) -> a + b"
+    nd = f"{GM_NODATA!r}"
+    return f"""
+    WITH p AS (SELECT {ppx} AS px, {ppy} AS py,
+                      CAST(n_chars AS DOUBLE) AS v
+               FROM documents),
+    nodes AS (
+      SELECT CAST(x AS BIGINT) AS gx, CAST(y AS BIGINT) AS gy,
+             {nx} AS nx, {ny} AS ny
+      FROM (SELECT range AS x FROM range({GN_N})),
+           (SELECT range AS y FROM range({GN_N}))),
+    cand AS (
+      SELECT n.gx, n.gy, p.px, p.py, p.v,
+             (p.px - n.nx) AS dx, (p.py - n.ny) AS dy,
+             ((p.px - n.nx) * (p.px - n.nx)
+              + (p.py - n.ny) * (p.py - n.ny)) AS d2
+      FROM nodes n, p),
+    ell AS (SELECT * FROM cand
+            WHERE {r2sq} * (dx * dx) + {r1sq} * (dy * dy)
+                  <= {r12sq}),
+    selagg AS (
+      SELECT gx, gy, count(*) AS n, min(v) AS mn, max(v) AS mx,
+             list_reduce(list(sqrt(d2) ORDER BY px, py, v),
+                         {fold}) AS distsum,
+             sum(v) AS vsum
+      FROM ell GROUP BY gx, gy),
+    pairs AS (
+      SELECT a.gx, a.gy,
+             sqrt((b.px - a.px) * (b.px - a.px)
+                  + (b.py - a.py) * (b.py - a.py)) AS pd,
+             a.px AS ax, a.py AS ay, a.v AS av,
+             b.px AS bx, b.py AS by, b.v AS bv
+      FROM ell a JOIN ell b
+        ON a.gx = b.gx AND a.gy = b.gy
+       AND (a.px, a.py, a.v) < (b.px, b.py, b.v)),
+    pairagg AS (
+      SELECT gx, gy, count(*) AS n,
+             list_reduce(list(pd ORDER BY ax, ay, av, bx, by, bv),
+                         {fold}) AS pdsum
+      FROM pairs GROUP BY gx, gy),
+    nnsel AS (
+      SELECT gx, gy, v, (d2 + {s2}) AS rsm2,
+             CASE WHEN dx >= 0 THEN 1 ELSE 0 END
+             + CASE WHEN dy >= 0 THEN 2 ELSE 0 END AS quad
+      FROM cand WHERE d2 <= {rr}),
+    nn AS (
+      SELECT gx, gy,
+             list_reduce(list((1.0 / rsm2) * v ORDER BY rnk),
+                         {fold}) AS num,
+             list_reduce(list(1.0 / rsm2 ORDER BY rnk), {fold}) AS den
+      FROM (SELECT *, row_number() OVER (PARTITION BY gx, gy
+                                         ORDER BY rsm2, v) AS rnk
+            FROM nnsel)
+      WHERE rnk <= {GM_MAXPTS} GROUP BY gx, gy),
+    nnq AS (
+      SELECT gx, gy, count(DISTINCT quad) AS nquads,
+             list_reduce(list((1.0 / rsm2) * v ORDER BY qrnk, quad),
+                         {fold}) AS num,
+             list_reduce(list(1.0 / rsm2 ORDER BY qrnk, quad),
+                         {fold}) AS den
+      FROM (SELECT *, row_number() OVER (PARTITION BY gx, gy, quad
+                                         ORDER BY rsm2, v) AS qrnk
+            FROM nnsel)
+      WHERE qrnk <= 1 GROUP BY gx, gy),
+    ndm AS (SELECT gx, gy, min(d2) AS dmin FROM cand
+            WHERE d2 <= {rr} GROUP BY gx, gy),
+    nval AS (SELECT c.gx, c.gy, min(c.v) AS v
+             FROM cand c JOIN ndm ON c.gx = ndm.gx AND c.gy = ndm.gy
+                               AND c.d2 = ndm.dmin
+             GROUP BY c.gx, c.gy)
+    SELECT 'nearest' AS part, n.gx, n.gy, coalesce(nval.v, {nd}) AS v
+    FROM nodes n LEFT JOIN nval ON nval.gx = n.gx AND nval.gy = n.gy
+    UNION ALL
+    SELECT 'minimum', n.gx, n.gy, coalesce(s.mn, {nd})
+    FROM nodes n LEFT JOIN selagg s ON s.gx = n.gx AND s.gy = n.gy
+    UNION ALL
+    SELECT 'maximum', n.gx, n.gy, coalesce(s.mx, {nd})
+    FROM nodes n LEFT JOIN selagg s ON s.gx = n.gx AND s.gy = n.gy
+    UNION ALL
+    SELECT 'range', n.gx, n.gy, coalesce(s.mx - s.mn, {nd})
+    FROM nodes n LEFT JOIN selagg s ON s.gx = n.gx AND s.gy = n.gy
+    UNION ALL
+    SELECT 'count', n.gx, n.gy,
+           coalesce(CAST(s.n AS DOUBLE), {nd})
+    FROM nodes n LEFT JOIN selagg s ON s.gx = n.gx AND s.gy = n.gy
+    UNION ALL
+    SELECT 'avg_dist', n.gx, n.gy, coalesce(s.distsum / s.n, {nd})
+    FROM nodes n LEFT JOIN selagg s ON s.gx = n.gx AND s.gy = n.gy
+    UNION ALL
+    SELECT 'avg_dist_pts', n.gx, n.gy, coalesce(pa.pdsum / pa.n, {nd})
+    FROM nodes n LEFT JOIN pairagg pa ON pa.gx = n.gx AND pa.gy = n.gy
+    UNION ALL
+    SELECT 'average', n.gx, n.gy, coalesce(s.vsum / s.n, {nd})
+    FROM nodes n LEFT JOIN selagg s ON s.gx = n.gx AND s.gy = n.gy
+    UNION ALL
+    SELECT 'invdistnn', n.gx, n.gy, coalesce(nn.num / nn.den, {nd})
+    FROM nodes n LEFT JOIN nn ON nn.gx = n.gx AND nn.gy = n.gy
+    UNION ALL
+    SELECT 'invdistnn_quadrant', n.gx, n.gy,
+           CASE WHEN q.nquads = 4 THEN q.num / q.den ELSE {nd} END
+    FROM nodes n LEFT JOIN nnq q ON q.gx = n.gx AND q.gy = n.gy
+    ORDER BY part, gy, gx
+    """
+
+
+def _nodes_long(tiles, spec, part: str):
+    """Dense tile relation -> (part, gx, gy, v) node rows (uniform
+    tiles only — the gate grid divides evenly)."""
+    t = spec.tile
+    assert spec.width % t == 0 and spec.height % t == 0
+    e = F.posexplode("px")
+    return (tiles.select("tile_y", "tile_x", e.alias("pos", "v"))
+            .select(F.lit(part).alias("part"),
+                    (F.col("tile_x") * t + F.col("pos") % t)
+                    .cast("long").alias("gx"),
+                    (F.col("tile_y") * t + (F.col("pos") / t).cast("int"))
+                    .cast("long").alias("gy"),
+                    F.col("v")))
+
+
+@register("raster_grid_metrics", oracle=_grid_metrics_oracle())
+def grid_metrics_q(spark, sf_dir):
+    """The gdalgrid metric family over page points on the z1 mercator
+    node grid, one long-format union gate (part, gx, gy, v):
+
+      nearest            GDALGridNearestNeighbor (alg/gdalgrid.cpp:881)
+      minimum/maximum/   GDALGridDataMetric* (:1058,:1378,:1545,:1841,
+      range/count/         :2135,:2410; CLI steps
+      avg_dist/            apps/gdalalg_vector_grid_data_metrics.cpp)
+      avg_dist_pts
+      average            GDALGridMovingAverage (:630,
+                           apps/gdalalg_vector_grid_average.cpp)
+      invdistnn          GDALGridInverseDistanceToAPowerNearestNeighbor
+                           (:242), radius + 4 nearest, smoothing
+      invdistnn_quadrant the per-quadrant variant (:351), 1 point per
+                           quadrant round-robin, all-quadrants minimum
+
+    Selection metrics are relational; the float folds (distance sums,
+    inverse-distance weighted sums) are pinned bit-exactly with DuckDB
+    list_reduce left folds in the engine's documented summation order.
+    All parts run the scatter (per-point tile fan-out) physical path."""
     from .raster import gridding as GR
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pts = d.select(
         F.col("n_chars").cast("double").alias("v"),
         mercator.merc_x_col(pages.lon_col(F.col("doc_id"))).alias("x"),
-        mercator.merc_y_col(pages.lat_col(F.col("doc_id"))).alias("y"))
+        (pages.lat_col(F.col("doc_id")) * F.lit(GM_Y_SCALE)).alias("y"))
     spec = G.world_3857(GN_ZOOM, GN_TILE)
-    out = GR.grid_nearest(pts, spec, radius=GN_RADIUS)
-    return (R.tiles_checksum(out, spec)
-            .filter(F.col("n_nonzero") > 0)
-            .orderBy("tile_y", "tile_x"))
+    nd = GM_NODATA
+    parts = [
+        ("nearest", GR.grid_nearest(pts, spec, radius=GN_RADIUS, nodata=nd)),
+        ("minimum", GR.grid_data_metric(pts, spec, "minimum", GN_RADIUS,
+                                        nodata=nd)),
+        ("maximum", GR.grid_data_metric(pts, spec, "maximum", GN_RADIUS,
+                                        nodata=nd)),
+        ("range", GR.grid_data_metric(pts, spec, "range", GN_RADIUS,
+                                      nodata=nd)),
+        ("count", GR.grid_data_metric(pts, spec, "count", GN_RADIUS,
+                                      nodata=nd)),
+        ("avg_dist", GR.grid_data_metric(pts, spec, "average_distance",
+                                         GN_RADIUS, nodata=nd)),
+        ("avg_dist_pts", GR.grid_data_metric(
+            pts, spec, "average_distance_pts", GN_RADIUS, nodata=nd)),
+        ("average", GR.grid_average(pts, spec, GN_RADIUS, nodata=nd)),
+        ("invdistnn", GR.grid_invdistnn(
+            pts, spec, radius=GN_RADIUS, power=2.0, smoothing=GM_SMOOTH,
+            max_points=GM_MAXPTS, min_points=1, nodata=nd)),
+        ("invdistnn_quadrant", GR.grid_invdistnn(
+            pts, spec, radius=GN_RADIUS, power=2.0, smoothing=GM_SMOOTH,
+            max_points=0, min_points_per_quadrant=1,
+            max_points_per_quadrant=1, nodata=nd)),
+    ]
+    out = None
+    for name, tiles in parts:
+        rows = _nodes_long(tiles, spec, name)
+        out = rows if out is None else out.unionByName(rows)
+    return out.orderBy("part", "gy", "gx")
 
 
 _RAMP = [(0.0, (0, 0, 255)), (2.0, (0, 255, 0)), (8.0, (255, 255, 0)),

@@ -348,3 +348,259 @@ def _grid_idw_scatter(points, spec, value_col, x_col, y_col,
                              "px": [out.tolist()]})
 
     return allrows.groupBy("tile_y", "tile_x").applyInPandas(run, G.TILE_SCHEMA)
+
+
+# --------------------------------------------------------------------
+# Data metrics / moving average / invdistnn (alg/gdalgrid.cpp:1024+,
+# :589, :242, :351). Same two physical strategies as IDW/nearest: the
+# kernels plug into _grid_scatter / _grid_broadcast, whose candidate
+# gathering is a superset of the search ellipse (out-of-ellipse
+# candidates contribute nothing), and whose sorted-candidate contract
+# ((x, y, v) lexsort) pins every order-sensitive float fold so the
+# scatter path, the broadcast path, the single-node oracle and the
+# DuckDB list_reduce oracle are all bit-identical.
+
+DATA_METRICS = ("minimum", "maximum", "range", "count",
+                "average_distance", "average_distance_pts")
+
+
+def _ellipse_inside(dx: np.ndarray, dy: np.ndarray, radius1: float,
+                    radius2: float, angle: float) -> np.ndarray:
+    """GDAL search-ellipse membership (gdalgrid.cpp:644-694): rotate by
+    `angle` degrees, then radius2^2*x^2 + radius1^2*y^2 <= r1^2*r2^2."""
+    r1sq = radius1 * radius1
+    r2sq = radius2 * radius2
+    if angle != 0.0:
+        a = np.radians(angle)
+        c1, c2 = np.cos(a), np.sin(a)
+        dx, dy = dx * c1 + dy * c2, dy * c1 - dx * c2
+    return r2sq * (dx * dx) + r1sq * (dy * dy) <= r1sq * r2sq
+
+
+def data_metric_np(nodes_x: np.ndarray, nodes_y: np.ndarray,
+                   pts_x: np.ndarray, pts_y: np.ndarray,
+                   pts_v: np.ndarray, metric: str,
+                   radius1: float, radius2: float | None = None,
+                   angle: float = 0.0, min_points: int = 0,
+                   nodata: float = 0.0) -> np.ndarray:
+    """GDALGridDataMetric{Minimum,Maximum,Range,Count,AverageDistance,
+    AverageDistancePts} (alg/gdalgrid.cpp:1058+,1378+,1545+,1841+,
+    2135+,2410+). average_distance_pts follows the reference's direct
+    (non-quadtree) branch: unordered pairs i<j, never the self-pair the
+    quadtree branch's `j = k` start admits. Float folds run in the
+    given (sorted) point order, i-outer j-inner for pairs."""
+    if metric not in DATA_METRICS:
+        raise ValueError(f"unknown data metric {metric!r}")
+    r2 = radius1 if radius2 is None else radius2
+    out = np.full(nodes_x.shape, nodata, dtype=np.float64)
+    if len(pts_x) == 0:
+        return out
+    step = max(1, int(4_000_000 // max(len(pts_x), 1)))
+    for i in range(0, len(nodes_x), step):
+        dx = pts_x[None, :] - nodes_x[i:i + step, None]
+        dy = pts_y[None, :] - nodes_y[i:i + step, None]
+        inside = _ellipse_inside(dx, dy, radius1, r2, angle)
+        n = inside.sum(axis=1)
+        ok = n >= max(min_points, 1)
+        if metric == "minimum":
+            vals = np.where(inside, pts_v[None, :], np.inf).min(axis=1)
+        elif metric == "maximum":
+            vals = np.where(inside, pts_v[None, :], -np.inf).max(axis=1)
+        elif metric == "range":
+            vals = (np.where(inside, pts_v[None, :], -np.inf).max(axis=1)
+                    - np.where(inside, pts_v[None, :], np.inf).min(axis=1))
+        elif metric == "count":
+            vals = n.astype(np.float64)
+        elif metric == "average_distance":
+            dist = np.sqrt(dx * dx + dy * dy)
+            acc = np.zeros(len(n), np.float64)
+            for k in range(len(pts_x)):  # sequential fold, sorted order
+                acc = acc + np.where(inside[:, k], dist[:, k], 0.0)
+            vals = np.where(n > 0, acc / np.maximum(n, 1), nodata)
+        else:  # average_distance_pts
+            vals = np.empty(len(n), np.float64)
+            npairs = np.zeros(len(n), np.int64)
+            for r in range(len(n)):
+                idx = np.nonzero(inside[r])[0]
+                acc = 0.0
+                cnt = 0
+                for a in range(len(idx) - 1):
+                    ia = idx[a]
+                    ddx = pts_x[idx[a + 1:]] - pts_x[ia]
+                    ddy = pts_y[idx[a + 1:]] - pts_y[ia]
+                    for d in np.sqrt(ddx * ddx + ddy * ddy):
+                        acc += float(d)
+                        cnt += 1
+                vals[r] = acc / cnt if cnt else nodata
+                npairs[r] = cnt
+            ok = npairs >= max(min_points, 1)
+        out[i:i + step] = np.where(ok, vals, nodata)
+    return out
+
+
+def moving_average_np(nodes_x: np.ndarray, nodes_y: np.ndarray,
+                      pts_x: np.ndarray, pts_y: np.ndarray,
+                      pts_v: np.ndarray, radius1: float,
+                      radius2: float | None = None, angle: float = 0.0,
+                      min_points: int = 0,
+                      nodata: float = 0.0) -> np.ndarray:
+    """GDALGridMovingAverage (alg/gdalgrid.cpp:630): mean of values in
+    the search ellipse; < min_points (or 0) -> nodata. The fold runs
+    sequentially in sorted point order (matching the reference's
+    sequential accumulator on its scan order, pinned here)."""
+    r2 = radius1 if radius2 is None else radius2
+    out = np.full(nodes_x.shape, nodata, dtype=np.float64)
+    if len(pts_x) == 0:
+        return out
+    step = max(1, int(4_000_000 // max(len(pts_x), 1)))
+    for i in range(0, len(nodes_x), step):
+        dx = pts_x[None, :] - nodes_x[i:i + step, None]
+        dy = pts_y[None, :] - nodes_y[i:i + step, None]
+        inside = _ellipse_inside(dx, dy, radius1, r2, angle)
+        n = inside.sum(axis=1)
+        acc = np.zeros(len(n), np.float64)
+        for k in range(len(pts_x)):
+            acc = acc + np.where(inside[:, k], pts_v[k], 0.0)
+        ok = n >= max(min_points, 1)
+        out[i:i + step] = np.where(ok, acc / np.maximum(n, 1), nodata)
+    return out
+
+
+def invdistnn_np(nodes_x: np.ndarray, nodes_y: np.ndarray,
+                 pts_x: np.ndarray, pts_y: np.ndarray, pts_v: np.ndarray,
+                 radius: float, power: float = 2.0, smoothing: float = 0.0,
+                 max_points: int = 12, min_points: int = 0,
+                 min_points_per_quadrant: int = 0,
+                 max_points_per_quadrant: int = 0,
+                 nodata: float = 0.0) -> np.ndarray:
+    """GDALGridInverseDistanceToAPowerNearestNeighbor
+    (alg/gdalgrid.cpp:242; per-quadrant :351): IDW over the nearest
+    max_points within `radius`, ranked by smoothed distance (ties pin
+    to the smaller value — the reference's multimap leaves equal keys
+    in scan order, which its own quadtree makes nondeterministic).
+    Quadrant mode consumes candidates round-robin across quadrants
+    (:434-462) with per-quadrant caps/minima. power=2 avoids pow(), so
+    every term is elementary IEEE arithmetic."""
+    s2 = smoothing * smoothing
+    rr = radius * radius
+    out = np.full(nodes_x.shape, nodata, dtype=np.float64)
+    if len(pts_x) == 0:
+        return out
+    quadrant_mode = min_points_per_quadrant > 0 or max_points_per_quadrant > 0
+    step = max(1, int(2_000_000 // max(len(pts_x), 1)))
+    for i in range(0, len(nodes_x), step):
+        dx = pts_x[None, :] - nodes_x[i:i + step, None]
+        dy = pts_y[None, :] - nodes_y[i:i + step, None]
+        d2 = dx * dx + dy * dy
+        rsm2 = d2 + s2
+        elig = d2 <= rr
+        for r in range(rsm2.shape[0]):
+            idx = np.nonzero(elig[r])[0]
+            if len(idx) == 0:
+                continue
+            key = rsm2[r, idx]
+            hit = key < 1e-13  # exact-hit short-circuit (:289,:398)
+            if hit.any():
+                out[i + r] = pts_v[idx[np.argmax(hit)]]
+                continue
+            order = idx[np.lexsort((pts_v[idx], key))]
+            if quadrant_mode:
+                quad = ((dx[r, order] >= 0).astype(np.int64)
+                        | ((dy[r, order] >= 0).astype(np.int64) << 1))
+                per_q = [order[quad == q] for q in range(4)]
+                picked, per_count = [], [0, 0, 0, 0]
+                iters = [0, 0, 0, 0]
+                finished = 0
+                q = 0
+                while finished != 15:
+                    if iters[q] >= len(per_q[q]) or (
+                            max_points_per_quadrant > 0
+                            and per_count[q] >= max_points_per_quadrant):
+                        finished |= 1 << q
+                        q = (q + 1) % 4
+                        continue
+                    picked.append(per_q[q][iters[q]])
+                    iters[q] += 1
+                    per_count[q] += 1
+                    if max_points > 0 and len(picked) >= max_points:
+                        break
+                    q = (q + 1) % 4
+                if min_points_per_quadrant > 0 and \
+                        min(per_count) < min_points_per_quadrant:
+                    continue
+                chosen = np.asarray(picked, np.int64)
+            else:
+                chosen = order[:max_points] if max_points > 0 else order
+            if len(chosen) < min_points:
+                continue
+            num = 0.0
+            den = 0.0
+            for j in chosen:  # sequential fold in consumption order
+                w = 1.0 / (rsm2[r, j] if power == 2.0
+                           else np.power(rsm2[r, j], power / 2.0))
+                num += w * pts_v[j]
+                den += w
+            out[i + r] = num / den if den != 0.0 else nodata
+    return out
+
+
+def grid_data_metric(points: DataFrame, spec: G.GridSpec, metric: str,
+                     radius1: float, radius2: float | None = None,
+                     angle: float = 0.0, min_points: int = 0,
+                     value_col: str = "v", x_col: str = "x",
+                     y_col: str = "y", nodata: float = 0.0,
+                     force_broadcast: bool = False) -> DataFrame:
+    """`gdal vector grid <metric>` analogs
+    (apps/gdalalg_vector_grid_data_metrics.cpp)."""
+    r2 = radius1 if radius2 is None else radius2
+    search = max(abs(radius1), abs(r2))
+    kern = lambda wx, wy, px, py, pv: data_metric_np(  # noqa: E731
+        wx, wy, px, py, pv, metric, radius1, r2, angle, min_points, nodata)
+    if force_broadcast or not np.isfinite(search):
+        return _grid_broadcast(points, spec, value_col, x_col, y_col,
+                               search, nodata, kern)
+    return _grid_scatter(points, spec, value_col, x_col, y_col,
+                         search, nodata, kern)
+
+
+def grid_average(points: DataFrame, spec: G.GridSpec, radius1: float,
+                 radius2: float | None = None, angle: float = 0.0,
+                 min_points: int = 0, value_col: str = "v",
+                 x_col: str = "x", y_col: str = "y", nodata: float = 0.0,
+                 force_broadcast: bool = False) -> DataFrame:
+    """`gdal vector grid average` (apps/gdalalg_vector_grid_average.cpp)."""
+    r2 = radius1 if radius2 is None else radius2
+    search = max(abs(radius1), abs(r2))
+    kern = lambda wx, wy, px, py, pv: moving_average_np(  # noqa: E731
+        wx, wy, px, py, pv, radius1, r2, angle, min_points, nodata)
+    if force_broadcast or not np.isfinite(search):
+        return _grid_broadcast(points, spec, value_col, x_col, y_col,
+                               search, nodata, kern)
+    return _grid_scatter(points, spec, value_col, x_col, y_col,
+                         search, nodata, kern)
+
+
+def grid_invdistnn(points: DataFrame, spec: G.GridSpec, radius: float,
+                   power: float = 2.0, smoothing: float = 0.0,
+                   max_points: int = 12, min_points: int = 0,
+                   min_points_per_quadrant: int = 0,
+                   max_points_per_quadrant: int = 0,
+                   value_col: str = "v", x_col: str = "x",
+                   y_col: str = "y", nodata: float = 0.0,
+                   force_broadcast: bool = False) -> DataFrame:
+    """`gdal vector grid invdistnn` (+ per-quadrant options of
+    gdalalg_vector_grid.cpp). Radius is required and circular, per the
+    reference options struct."""
+    if not np.isfinite(radius):
+        raise ValueError("invdistnn requires a finite radius "
+                         "(GDALGridInverseDistanceToAPowerNearestNeighbor"
+                         "Options.dfRadius)")
+    kern = lambda wx, wy, px, py, pv: invdistnn_np(  # noqa: E731
+        wx, wy, px, py, pv, radius, power, smoothing, max_points,
+        min_points, min_points_per_quadrant, max_points_per_quadrant,
+        nodata)
+    if force_broadcast:
+        return _grid_broadcast(points, spec, value_col, x_col, y_col,
+                               radius, nodata, kern)
+    return _grid_scatter(points, spec, value_col, x_col, y_col,
+                         radius, nodata, kern)

@@ -39,7 +39,7 @@ def test_golden_oracles_execute_with_gate_schema():
 
 def test_golden_pins_match_fresh_recomputation():
     pinned = golden.golden_oracles()
-    golden._CACHE = None  # force regeneration from the parquet
+    golden._CACHE.clear()  # force regeneration from the parquet
     fresh = golden.golden_oracles()
     assert pinned == fresh
 

@@ -40,6 +40,15 @@ QUERIES = E.queries()
 ORACLES = E.oracle_sql()
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _golden_at_test_sf(sf_dir):
+    """oracle_sql() pins golden literals at the driver's sf0.01; this
+    suite runs at sf0.001, so re-pin them from the suite's data."""
+    from gdal_spark import golden
+
+    ORACLES.update(golden.golden_oracles(sf_dir))
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_vs_oracle(name, spark, sf_dir, con):
     sdf = QUERIES[name](spark, sf_dir)
