@@ -1412,6 +1412,11 @@ GM_MAXPTS = 4          # invdistnn nearest-neighbour cap
 # mercator transform is gated elsewhere (density/tile/warp gates, where
 # only floor-binning consumes it).
 GM_Y_SCALE = mercator.ORIGIN_SHIFT / 80.0
+# linear-TIN part: an affine field A + B*x + C*y is reproduced EXACTLY
+# (to fp) by barycentric interpolation on ANY triangulation — the
+# relational oracle for a non-relational algorithm; positive range so
+# Spark HALF_UP round == DuckDB half-away round
+GM_LIN_A, GM_LIN_B, GM_LIN_C = 5000.0, 1.0e-5, -7.0e-6
 
 
 def _grid_metrics_oracle() -> str:
@@ -1540,6 +1545,11 @@ def _grid_metrics_oracle() -> str:
     SELECT 'invdistnn_quadrant', n.gx, n.gy,
            CASE WHEN q.nquads = 4 THEN q.num / q.den ELSE {nd} END
     FROM nodes n LEFT JOIN nnq q ON q.gx = n.gx AND q.gy = n.gy
+    UNION ALL
+    SELECT 'linear', n.gx, n.gy,
+           round({D(GM_LIN_A)} + {D(GM_LIN_B)} * n.nx
+                 + {D(GM_LIN_C)} * n.ny, 3)
+    FROM nodes n
     ORDER BY part, gy, gx
     """
 
@@ -1575,6 +1585,9 @@ def grid_metrics_q(spark, sf_dir):
                            (:242), radius + 4 nearest, smoothing
       invdistnn_quadrant the per-quadrant variant (:351), 1 point per
                            quadrant round-robin, all-quadrants minimum
+      linear             GDALGridLinear (:2565, alg/delaunay.c) — TIN
+                           barycentric interpolation; gated via affine
+                           reproduction (exact on any triangulation)
 
     Selection metrics are relational; the float folds (distance sums,
     inverse-distance weighted sums) are pinned bit-exactly with DuckDB
@@ -1612,9 +1625,25 @@ def grid_metrics_q(spark, sf_dir):
             max_points=0, min_points_per_quadrant=1,
             max_points_per_quadrant=1, nodata=nd)),
     ]
+    # linear TIN (GDALGridLinear): an affine value field over the page
+    # points plus the four world corners (hull covers every node, so
+    # the barycentric surface equals the affine field to fp; rounded at
+    # 1e-3 on both sides — interpolation residual is ~1e-10)
+    aff = (F.lit(GM_LIN_A) + F.lit(GM_LIN_B) * F.col("x")
+           + F.lit(GM_LIN_C) * F.col("y"))
+    O = mercator.ORIGIN_SHIFT
+    corners = spark.createDataFrame(
+        [(x, y, GM_LIN_A + GM_LIN_B * x + GM_LIN_C * y)
+         for x in (-O, O) for y in (-O, O)],
+        "x double, y double, v double")
+    lin_pts = pts.withColumn("v", aff).unionByName(corners)
+    lin = GR.grid_linear(lin_pts, spec, radius=0.0, nodata=nd)
+    parts.append(("linear", lin))
     out = None
     for name, tiles in parts:
         rows = _nodes_long(tiles, spec, name)
+        if name == "linear":
+            rows = rows.withColumn("v", F.round("v", 3))
         out = rows if out is None else out.unionByName(rows)
     return out.orderBy("part", "gy", "gx")
 

@@ -604,3 +604,54 @@ def grid_invdistnn(points: DataFrame, spec: G.GridSpec, radius: float,
                                radius, nodata, kern)
     return _grid_scatter(points, spec, value_col, x_col, y_col,
                          radius, nodata, kern)
+
+
+MAX_TRIANGULATION_POINTS = 2_000_000
+
+
+def grid_linear(points: DataFrame, spec: G.GridSpec,
+                radius: float = -1.0, value_col: str = "v",
+                x_col: str = "x", y_col: str = "y", nodata: float = 0.0,
+                bary_eps: float = 0.0) -> DataFrame:
+    """GDALGridLinear (alg/gdalgrid.cpp:2565, alg/delaunay.c;
+    `gdal vector grid linear`, apps/gdalalg_vector_grid_linear.cpp):
+    Delaunay-TIN barycentric interpolation; outside the hull, nearest
+    point within `radius` (negative = unbounded, the CLI default) or
+    nodata when radius == 0.
+
+    Physical strategy: the triangulation is GLOBAL (each facet can
+    join any two ends of the point cloud), so the scatter points are
+    collected under MAX_TRIANGULATION_POINTS — the same documented
+    driver budget palette/proximity use — triangulated once, and the
+    (facets, coords, values) tuple is broadcast; node evaluation (the
+    part proportional to raster size, hence to the 100 TB side) runs
+    fully distributed, one task per tile. A 2M-vertex TIN is ~100 MB
+    broadcast — the reference's own qhull stage is single-node too."""
+    from ..geo import delaunay as DL
+
+    rows = points.select(x_col, y_col, value_col) \
+        .limit(MAX_TRIANGULATION_POINTS + 1).collect()
+    if len(rows) > MAX_TRIANGULATION_POINTS:
+        raise ValueError(
+            f"point set exceeds the triangulation budget "
+            f"({MAX_TRIANGULATION_POINTS}); thin the scatter first "
+            f"(the reference's qhull stage has the same single-node "
+            f"bound)")
+    px = np.array([r[x_col] for r in rows], np.float64)
+    py = np.array([r[y_col] for r in rows], np.float64)
+    pv = np.array([r[value_col] for r in rows], np.float64)
+    px, py, pv = sort_points(px, py, pv)
+    tris = DL.delaunay_np(px, py)
+    b = points.sparkSession.sparkContext.broadcast((px, py, pv, tris))
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bx, by, bv, btris = b.value
+        ty, tx = int(key[0]), int(key[1])
+        wx, wy = _tile_nodes(spec, ty, tx)
+        out = DL.linear_np(wx, wy, bx, by, bv, btris, radius, nodata,
+                           bary_eps)
+        return pd.DataFrame({"tile_y": [ty], "tile_x": [tx],
+                             "px": [out.tolist()]})
+
+    kdf = _key_grid(points.sparkSession, spec)
+    return kdf.groupBy("tile_y", "tile_x").applyInPandas(run, G.TILE_SCHEMA)
