@@ -17,11 +17,18 @@ import numpy as np
 
 POINT, LINESTRING, POLYGON = 1, 2, 3
 MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION = 4, 5, 6, 7
+# curve classes (ogr_core.h:439-460) — parsed here, linearized on
+# ingest by geo/curves.py; downstream operators see types 1-7 only
+CIRCULARSTRING, COMPOUNDCURVE, CURVEPOLYGON = 8, 9, 10
+MULTICURVE, MULTISURFACE = 11, 12
 
 _NAMES = {
     POINT: "POINT", LINESTRING: "LINESTRING", POLYGON: "POLYGON",
     MULTIPOINT: "MULTIPOINT", MULTILINESTRING: "MULTILINESTRING",
     MULTIPOLYGON: "MULTIPOLYGON", GEOMETRYCOLLECTION: "GEOMETRYCOLLECTION",
+    CIRCULARSTRING: "CIRCULARSTRING", COMPOUNDCURVE: "COMPOUNDCURVE",
+    CURVEPOLYGON: "CURVEPOLYGON", MULTICURVE: "MULTICURVE",
+    MULTISURFACE: "MULTISURFACE",
 }
 
 
@@ -72,6 +79,59 @@ def collection(children: list) -> bytes:
     return b"".join(out)
 
 
+def circularstring(coords) -> bytes:
+    c = np.asarray(coords, np.float64)
+    return struct.pack("<BII", 1, CIRCULARSTRING, len(c)) + c.tobytes()
+
+
+def _typed_container(t: int, children: list) -> bytes:
+    out = [struct.pack("<BII", 1, t, len(children))]
+    out += [bytes(c) for c in children]
+    return b"".join(out)
+
+
+def compoundcurve(segment_wkbs: list) -> bytes:
+    """segments: LineString / CircularString WKBs sharing endpoints."""
+    return _typed_container(COMPOUNDCURVE, segment_wkbs)
+
+
+def curvepolygon(ring_wkbs: list) -> bytes:
+    """rings: LineString / CircularString / CompoundCurve WKBs."""
+    return _typed_container(CURVEPOLYGON, ring_wkbs)
+
+
+def multicurve(curve_wkbs: list) -> bytes:
+    return _typed_container(MULTICURVE, curve_wkbs)
+
+
+def multisurface(surface_wkbs: list) -> bytes:
+    return _typed_container(MULTISURFACE, surface_wkbs)
+
+
+def encode_typed(t: int, payload) -> bytes:
+    """Re-encode a decode() result (inverse of _decode for every
+    supported type)."""
+    if t == POINT:
+        return point(*payload)
+    if t == LINESTRING:
+        return linestring(payload)
+    if t == POLYGON:
+        return polygon(payload)
+    if t == MULTIPOINT:
+        return multipoint(np.asarray(payload, np.float64).reshape(-1, 2))
+    if t == MULTILINESTRING:
+        return multilinestring(payload)
+    if t == MULTIPOLYGON:
+        return multipolygon(payload)
+    if t == CIRCULARSTRING:
+        return circularstring(payload)
+    if t in (GEOMETRYCOLLECTION, COMPOUNDCURVE, CURVEPOLYGON,
+             MULTICURVE, MULTISURFACE):
+        return _typed_container(t, [encode_typed(ct, cp)
+                                    for ct, cp in payload])
+    raise ValueError(f"encode_typed: unsupported type {t}")
+
+
 class _Reader:
     def __init__(self, buf: bytes):
         self.buf = buf
@@ -120,10 +180,14 @@ def _decode(r: _Reader):
     if t == POLYGON:
         nrings = r.u32(bo)
         return t, [r.coords(bo, r.u32(bo)) for _ in range(nrings)]
-    if t in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION):
+    if t == CIRCULARSTRING:
+        return t, r.coords(bo, r.u32(bo))
+    if t in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION,
+             COMPOUNDCURVE, CURVEPOLYGON, MULTICURVE, MULTISURFACE):
         n = r.u32(bo)
         kids = [_decode(r) for _ in range(n)]
-        if t == GEOMETRYCOLLECTION:
+        if t in (GEOMETRYCOLLECTION, COMPOUNDCURVE, CURVEPOLYGON,
+                 MULTICURVE, MULTISURFACE):
             return t, kids
         return t, [payload for _, payload in kids]
     raise ValueError(f"unsupported WKB type {t}")
@@ -213,9 +277,24 @@ def explode_parts(buf: bytes) -> list[bytes]:
     return out
 
 
+def peek_type(buf: bytes) -> int:
+    """Base geometry type code without decoding the body."""
+    b = bytes(buf)
+    bo = "<" if b[0] == 1 else ">"
+    (gtype,) = struct.unpack_from(bo + "I", b, 1)
+    return gtype % 1000
+
+
 def polygon_rings(buf: bytes) -> list[np.ndarray]:
     """Decode Polygon or MultiPolygon into a flat ring list where each
-    entry is (rings_of_one_polygon) — convenience for PIP kernels."""
+    entry is (rings_of_one_polygon) — convenience for PIP kernels.
+    Curve polygons linearize on the way in, exactly where the
+    reference's rasterizer strokes them (alg/gdalrasterize.cpp:
+    587-597 getLinearGeometry)."""
+    if peek_type(buf) in (CURVEPOLYGON, MULTISURFACE):
+        from . import curves
+
+        buf = curves.linearize(bytes(buf))
     t, payload = decode(buf)
     if t == POLYGON:
         return [payload]

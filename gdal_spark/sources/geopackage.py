@@ -36,7 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from ..geo import geom, wkb
+from ..geo import curves, geom, wkb
 
 _ENV_DOUBLES = {0: 0, 1: 4, 2: 6, 3: 6, 4: 8}
 
@@ -55,7 +55,14 @@ def gpkg_blob_to_wkb(blob: bytes | None) -> bytes | None:
     if flags & 0x10:  # empty geometry
         return None
     env = _ENV_DOUBLES[(flags >> 1) & 0x07]
-    return b[8 + 8 * env:]
+    raw = b[8 + 8 * env:]
+    # GPKG files may carry curve classes (CircularString/CompoundCurve/
+    # CurvePolygon/MultiCurve/MultiSurface, gpkg extension): linearize
+    # on ingest so the engine only ever sees linear WKB (the drivers'
+    # getLinearGeometry() policy; ogrgeometryfactory.cpp:6020)
+    if wkb.peek_type(raw) in curves.CURVE_TYPES:
+        raw = curves.linearize(raw)
+    return raw
 
 
 def wkb_to_gpkg_blob(buf: bytes | None, srs_id: int = 4326) -> bytes | None:
@@ -99,7 +106,9 @@ def _spark_type(decl: str):
         return T.BooleanType()
     if d == "BLOB" or d.startswith("GEOMETRY") or d in (
             "POINT", "LINESTRING", "POLYGON", "MULTIPOINT",
-            "MULTILINESTRING", "MULTIPOLYGON", "GEOMETRYCOLLECTION"):
+            "MULTILINESTRING", "MULTIPOLYGON", "GEOMETRYCOLLECTION",
+            "CIRCULARSTRING", "COMPOUNDCURVE", "CURVEPOLYGON",
+            "MULTICURVE", "MULTISURFACE", "CURVE", "SURFACE"):
         return T.BinaryType()
     return T.StringType()
 
