@@ -56,51 +56,129 @@ def utm_zone_lon0(zone: int) -> float:
     return -183.0 + 6.0 * zone
 
 
+class _TM:
+    """Generic ellipsoidal Transverse Mercator (Krüger/Karney series,
+    same math as the UTM path but with arbitrary ellipsoid, central
+    meridian/latitude, scale, and false origin — the EPSG:27700 class
+    the reference reaches through PROJ's tmerc). Datum shifts need
+    grid files PROJ itself lacks here, so — like the LCC/Albers
+    registries above — the native ellipsoidal lon/lat is the hub
+    coordinate (documented ballpark-hub policy)."""
+
+    def __init__(self, a: float, f: float, lon0: float, lat0: float,
+                 k0: float, e0: float, n0: float):
+        self.a, self.f = a, f
+        self.lon0, self.lat0, self.k0 = lon0, lat0, k0
+        self.e = np.sqrt(f * (2.0 - f))
+        n = f / (2.0 - f)
+        self.alpha = (
+            n / 2.0 - 2.0 * n**2 / 3.0 + 5.0 * n**3 / 16.0
+            + 41.0 * n**4 / 180.0,
+            13.0 * n**2 / 48.0 - 3.0 * n**3 / 5.0 + 557.0 * n**4 / 1440.0,
+            61.0 * n**3 / 240.0 - 103.0 * n**4 / 140.0,
+            49561.0 * n**4 / 161280.0,
+        )
+        self.beta = (
+            n / 2.0 - 2.0 * n**2 / 3.0 + 37.0 * n**3 / 96.0 - n**4 / 360.0,
+            n**2 / 48.0 + n**3 / 15.0 - 437.0 * n**4 / 1440.0,
+            17.0 * n**3 / 480.0 - 37.0 * n**4 / 840.0,
+            4397.0 * n**4 / 161280.0,
+        )
+        self.abar = a / (1.0 + n) * (1.0 + n**2 / 4.0 + n**4 / 64.0)
+        self.e0 = e0
+        # false northing measured from lat0's meridian arc (xi at lam=0)
+        xi0 = 0.0
+        if lat0 != 0.0:
+            xi0 = float(self._xi_eta(np.array([lon0]),
+                                     np.array([lat0]))[0][0])
+        self.n0_eff = n0 - k0 * self.abar * xi0
+
+    def _xi_eta(self, lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        phi = np.radians(np.asarray(lat, np.float64))
+        s = np.sin(phi)
+        t = np.sinh(np.arctanh(s) - self.e * np.arctanh(self.e * s))
+        xi_p = np.arctan2(t, np.cos(lam))
+        eta_p = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
+        xi = xi_p.copy()
+        eta = eta_p.copy()
+        for j, a in enumerate(self.alpha, start=1):
+            xi += a * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+            eta += a * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+        return xi, eta
+
+    def forward(self, lon, lat):
+        xi, eta = self._xi_eta(lon, lat)
+        E = self.e0 + self.k0 * self.abar * eta
+        Nn = self.k0 * self.abar * xi + self.n0_eff
+        return E, Nn
+
+    def inverse(self, E, Nn):
+        e = self.e
+        xi = (np.asarray(Nn, np.float64) - self.n0_eff) \
+            / (self.k0 * self.abar)
+        eta = (np.asarray(E, np.float64) - self.e0) / (self.k0 * self.abar)
+        xi_p = xi.copy()
+        eta_p = eta.copy()
+        for j, b in enumerate(self.beta, start=1):
+            xi_p -= b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+            eta_p -= b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+        tau_p = np.sin(xi_p) / np.sqrt(np.sinh(eta_p) ** 2
+                                       + np.cos(xi_p) ** 2)
+        lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+        # invert tau' = tau * sqrt(1+sigma^2) - sigma * sqrt(1+tau^2) by
+        # Newton iteration (Karney 2011, eq. 19-21)
+        tau = tau_p / np.sqrt(1.0 - e * e)  # first guess
+        for _ in range(6):
+            sig = np.sinh(e * np.arctanh(e * tau / np.sqrt(1.0 + tau * tau)))
+            taup_of = (tau * np.sqrt(1.0 + sig * sig)
+                       - sig * np.sqrt(1.0 + tau * tau))
+            dtau = ((tau_p - taup_of) * (1.0 + (1.0 - e * e) * tau * tau)
+                    / ((1.0 - e * e)
+                       * np.sqrt((1.0 + taup_of ** 2) * (1.0 + tau * tau))))
+            tau = tau + dtau
+        phi = np.arctan(tau)
+        return np.degrees(lam) + self.lon0, np.degrees(phi)
+
+
+# UTM = the WGS84 parameterization of the generic TM (zone-dependent
+# lon0; the two instances below share every series coefficient, so the
+# delegation is bit-identical to the historical UTM-only code path —
+# pinned by test_crs.py and the warp CRS gate)
+_TM_UTM_N = _TM(_A, _F, 0.0, 0.0, _K0, _E0, 0.0)
+_TM_UTM_S = _TM(_A, _F, 0.0, 0.0, _K0, _E0, _N0_SOUTH)
+
+
 def lonlat_to_utm_np(lon: np.ndarray, lat: np.ndarray, zone: int,
                      south: bool = False):
     """WGS84 lon/lat (deg) -> UTM easting/northing (m)."""
-    lam = np.radians(np.asarray(lon, np.float64) - utm_zone_lon0(zone))
-    phi = np.radians(np.asarray(lat, np.float64))
-    s = np.sin(phi)
-    t = np.sinh(np.arctanh(s) - _E * np.arctanh(_E * s))
-    xi_p = np.arctan2(t, np.cos(lam))
-    eta_p = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
-    xi = xi_p.copy()
-    eta = eta_p.copy()
-    for j, a in enumerate(_ALPHA, start=1):
-        xi += a * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
-        eta += a * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
-    E = _E0 + _K0 * _ABAR * eta
-    Nn = _K0 * _ABAR * xi + (_N0_SOUTH if south else 0.0)
-    return E, Nn
+    p = _TM_UTM_S if south else _TM_UTM_N
+    return p.forward(np.asarray(lon, np.float64)
+                     - utm_zone_lon0(zone), lat)
 
 
 def utm_to_lonlat_np(E: np.ndarray, Nn: np.ndarray, zone: int,
                      south: bool = False):
     """UTM easting/northing (m) -> WGS84 lon/lat (deg)."""
-    xi = (np.asarray(Nn, np.float64)
-          - (_N0_SOUTH if south else 0.0)) / (_K0 * _ABAR)
-    eta = (np.asarray(E, np.float64) - _E0) / (_K0 * _ABAR)
-    xi_p = xi.copy()
-    eta_p = eta.copy()
-    for j, b in enumerate(_BETA, start=1):
-        xi_p -= b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
-        eta_p -= b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
-    tau_p = np.sin(xi_p) / np.sqrt(np.sinh(eta_p) ** 2 + np.cos(xi_p) ** 2)
-    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
-    # invert tau' = tau * sqrt(1+sigma^2) - sigma * sqrt(1+tau^2) by
-    # Newton iteration (Karney 2011, eq. 19-21)
-    tau = tau_p / np.sqrt(1.0 - _E * _E)  # first guess
-    for _ in range(6):
-        sig = np.sinh(_E * np.arctanh(_E * tau / np.sqrt(1.0 + tau * tau)))
-        taup_of = (tau * np.sqrt(1.0 + sig * sig)
-                   - sig * np.sqrt(1.0 + tau * tau))
-        dtau = ((tau_p - taup_of) * (1.0 + (1.0 - _E * _E) * tau * tau)
-                / ((1.0 - _E * _E)
-                   * np.sqrt((1.0 + taup_of ** 2) * (1.0 + tau * tau))))
-        tau = tau + dtau
-    phi = np.arctan(tau)
-    return (np.degrees(lam) + utm_zone_lon0(zone), np.degrees(phi))
+    p = _TM_UTM_S if south else _TM_UTM_N
+    lon, lat = p.inverse(E, Nn)
+    return lon + utm_zone_lon0(zone), lat
+
+
+#: named Transverse Mercator CRSes beyond UTM (ellipsoid, lon0, lat0,
+#: k0, false easting/northing — EPSG registry parameters)
+TM_REGISTRY: dict[str, _TM] = {
+    # OSGB36 / British National Grid (Airy 1830; datum shift to WGS84
+    # needs OSTN15 — native-datum hub, documented above)
+    "27700": _TM(6377563.396, 1.0 / 299.3249646, -2.0, 49.0,
+                 0.9996012717, 400000.0, -100000.0),
+    # NZGD2000 / New Zealand Transverse Mercator (GRS80)
+    "2193": _TM(6378137.0, 1.0 / 298.257222101, 173.0,
+                0.0, 0.9996, 1600000.0, 10000000.0),
+    # ETRS89 / Poland CS92 (GRS80)
+    "2180": _TM(6378137.0, 1.0 / 298.257222101, 19.0, 0.0, 0.9993,
+                500000.0, -5300000.0),
+}
 
 
 # ------------------------------------------------------- LCC (2SP)
@@ -422,6 +500,8 @@ def to_lonlat_np(crs: str, x: np.ndarray, y: np.ndarray):
         return PSTEREO_REGISTRY[c].inverse(x, y)
     if c in ALBERS_REGISTRY:
         return ALBERS_REGISTRY[c].inverse(x, y)
+    if c in TM_REGISTRY:
+        return TM_REGISTRY[c].inverse(x, y)
     raise NotImplementedError(f"CRS {crs} not registered (geo/crs.py)")
 
 
@@ -443,6 +523,8 @@ def from_lonlat_np(crs: str, lon: np.ndarray, lat: np.ndarray):
         return PSTEREO_REGISTRY[c].forward(lon, lat)
     if c in ALBERS_REGISTRY:
         return ALBERS_REGISTRY[c].forward(lon, lat)
+    if c in TM_REGISTRY:
+        return TM_REGISTRY[c].forward(lon, lat)
     raise NotImplementedError(f"CRS {crs} not registered (geo/crs.py)")
 
 

@@ -6,6 +6,7 @@ oracle comparison gates on EXACT pixel content, not just shapes.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 
@@ -942,6 +943,106 @@ def _warp_albers_oracle() -> str:
     """
 
 
+# OSGB36 / British National Grid gate grid (EPSG:27700): covers the
+# full National Grid square with the same irrational-origin margin
+# discipline as the LCC/Albers/stereo grids.
+TM_W, TM_H, TM_TILE = 512, 512, 128
+TM_GT = (-298830.3320783105, 2713.1415926535897, 0.0,
+         1307303.1463427285, 0.0, -2714.271828182846)
+
+
+def _warp_tm_oracle() -> str:
+    """Karney inverse TM in SQL: the beta series then the 6-step tau'
+    Newton inversion (crs.py _TM.inverse), hyperbolics via exp/ln
+    (DuckDB has none built in; the <=1e-15 rel cross-form noise is
+    absorbed by the gate grids' >= 1e-6 px routing margins)."""
+    from .geo import crs as _crs
+
+    p = _crs.TM_REGISTRY["27700"]
+    src = G.world_3857(ZOOM, TILE)
+    kab = float(p.k0 * p.abar)
+    e = float(p.e)
+    e2 = float(e * e)
+    tau0 = float(np.sqrt(1.0 - e * e))
+
+    def D(v):
+        return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+    def sinh(u):
+        return f"((exp({u}) - exp(-({u}))) / 2.0)"
+
+    def cosh(u):
+        return f"((exp({u}) + exp(-({u}))) / 2.0)"
+
+    def atanh(u):
+        return f"(0.5 * ln((1.0 + ({u})) / (1.0 - ({u}))))"
+
+    E = f"({D(TM_GT[0])} + (x + 0.5) * {D(TM_GT[1])})"
+    N = f"({D(TM_GT[3])} + (y + 0.5) * ({D(TM_GT[5])}))"
+    beta_terms_xi = " - ".join(
+        f"{D(b)} * sin({2.0 * j} * xi) * {cosh(f'{2.0 * j} * eta')}"
+        for j, b in enumerate(p.beta, start=1))
+    beta_terms_eta = " - ".join(
+        f"{D(b)} * cos({2.0 * j} * xi) * {sinh(f'{2.0 * j} * eta')}"
+        for j, b in enumerate(p.beta, start=1))
+    newton = "".join(f""",
+    t{k + 1} AS (SELECT x, y, tau_p, lam,
+        (tau + ((tau_p - (tau * sqrt(1.0 + sig * sig)
+                          - sig * sqrt(1.0 + tau * tau)))
+                * (1.0 + {D(1.0 - e2)} * tau * tau))
+               / ({D(1.0 - e2)}
+                  * sqrt((1.0 + (tau * sqrt(1.0 + sig * sig)
+                                 - sig * sqrt(1.0 + tau * tau))
+                              * (tau * sqrt(1.0 + sig * sig)
+                                 - sig * sqrt(1.0 + tau * tau)))
+                         * (1.0 + tau * tau)))) AS tau
+      FROM (SELECT x, y, tau_p, lam, tau,
+                   {sinh(f"{D(e)} * " + atanh(f"{D(e)} * tau / sqrt(1.0 + tau * tau)"))} AS sig
+            FROM t{k}))""" for k in range(6))
+    ppx = f"(lon * {D(mercator.LON2M)})"
+    ppy = mercator.merc_y_sql("lat")
+    spx = f"((({ppx}) - ({src.gt[0]!r})) / {src.gt[1]!r})"
+    spy = f"((({ppy}) - ({src.gt[3]!r})) / ({src.gt[5]!r}))"
+    return f"""
+    WITH {_px_cte(ZOOM, TILE)},
+    dst0 AS (
+      SELECT x, y, (({N}) - {D(p.n0_eff)}) / {D(kab)} AS xi,
+             (({E}) - {D(p.e0)}) / {D(kab)} AS eta
+      FROM (SELECT range AS x FROM range({TM_W})),
+           (SELECT range AS y FROM range({TM_H}))),
+    ser AS (
+      SELECT x, y, (xi - {beta_terms_xi}) AS xi_p,
+             (eta - {beta_terms_eta}) AS eta_p
+      FROM dst0),
+    t0 AS (
+      SELECT x, y,
+             sin(xi_p) / sqrt({sinh("eta_p")} * {sinh("eta_p")}
+                              + cos(xi_p) * cos(xi_p)) AS tau_p,
+             atan2({sinh("eta_p")}, cos(xi_p)) AS lam,
+             (sin(xi_p) / sqrt({sinh("eta_p")} * {sinh("eta_p")}
+                               + cos(xi_p) * cos(xi_p))) / {D(tau0)} AS tau
+      FROM ser){newton},
+    ll AS (SELECT x, y, (degrees(lam) + {D(p.lon0)}) AS lon,
+                  degrees(atan(tau)) AS lat FROM t6),
+    sp AS (SELECT x, y, CAST(floor({spx}) AS BIGINT) AS sgx,
+                  CAST(floor({spy}) AS BIGINT) AS sgy FROM ll),
+    warped AS (
+      SELECT s.x AS gx, s.y AS gy,
+             CASE WHEN s.sgx BETWEEN 0 AND {N5 - 1}
+                   AND s.sgy BETWEEN 0 AND {N5 - 1}
+                  THEN coalesce(p.v, 0.0) ELSE 0.0 END AS v
+      FROM sp s LEFT JOIN px p ON p.gx = s.sgx AND p.gy = s.sgy
+    )
+    SELECT CAST(gy // {TM_TILE} AS INTEGER) AS tile_y,
+           CAST(gx // {TM_TILE} AS INTEGER) AS tile_x,
+           {CK.checksum_sql('v', 'gx', 'gy', TM_W)} AS checksum,
+           count(*) FILTER (WHERE v <> 0) AS n_nonzero
+    FROM warped GROUP BY tile_y, tile_x
+    HAVING count(*) FILTER (WHERE v <> 0) > 0
+    ORDER BY tile_y, tile_x
+    """
+
+
 def _warp_crs_oracle() -> str:
     return (f"SELECT 'albers' AS crs, tile_y, tile_x, checksum, n_nonzero"
             f" FROM ({_warp_albers_oracle()})"
@@ -951,6 +1052,9 @@ def _warp_crs_oracle() -> str:
             f"\nUNION ALL\n"
             f"SELECT 'stereo' AS crs, tile_y, tile_x, checksum, n_nonzero"
             f" FROM ({_warp_pstereo_oracle()})"
+            f"\nUNION ALL\n"
+            f"SELECT 'tm' AS crs, tile_y, tile_x, checksum, n_nonzero"
+            f" FROM ({_warp_tm_oracle()})"
             f"\nORDER BY crs, tile_y, tile_x")
 
 
@@ -986,9 +1090,11 @@ def warp_crs_checksum(spark, sf_dir):
                           tile=LCC_TILE)
     ps_spec = G.GridSpec(PS_W, PS_H, PS_GT, crs="EPSG:3413",
                          tile=PS_TILE)
+    tm_spec = G.GridSpec(TM_W, TM_H, TM_GT, crs="EPSG:27700",
+                         tile=TM_TILE)
     out = None
     for tag, spec in (("albers", alb_spec), ("lcc", lcc_spec),
-                      ("stereo", ps_spec)):
+                      ("stereo", ps_spec), ("tm", tm_spec)):
         one = (R.tiles_checksum(
                    W.warp(src_tiles, src_spec, spec, kernel="near"), spec)
                .filter(F.col("n_nonzero") > 0)

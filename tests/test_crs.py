@@ -352,3 +352,84 @@ def test_albers_gate_routing_margin():
         inside = (sp > -0.5) & (sp < src.width + 0.5)
         frac = np.abs(sp[inside] - np.round(sp[inside]))
         assert frac.min() > 1e-6, f"routing margin too small: {frac.min()}"
+
+
+def test_tm_osgb_true_origin_and_roundtrip():
+    """EPSG:27700 (generic Transverse Mercator): the true origin
+    (2W, 49N) maps to the false origin (400000, -100000) exactly
+    (EPSG registry definition), and forward/inverse round-trips to
+    sub-nanometer over the National Grid domain."""
+    E, N = crs.from_lonlat_np("EPSG:27700", np.array([-2.0]),
+                              np.array([49.0]))
+    assert abs(E[0] - 400000.0) < 1e-6 and abs(N[0] + 100000.0) < 1e-6
+    rng = np.random.default_rng(41)
+    lon = rng.uniform(-8.0, 2.0, 2000)
+    lat = rng.uniform(49.5, 61.0, 2000)
+    E, N = crs.from_lonlat_np("27700", lon, lat)
+    lon2, lat2 = crs.to_lonlat_np("27700", E, N)
+    assert np.abs(lon2 - lon).max() < 1e-11
+    assert np.abs(lat2 - lat).max() < 1e-11
+    # scale at the central meridian is k0 (tmerc invariant)
+    dlat = 1e-6
+    E1, N1 = crs.from_lonlat_np("27700", np.array([-2.0, -2.0]),
+                                np.array([52.0, 52.0 + dlat]))
+    # meridian arc per radian on Airy 1830 at 52N
+    a, f = 6377563.396, 1.0 / 299.3249646
+    e2 = f * (2 - f)
+    phi = np.radians(52.0)
+    M = a * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+    got = (N1[1] - N1[0]) / np.radians(dlat)
+    assert abs(got / M - 0.9996012717) < 1e-6
+
+
+def test_tm_registry_members_roundtrip():
+    rng = np.random.default_rng(43)
+    for code, lon_rng, lat_rng in [
+            ("2193", (166.0, 179.0), (-47.5, -34.0)),   # NZTM
+            ("2180", (14.0, 24.5), (49.0, 55.0))]:      # Poland CS92
+        lon = rng.uniform(*lon_rng, 500)
+        lat = rng.uniform(*lat_rng, 500)
+        E, N = crs.from_lonlat_np(code, lon, lat)
+        lon2, lat2 = crs.to_lonlat_np(code, E, N)
+        assert np.abs(lon2 - lon).max() < 1e-11
+        assert np.abs(lat2 - lat).max() < 1e-11
+
+
+def test_utm_delegation_bit_identical_to_series_constants():
+    """UTM now routes through the generic _TM class; the results must
+    be bit-identical to the historical direct-series formulation (the
+    warp gates pin these values)."""
+    rng = np.random.default_rng(47)
+    lon = rng.uniform(-3, 3, 1000) + crs.utm_zone_lon0(31)
+    lat = rng.uniform(-80, 84, 1000)
+    E1, N1 = crs.lonlat_to_utm_np(lon, lat, 31)
+    lam = np.radians(lon - crs.utm_zone_lon0(31))
+    phi = np.radians(lat)
+    s = np.sin(phi)
+    t = np.sinh(np.arctanh(s) - crs._E * np.arctanh(crs._E * s))
+    xi_p = np.arctan2(t, np.cos(lam))
+    eta_p = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
+    xi, eta = xi_p.copy(), eta_p.copy()
+    for j, a in enumerate(crs._ALPHA, start=1):
+        xi += a * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+        eta += a * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+    np.testing.assert_array_equal(E1, crs._E0 + crs._K0 * crs._ABAR * eta)
+    np.testing.assert_array_equal(N1, crs._K0 * crs._ABAR * xi + 0.0)
+
+
+def test_tm_gate_routing_margin():
+    """Same audit as the LCC/stereo/albers gates, for the EPSG:27700
+    warp branch."""
+    from gdal_spark.queries_raster import TM_GT, TM_H, TM_W, TILE, ZOOM
+    from gdal_spark.raster import grid as G
+    from gdal_spark.raster import warp as W
+
+    src = G.world_3857(ZOOM, TILE)
+    dst = G.GridSpec(TM_W, TM_H, TM_GT, crs="EPSG:27700", tile=128)
+    gy, gx = np.mgrid[0:TM_H, 0:TM_W]
+    spx, spy = W._dst_pos_in_src_px(dst, src, gx.ravel().astype(float),
+                                    gy.ravel().astype(float))
+    for sp in (spx, spy):
+        inside = (sp > -0.5) & (sp < src.width + 0.5)
+        frac = np.abs(sp[inside] - np.round(sp[inside]))
+        assert frac.min() > 1e-6, f"routing margin too small: {frac.min()}"
