@@ -51,6 +51,8 @@ _BACK = {(bits, fmt): name for name, (bits, fmt) in _DTYPES.items()}
 _TAG_SUBFILE = 254
 _TAG_W, _TAG_H = 256, 257
 _TAG_BITS, _TAG_COMP, _TAG_PHOTO = 258, 259, 262
+_TAG_PRED = 317
+_COMP_CODES = {"none": 1, "lzw": 5, "deflate": 8}
 _TAG_SPP, _TAG_PLANAR, _TAG_SFMT = 277, 284, 339
 _TAG_TW, _TAG_TH, _TAG_TOFF, _TAG_TCNT = 322, 323, 324, 325
 _TAG_STRIP_OFF = 273
@@ -95,8 +97,8 @@ def write_geotiff(tiles: DataFrame, spec: G.GridSpec, path: str,
             "parquet tile store or a z/x/y.png pyramid at scale")
     if dtype not in _DTYPES:
         raise ValueError(f"dtype {dtype!r}: want one of {sorted(_DTYPES)}")
-    if compression not in ("deflate", "none"):
-        raise ValueError("compression: want 'deflate' or 'none'")
+    if compression not in _COMP_CODES:
+        raise ValueError(f"compression: want one of {sorted(_COMP_CODES)}")
     if spec.gt[2] != 0.0 or spec.gt[4] != 0.0:
         raise NotImplementedError(
             "rotated geotransforms not supported in the GeoTIFF writer")
@@ -117,7 +119,7 @@ def _image_entries(spec, dtype, compression, nodata, offsets, counts,
     entries = [
         (_TAG_W, 4, 1, [spec.width]), (_TAG_H, 4, 1, [spec.height]),
         (_TAG_BITS, 3, n_bands, [bits] * n_bands),
-        (_TAG_COMP, 3, 1, [8 if compression == "deflate" else 1]),
+        (_TAG_COMP, 3, 1, [_COMP_CODES[compression]]),
         (_TAG_PHOTO, 3, 1, [2 if n_bands == 3 else 1]),
         (_TAG_SPP, 3, 1, [n_bands]),
         (_TAG_PLANAR, 3, 1, [2 if n_bands > 1 else 1]),
@@ -322,9 +324,13 @@ def read_geotiff(spark: SparkSession, path: str,
     if band >= n_bands:
         raise ValueError(f"band {band}: file has {n_bands} band(s)")
     comp = tags.get(_TAG_COMP, [1])[0]
-    if comp not in (1, 8):
+    if comp not in (1, 5, 8):
         raise NotImplementedError(f"compression {comp}: support none(1)/"
-                                  "deflate(8)")
+                                  "LZW(5)/deflate(8)")
+    predictor = tags.get(_TAG_PRED, [1])[0]
+    if predictor not in (1, 2):
+        raise NotImplementedError(
+            f"TIFF Predictor={predictor}: only none(1)/horizontal(2)")
     width, height = tags[_TAG_W][0], tags[_TAG_H][0]
     ts = tags[_TAG_TW][0]
     if tags[_TAG_TH][0] != ts:
@@ -368,7 +374,13 @@ def read_geotiff(spark: SparkSession, path: str,
                     b = f.read(int(cnt))
                     if comp == 8:
                         b = zlib.decompress(b)
+                    elif comp == 5:
+                        from . import lzw as _lzw
+                        b = _lzw.decode(b)
                     a = np.frombuffer(b, np_dtype).reshape(ts, ts)
+                    if predictor == 2:
+                        from . import lzw as _lzw
+                        a = _lzw.undo_horizontal_predictor(a)
                     h, w = spec.tile_shape(int(ty), int(tx))
                     out_ty.append(int(ty))
                     out_tx.append(int(tx))
@@ -502,8 +514,12 @@ def _pack_blocks(tiles: DataFrame, spec: G.GridSpec, dtype: str,
             full = np.full((ts, ts), fill, np.float64)
             full[:h, :w] = a
             raw = full.astype(dtype).tobytes()
-            out.append(zlib.compress(raw, 6)
-                       if compression == "deflate" else raw)
+            if compression == "deflate":
+                raw = zlib.compress(raw, 6)
+            elif compression == "lzw":
+                from . import lzw as _lzw
+                raw = _lzw.encode(raw)
+            out.append(raw)
         return pd.Series(out)
 
     rows = (tiles.select("tile_y", "tile_x",
@@ -511,8 +527,13 @@ def _pack_blocks(tiles: DataFrame, spec: G.GridSpec, dtype: str,
             .collect())
     blocks = {(r.tile_y, r.tile_x): bytes(r.blk) for r in rows}
     empty_raw = np.full((ts, ts), fill, np.float64).astype(dtype).tobytes()
-    empty = zlib.compress(empty_raw, 6) if compression == "deflate" \
-        else empty_raw
+    if compression == "deflate":
+        empty = zlib.compress(empty_raw, 6)
+    elif compression == "lzw":
+        from . import lzw as _lzw
+        empty = _lzw.encode(empty_raw)
+    else:
+        empty = empty_raw
     return [blocks.get((ty, tx), empty)
             for ty in range(spec.tiles_y) for tx in range(spec.tiles_x)]
 

@@ -267,3 +267,63 @@ def test_add_overviews_multiband_keeps_all_bands(spark, tmp_path):
                 np.asarray(r.px).reshape(h, w)
         expect = fulls[b].reshape(spec1.height, 2, spec1.width, 2).mean(axis=(1, 3))
         np.testing.assert_allclose(got1, expect)
+
+
+def test_lzw_roundtrip(spark, tmp_path):
+    """LZW (TIFF 6.0 section 13, early-change) write + read."""
+    spec = _spec(w=TS * 3, h=TS * 2)
+    tiles = _tiles(spark, spec, seed=21)
+    p = str(tmp_path / "lzw.tif")
+    GT.write_geotiff(tiles, spec, p, compression="lzw", dtype="uint16")
+    _, tags = GT._parse_ifd(p)
+    assert tags[GT._TAG_COMP] == [5]
+    spec2, back = GT.read_geotiff(spark, p)
+    assert spec2 == spec
+    want = _collect(tiles)
+    got = _collect(back)
+    for k in want:
+        np.testing.assert_array_equal(got[k], want[k] % 65536)
+
+
+def test_lzw_predictor2_foreign_layout(spark, tmp_path):
+    """A foreign LZW GeoTIFF with Predictor=2 (horizontal differencing
+    — the common COG layout our writer never produces) must read back
+    exactly: build the file by hand with differenced+LZW tiles and an
+    explicit Predictor tag."""
+    from gdal_spark.raster import lzw
+
+    spec = _spec(w=TS * 2, h=TS)
+    rng = np.random.default_rng(31)
+    full = rng.integers(0, 255, (TS, TS * 2)).astype(np.uint8)
+    blocks = []
+    for tx in range(2):
+        tile = full[:, tx * TS:(tx + 1) * TS]
+        diff = tile.copy()
+        diff[:, 1:] = tile[:, 1:] - tile[:, :-1]  # uint8 wraps
+        blocks.append(lzw.encode(diff.tobytes()))
+    p = str(tmp_path / "pred.tif")
+    # emulate the foreign layout by injecting the Predictor tag into
+    # the container writer's IFD (our writer never emits one by design)
+    import gdal_spark.raster.geotiff as gt_mod
+    orig = gt_mod._image_entries
+
+    def with_pred(*a, **k):
+        e = orig(*a, **k)
+        e.append((GT._TAG_PRED, 3, 1, [2]))
+        e.sort(key=lambda x: x[0])
+        return e
+
+    gt_mod._image_entries = with_pred
+    try:
+        GT._write_container(p, [(spec, "uint8", "lzw", None, blocks,
+                                 False)])
+    finally:
+        gt_mod._image_entries = orig
+    _, tags = GT._parse_ifd(p)
+    assert tags[GT._TAG_COMP] == [5] and tags[GT._TAG_PRED] == [2]
+    spec2, back = GT.read_geotiff(spark, p)
+    got = _collect(back)
+    for tx in range(2):
+        np.testing.assert_array_equal(
+            got[(0, tx)].reshape(TS, TS),
+            full[:, tx * TS:(tx + 1) * TS].astype(float))
