@@ -98,10 +98,12 @@ def _box_resize(plane: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 def decode_image(df: DataFrame, id_col: str = "doc_id",
                  bin_col: str = "payload") -> DataFrame:
-    """Decode PNG payloads (raster/png.py) -> typed image features:
-    (doc_id, width, height, channels, per-channel mean, 8x8 luma
-    fingerprint). Non-PNG payloads raise NotImplementedError naming
-    the missing codec — loud, not silent."""
+    """Decode PNG (raster/png.py) or baseline JPEG (raster/jpeg.py)
+    payloads -> typed image features: (doc_id, width, height,
+    channels, per-channel mean, 8x8 luma fingerprint). Other formats
+    (WebP/AVIF/progressive JPEG) raise NotImplementedError naming the
+    missing codec — loud, not silent."""
+    from ..raster import jpeg as JPG
     from ..raster import png as PNG
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -109,14 +111,17 @@ def decode_image(df: DataFrame, id_col: str = "doc_id",
             rows = []
             for i, blob in zip(pdf[id_col], pdf[bin_col]):
                 b = bytes(blob)
-                if b[:8] != b"\x89PNG\r\n\x1a\n":
+                if b[:8] == b"\x89PNG\r\n\x1a\n":
+                    arr = _to_hwc(PNG.decode(b))
+                elif b[:2] == b"\xFF\xD8":
+                    arr = JPG.decode_jpeg(b)
+                else:
                     sig = b[:4].hex()
                     raise NotImplementedError(
-                        f"payload {int(i)} (magic {sig}) is not PNG; "
-                        "JPEG/WebP codecs are unavailable in this "
-                        "environment — plug a decoder into "
-                        "operators.multimodal.decode_image")
-                arr = _to_hwc(PNG.decode(b))
+                        f"payload {int(i)} (magic {sig}) is neither "
+                        "PNG nor JPEG; WebP/AVIF codecs are "
+                        "unavailable in this environment — plug a "
+                        "decoder into operators.multimodal.decode_image")
                 h, w, c = arr.shape
                 means = [float(arr[:, :, k].mean()) for k in range(c)]
                 luma8 = _box_resize(_luma(arr), 8, 8).ravel().tolist()

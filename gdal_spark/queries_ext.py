@@ -6,6 +6,8 @@ set ops, union-by-name, LIMIT/OFFSET), and web-text training-data ops
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -1200,21 +1202,98 @@ def text_metrics_q(spark, sf_dir):
             .orderBy("part", "key"))
 
 
+_MM_BLOCK_SQL = "((doc_id * 37 + {by} * 101 + {bx} * 53) % 256)"
+
+
+def _mm_mean_sql() -> str:
+    vs = [_MM_BLOCK_SQL.format(by=by, bx=bx)
+          for by in (0, 1) for bx in (0, 1)]
+    return f"(({' + '.join(vs)}) / 4.0)"
+
+
 @register(
     "multimodal_meta",
     oracle=f"""
-    SELECT doc_id,
-           CAST(octet_length(encode('<html><body>' || text || '</body></html>')) AS BIGINT) AS n_bytes,
-           TRUE AS is_html,
-           CAST((octet_length(encode('<html><body>' || text || '</body></html>'))
-                 * {multimodal.FEAT_MULT}) % {multimodal.FEAT_MOD} AS BIGINT) AS feat
-    FROM documents ORDER BY doc_id
+    SELECT * FROM (
+      SELECT 'meta' AS part, doc_id,
+             CAST(octet_length(encode('<html><body>' || text || '</body></html>')) AS BIGINT) AS a,
+             CAST(1 AS BIGINT) AS b,
+             CAST((octet_length(encode('<html><body>' || text || '</body></html>'))
+                   * {multimodal.FEAT_MULT}) % {multimodal.FEAT_MOD} AS BIGINT) AS c,
+             0.0 AS mv
+      FROM documents
+      UNION ALL
+      SELECT 'png', doc_id, 16, 16, 1, {_mm_mean_sql()} FROM documents
+      UNION ALL
+      SELECT 'jpeg', doc_id, 16, 16, 1, {_mm_mean_sql()} FROM documents
+    ) ORDER BY part, doc_id
     """,
 )
 def multimodal_meta(spark, sf_dir):
-    """Multimodal metadata extraction over opaque binary payloads:
-    Arrow-batched UDF computes byte length, magic-prefix probe, and a
-    deterministic feature from the REAL bytes (decode itself is the
-    documented stub — no codecs in this environment)."""
+    """Multimodal payload ops, one part-tagged gate:
+
+    part='meta'  Arrow-batched metadata over the html payload bytes
+                 (length, magic probe, deterministic feature);
+    part='png'   REAL PNG decode (raster/png.py): a deterministic
+                 16x16 grayscale block image encodes distributed,
+                 decodes through operators.multimodal.decode_image,
+                 and its (width, height, channels, mean) must equal
+                 the oracle's direct integer arithmetic — losslessness
+                 makes the whole encode->decode->feature path
+                 relational;
+    part='jpeg'  REAL baseline JPEG decode (raster/jpeg.py, T.81
+                 Huffman+IDCT): at quality 75 the luma DC quantizer is
+                 exactly 8, so an 8x8-block-constant grayscale image
+                 reconstructs EXACTLY (DC = 8*(v-128), AC = 0) — any
+                 defect in the Huffman tables, bit reader, zig-zag,
+                 dequantizer, or IDCT breaks the value hash."""
+    from pyspark.sql import types as T
+
+    from .raster import jpeg as JPG
+    from .raster import png as PNG
+
     p = pages.pages_from_documents(spark, sf_dir)
-    return multimodal.extract_meta(p).orderBy("doc_id")
+    zero = F.lit(0).cast("long")
+    meta = multimodal.extract_meta(p).select(
+        F.lit("meta").alias("part"), "doc_id",
+        F.col("n_bytes").alias("a"),
+        F.when(F.col("is_html"), 1).otherwise(0).cast("long").alias("b"),
+        F.col("feat").alias("c"), F.lit(0.0).alias("mv"))
+
+    pay_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ])
+
+    def payloads(codec):
+        def run(batches):
+            for pdf in batches:
+                rows = []
+                for i in pdf["doc_id"]:
+                    i = int(i)
+                    blocks = np.array(
+                        [[(i * 37 + by * 101 + bx * 53) % 256
+                          for bx in (0, 1)] for by in (0, 1)], np.uint8)
+                    img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+                    buf = (PNG.encode(img) if codec == "png"
+                           else JPG.encode_jpeg(img, quality=75))
+                    rows.append((i, bytearray(buf)))
+                yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+        return run
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    parts = [meta]
+    for codec in ("png", "jpeg"):
+        pay = d.mapInPandas(payloads(codec), pay_schema)
+        dec = multimodal.decode_image(pay)
+        parts.append(dec.select(
+            F.lit(codec).alias("part"), "doc_id",
+            F.col("width").cast("long").alias("a"),
+            F.col("height").cast("long").alias("b"),
+            F.col("channels").cast("long").alias("c"),
+            F.element_at("mean", 1).alias("mv")))
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out.orderBy("part", "doc_id")
