@@ -14,11 +14,14 @@ queries()    — 50 entries (exactly the driver's 50-entry correctness
                and window/sessionization.
 oracle_sql() — DuckDB-equivalent SQL per query (bit-exact by design;
                see gdal_spark/queries.py docstring for the
-               cross-engine exactness rules). Three queries are
-               rows-only (viewshed ray walk, IDW float-sum order,
-               sieve cascade — not relationally expressible; see each
-               query's docstring); each of those has an exact
-               distributed==single-node pytest oracle instead.
+               cross-engine exactness rules). ALL 50 queries have
+               oracles: three non-relational ones (viewshed ray walk,
+               IDW float-sum order, sieve cascade — proofs in their
+               docstrings) pin golden VALUES literals computed by the
+               single-node numpy kernels (gdal_spark/golden.py — the
+               reference's own autotest checksum-pinning discipline),
+               each additionally backed by an exact
+               distributed==single-node pytest oracle.
 """
 
 from __future__ import annotations
