@@ -21,9 +21,10 @@ tile relation (tile_y, tile_x, px):
 
 Multi-band rasters store separate planes (PlanarConfiguration=2,
 band-major tile order) — write_geotiff_bands / read_geotiff(band=k).
-Scope fences (loud raises): TILED organization on read
-(strip TIFFs: convert with `gdal_translate -co TILED=YES`-style
-retiling); classic TIFF (no BigTIFF); north-up geotransform on write.
+Reads also cover STRIP-organized files (re-tiled into the square tile
+model by a distributed strip->tile shuffle, `_read_strips`) and
+BigTIFF (8-byte offsets, LONG8 types). Scope fences (loud raises):
+north-up geotransform on write; writes stay classic tiled TIFF.
 Both byte orders read; writes are little-endian (II).
 """
 
@@ -247,7 +248,10 @@ def _write_container(path: str, images: list, cog: bool = False) -> None:
 
 
 def _parse_ifds(path: str):
-    """-> (byte_order, [tags per IFD along the next-IFD chain])."""
+    """-> (byte_order, [tags per IFD along the next-IFD chain]).
+    Reads classic TIFF (magic 42) and BigTIFF (magic 43, 8-byte
+    offsets/counts, LONG8/SLONG8/IFD8 types — the BigTIFF spec the
+    GTiff driver implements); the writer stays classic-only."""
     with open(path, "rb") as f:
         head = f.read(8)
         if head[:2] == b"II":
@@ -258,29 +262,49 @@ def _parse_ifds(path: str):
             raise ValueError("not a TIFF (bad byte-order magic)")
         magic = struct.unpack(bo + "H", head[2:4])[0]
         if magic == 43:
-            raise NotImplementedError("BigTIFF not supported")
-        if magic != 42:
+            big = True
+            offsize, pad = struct.unpack(bo + "HH", head[4:8])
+            if offsize != 8 or pad != 0:
+                raise ValueError("malformed BigTIFF header")
+            ifd_off = struct.unpack(bo + "Q", f.read(8))[0]
+        elif magic == 42:
+            big = False
+            ifd_off = struct.unpack(bo + "I", head[4:8])[0]
+        else:
             raise ValueError("not a TIFF (bad magic)")
-        ifd_off = struct.unpack(bo + "I", head[4:8])[0]
-        _SZ = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 12: 8}
-        _FMT = {1: "B", 2: "B", 3: "H", 4: "I", 12: "d"}
+        _SZ = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 12: 8, 13: 4, 16: 8, 17: 8}
+        _FMT = {1: "B", 2: "B", 3: "H", 4: "I", 12: "d", 13: "I",
+                16: "Q", 17: "q"}
+        entry = 20 if big else 12
+        inline = 8 if big else 4
         all_tags = []
         while ifd_off:
             f.seek(ifd_off)
-            n = struct.unpack(bo + "H", f.read(2))[0]
-            raw = f.read(12 * n)
-            ifd_off = struct.unpack(bo + "I", f.read(4))[0]
+            if big:
+                n = struct.unpack(bo + "Q", f.read(8))[0]
+            else:
+                n = struct.unpack(bo + "H", f.read(2))[0]
+            raw = f.read(entry * n)
+            ifd_off = struct.unpack(bo + ("Q" if big else "I"),
+                                    f.read(8 if big else 4))[0]
             tags = {}
             for i in range(n):
-                tag, typ, cnt = struct.unpack_from(bo + "HHI", raw, 12 * i)
+                if big:
+                    tag, typ = struct.unpack_from(bo + "HH", raw, entry * i)
+                    cnt = struct.unpack_from(bo + "Q", raw, entry * i + 4)[0]
+                else:
+                    tag, typ, cnt = struct.unpack_from(bo + "HHI", raw,
+                                                       entry * i)
                 if typ not in _FMT:
                     continue
                 size = _SZ[typ] * cnt
-                if size <= 4:
+                voff = entry * i + (12 if big else 8)
+                if size <= inline:
                     vals = struct.unpack_from(
-                        bo + f"{cnt}{_FMT[typ]}", raw, 12 * i + 8)
+                        bo + f"{cnt}{_FMT[typ]}", raw, voff)
                 else:
-                    off = struct.unpack_from(bo + "I", raw, 12 * i + 8)[0]
+                    off = struct.unpack_from(bo + ("Q" if big else "I"),
+                                             raw, voff)[0]
                     here = f.tell()
                     f.seek(off)
                     vals = struct.unpack(bo + f"{cnt}{_FMT[typ]}",
@@ -312,10 +336,7 @@ def read_geotiff(spark: SparkSession, path: str,
             f"overview {overview}: file has {len(all_tags) - 1} overviews")
     tags = all_tags[overview]
     tags0 = all_tags[0]
-    if _TAG_STRIP_OFF in tags:
-        raise NotImplementedError(
-            "strip-organized TIFF: retile it (TILED=YES) — the tiled "
-            "layout is the distributed-read path")
+    stripped = _TAG_STRIP_OFF in tags
     n_bands = tags.get(_TAG_SPP, [1])[0]
     if n_bands > 1 and tags.get(_TAG_PLANAR, [1])[0] != 2:
         raise NotImplementedError(
@@ -332,9 +353,13 @@ def read_geotiff(spark: SparkSession, path: str,
         raise NotImplementedError(
             f"TIFF Predictor={predictor}: only none(1)/horizontal(2)")
     width, height = tags[_TAG_W][0], tags[_TAG_H][0]
-    ts = tags[_TAG_TW][0]
-    if tags[_TAG_TH][0] != ts:
-        raise NotImplementedError("non-square TIFF tiles")
+    if stripped:
+        # strip files re-tile into the engine's square tile model
+        ts = 256
+    else:
+        ts = tags[_TAG_TW][0]
+        if tags[_TAG_TH][0] != ts:
+            raise NotImplementedError("non-square TIFF tiles")
     bits = tags.get(_TAG_BITS, [8])[0]
     sfmt = tags.get(_TAG_SFMT, [1])[0]
     dtype = _BACK.get((bits, sfmt))
@@ -349,6 +374,11 @@ def read_geotiff(spark: SparkSession, path: str,
     crs = _geokeys_crs([int(v) for v in tags0[_TAG_GEOKEYS]]) \
         if _TAG_GEOKEYS in tags0 else "EPSG:4326"
     spec = G.GridSpec(width=width, height=height, gt=gt, crs=crs, tile=ts)
+
+    if stripped:
+        return spec, _read_strips(spark, path, spec, tags, bo, dtype,
+                                  comp, predictor, n_bands, band,
+                                  partitions)
 
     offs, cnts = tags[_TAG_TOFF], tags[_TAG_TCNT]
     per_band = len(offs) // n_bands
@@ -577,3 +607,87 @@ def overview_count(path: str) -> int:
     """Number of reduced-resolution IFDs in the file."""
     _, all_tags = _parse_ifds(path)
     return len(all_tags) - 1
+
+
+_TAG_ROWS_PER_STRIP, _TAG_STRIP_CNT = 278, 279
+
+
+def _read_strips(spark: SparkSession, path: str, spec: G.GridSpec,
+                 tags: dict, bo: str, dtype: str, comp: int,
+                 predictor: int, n_bands: int, band: int,
+                 partitions: int | None) -> DataFrame:
+    """Strip-organized TIFF read (the layout most non-COG files in the
+    wild use; the GTiff driver reads both): each task byte-range-reads
+    and decompresses its strips, undoes the row predictor, slices the
+    rows into the engine's square-tile columns, and one groupBy
+    assembles the (tile_y, tile_x, px) relation — strips become just
+    another physical partitioning of the same tile model."""
+    offs = tags[_TAG_STRIP_OFF]
+    cnts = tags[_TAG_STRIP_CNT]
+    rps = tags.get(_TAG_ROWS_PER_STRIP, [spec.height])[0]
+    per_band = len(offs) // n_bands
+    offs = offs[band * per_band:(band + 1) * per_band]
+    cnts = cnts[band * per_band:(band + 1) * per_band]
+    meta = [(s, int(offs[s]), int(cnts[s])) for s in range(len(offs))]
+    if partitions is None:
+        partitions = int(spark.sparkContext.defaultParallelism)
+    mdf = spark.createDataFrame(meta, "sid int, off long, cnt long") \
+        .repartition(min(partitions, max(1, len(meta))))
+    np_dtype = np.dtype(dtype).newbyteorder("<" if bo == "<" else ">")
+    ts = spec.tile
+    w, h = spec.width, spec.height
+
+    frag_schema = T.StructType([
+        T.StructField("tile_y", T.IntegerType(), False),
+        T.StructField("tile_x", T.IntegerType(), False),
+        T.StructField("y0", T.IntegerType(), False),   # row offset in tile
+        T.StructField("rows", T.IntegerType(), False),
+        T.StructField("px", T.ArrayType(T.DoubleType()), False),
+    ])
+
+    def frags(batches):
+        from . import lzw as _lzw
+
+        for pdf in batches:
+            out = []
+            with open(path, "rb") as f:
+                for sid, off, cnt in zip(pdf["sid"], pdf["off"],
+                                         pdf["cnt"]):
+                    f.seek(int(off))
+                    b = f.read(int(cnt))
+                    if comp == 8:
+                        b = zlib.decompress(b)
+                    elif comp == 5:
+                        b = _lzw.decode(b)
+                    r0 = int(sid) * rps
+                    nr = min(rps, h - r0)
+                    a = np.frombuffer(b, np_dtype, count=nr * w) \
+                        .reshape(nr, w)
+                    if predictor == 2:
+                        a = _lzw.undo_horizontal_predictor(a)
+                    a = a.astype(np.float64)
+                    for ty in range(r0 // ts, (r0 + nr - 1) // ts + 1):
+                        ya = max(r0, ty * ts)
+                        yb = min(r0 + nr, min((ty + 1) * ts, h))
+                        for tx in range(spec.tiles_x):
+                            xa = tx * ts
+                            xb = min(xa + ts, w)
+                            out.append((
+                                ty, tx, ya - ty * ts, yb - ya,
+                                a[ya - r0:yb - r0, xa:xb]
+                                .ravel().tolist()))
+            yield pd.DataFrame(out, columns=[f.name for f in frag_schema])
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ty, tx = int(key[0]), int(key[1])
+        th, tw = spec.tile_shape(ty, tx)
+        canvas = np.zeros((th, tw), np.float64)
+        for _, r in pdf.iterrows():
+            canvas[int(r.y0):int(r.y0) + int(r.rows)] = \
+                np.asarray(r.px, np.float64).reshape(int(r.rows), tw)
+        return pd.DataFrame({"tile_y": [ty], "tile_x": [tx],
+                             "px": [canvas.ravel().tolist()]})
+
+    return (mdf.mapInPandas(frags, frag_schema)
+            .groupBy("tile_y", "tile_x")
+            .applyInPandas(assemble, G.TILE_SCHEMA))

@@ -327,3 +327,125 @@ def test_lzw_predictor2_foreign_layout(spark, tmp_path):
         np.testing.assert_array_equal(
             got[(0, tx)].reshape(TS, TS),
             full[:, tx * TS:(tx + 1) * TS].astype(float))
+
+
+def _write_strip_tiff(path, full, rps=5, comp="none", big=False,
+                      bo="<"):
+    """Hand-assemble a strip-organized (optionally Big)TIFF fixture —
+    the layout scanners/exports produce; our writer never emits it."""
+    import struct
+    import zlib as _z
+
+    h, w = full.shape
+    strips = []
+    for r0 in range(0, h, rps):
+        raw = full[r0:r0 + rps].astype("uint8").tobytes()
+        strips.append(_z.compress(raw, 6) if comp == "deflate" else raw)
+    comp_code = 8 if comp == "deflate" else 1
+    entries = [
+        (256, 4, 1, [w]), (257, 4, 1, [h]), (258, 3, 1, [8]),
+        (259, 3, 1, [comp_code]), (262, 3, 1, [1]),
+        (277, 3, 1, [1]), (278, 4, 1, [rps]),
+        (339, 3, 1, [1]),
+        (33550, 12, 3, [0.25, 0.25, 0.0]),
+        (33922, 12, 6, [0.0, 0.0, 0.0, 10.0, 55.0, 0.0]),
+    ]
+    fmt = {3: "H", 4: "I", 12: "d"}
+    szs = {3: 2, 4: 4, 12: 8}
+    if big:
+        head = b"II+\x00\x08\x00\x00\x00" + struct.pack("<Q", 16)
+        entry_sz, inline, cnt_fmt, off_fmt = 20, 8, "Q", "Q"
+        ifd_head_sz = 8
+    else:
+        head = b"II*\x00" + struct.pack("<I", 8)
+        entry_sz, inline, cnt_fmt, off_fmt = 12, 4, "I", "I"
+        ifd_head_sz = 2
+    # strip offsets/counts appended as external arrays after data
+    n_entries = len(entries) + 2
+    ifd_off = len(head)
+    ifd_sz = ifd_head_sz + entry_sz * n_entries + (8 if big else 4)
+    ext = bytearray()
+    ext_base = ifd_off + ifd_sz
+
+    def ext_put(typ, vals):
+        nonlocal ext
+        off = ext_base + len(ext)
+        ext += struct.pack("<" + fmt[typ] * len(vals), *vals)
+        return off
+
+    built = []
+    for tag, typ, cnt, vals in entries:
+        size = szs[typ] * cnt
+        if size <= inline:
+            payload = struct.pack("<" + fmt[typ] * cnt, *vals)
+            payload += b"\x00" * (inline - size)
+        else:
+            payload = struct.pack("<" + off_fmt, ext_put(typ, vals))
+        built.append((tag, typ, cnt, payload))
+    # data follows external payloads; compute strip offsets
+    data_base = None
+    offs, cnts = [], [len(s) for s in strips]
+    # two passes: reserve external arrays for offsets/counts first
+    off_arr_off = ext_base + len(ext)
+    ext += b"\x00" * (4 * len(strips))
+    cnt_arr_off = ext_base + len(ext)
+    ext += b"\x00" * (4 * len(strips))
+    data_base = ext_base + len(ext)
+    cur = data_base
+    for s in strips:
+        offs.append(cur)
+        cur += len(s)
+    struct.pack_into("<" + "I" * len(strips), ext,
+                     off_arr_off - ext_base, *offs)
+    struct.pack_into("<" + "I" * len(strips), ext,
+                     cnt_arr_off - ext_base, *cnts)
+    built.append((273, 4, len(strips),
+                  struct.pack("<" + off_fmt, off_arr_off)))
+    built.append((279, 4, len(strips),
+                  struct.pack("<" + off_fmt, cnt_arr_off)))
+    built.sort(key=lambda e: e[0])
+    out = bytearray(head)
+    out += struct.pack("<Q" if big else "<H", n_entries)
+    for tag, typ, cnt, payload in built:
+        out += struct.pack("<HH", tag, typ)
+        out += struct.pack("<" + cnt_fmt, cnt)
+        out += payload
+    out += struct.pack("<" + off_fmt, 0)  # no next IFD
+    out += ext
+    for s in strips:
+        out += s
+    open(path, "wb").write(out)
+
+
+def test_strip_tiff_read(spark, tmp_path):
+    """Strip-organized TIFFs (the common non-COG layout) read through
+    the distributed strip->tile re-tiling path."""
+    rng = np.random.default_rng(41)
+    full = rng.integers(0, 255, (37, 300)).astype(np.uint8)
+    p = str(tmp_path / "strips.tif")
+    _write_strip_tiff(p, full, rps=5, comp="deflate")
+    spec, tiles = GT.read_geotiff(spark, p)
+    assert (spec.width, spec.height) == (300, 37)
+    got = np.zeros((37, 300))
+    for r in tiles.collect():
+        h, w = spec.tile_shape(r.tile_y, r.tile_x)
+        got[r.tile_y * spec.tile:r.tile_y * spec.tile + h,
+            r.tile_x * spec.tile:r.tile_x * spec.tile + w] = \
+            np.asarray(r.px).reshape(h, w)
+    np.testing.assert_array_equal(got, full)
+
+
+def test_bigtiff_strip_read(spark, tmp_path):
+    """BigTIFF (magic 43, 8-byte offsets, LONG8 counts) parses and
+    reads — foreign huge COG/export headers open."""
+    rng = np.random.default_rng(43)
+    full = rng.integers(0, 255, (12, 40)).astype(np.uint8)
+    p = str(tmp_path / "big.tif")
+    _write_strip_tiff(p, full, rps=4, big=True)
+    spec, tiles = GT.read_geotiff(spark, p)
+    assert (spec.width, spec.height) == (40, 12)
+    got = np.zeros((12, 40))
+    for r in tiles.collect():
+        h, w = spec.tile_shape(r.tile_y, r.tile_x)
+        got[:h, :w] = np.asarray(r.px).reshape(h, w)
+    np.testing.assert_array_equal(got, full)
