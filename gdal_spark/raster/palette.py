@@ -115,3 +115,90 @@ def tile_index(tiles: DataFrame, spec: G.GridSpec) -> DataFrame:
 
     return tiles.select("tile_y", "tile_x",
                         foot("tile_y", "tile_x").alias("geom"))
+
+
+def find_nearest_color_np(pal: np.ndarray, r: int, g: int, b: int) -> int:
+    """FindNearestColor (alg/gdaldither.cpp): squared-distance argmin,
+    first minimum wins."""
+    d = ((pal[:, 0] - r) ** 2 + (pal[:, 1] - g) ** 2
+         + (pal[:, 2] - b) ** 2)
+    return int(np.argmin(d))
+
+
+def dither_rgb_np(r: np.ndarray, g: np.ndarray, b: np.ndarray,
+                  palette: np.ndarray) -> np.ndarray:
+    """GDALDitherRGB2PCT's Floyd-Steinberg variant, bit-exactly
+    (alg/gdaldither.cpp:424-640): per row, the previous line's error
+    adds in (clamped) up front; the scan carries 2/6 of each pixel's
+    error right, 1/6 below-left, 1/6 below-right, and the remainder
+    (error - 5*(error/6), C truncating division) straight down. The
+    'error goes to four neighbors' note at :24 is the reference's own.
+    """
+    h, w = r.shape
+    pal = np.asarray(palette, np.int64)
+    rr = r.astype(np.int64).copy()
+    gg = g.astype(np.int64).copy()
+    bb = b.astype(np.int64).copy()
+    out = np.zeros((h, w), np.uint8)
+    err = np.zeros((w + 2, 3), np.int64)   # +1 padding each side
+
+    def trunc6(e: int) -> int:
+        return int(e / 6) if e >= 0 else -int(-e / 6)
+
+    for y in range(h):
+        vals = np.stack([rr[y], gg[y], bb[y]], axis=1)
+        vals = np.clip(vals + err[1:w + 1], 0, 255)
+        err[:] = 0
+        last = [0, 0, 0]
+        for x in range(w):
+            v = [int(min(255, max(0, vals[x, c] + last[c])))
+                 for c in range(3)]
+            idx = find_nearest_color_np(pal, *v)
+            out[y, x] = idx
+            for c in range(3):
+                e = v[c] - int(pal[idx, c])
+                sixth = trunc6(e)
+                err[x, c] += sixth          # below-left
+                err[x + 2, c] = sixth       # below-right (SET, :592)
+                err[x + 1, c] += e - 5 * sixth  # below
+                last[c] = 2 * sixth         # right
+    return out
+
+
+MAX_DITHER_PIXELS = 64_000_000
+
+
+def rgb_to_pct_dithered(rgb: DataFrame, spec: G.GridSpec,
+                        palette: np.ndarray,
+                        max_pixels: int = MAX_DITHER_PIXELS) -> DataFrame:
+    """Error-diffusion palettization: Floyd-Steinberg is inherently
+    sequential across the whole image (every pixel depends on every
+    earlier pixel in scan order — the reference runs it single-threaded
+    too), so the canvas assembles on the driver under `max_pixels` and
+    the exact gdaldither.cpp kernel runs once; tiles re-emit
+    distributed. For larger rasters use rgb_to_pct (nearest mapping,
+    fully distributed) — the same trade the reference documents."""
+    if spec.width * spec.height > max_pixels:
+        raise ValueError(
+            f"{spec.width * spec.height} px > max_pixels={max_pixels}: "
+            "error diffusion is sequential by definition — use "
+            "rgb_to_pct (nearest, distributed) at scale")
+    t = spec.tile
+    chans = {}
+    for name in ("r", "g", "b"):
+        canvas = np.zeros((spec.height, spec.width), np.uint8)
+        for row in rgb.select("tile_y", "tile_x", name).collect():
+            h, w = spec.tile_shape(row.tile_y, row.tile_x)
+            canvas[row.tile_y * t:row.tile_y * t + h,
+                   row.tile_x * t:row.tile_x * t + w] = \
+                np.asarray(row[name], np.float64).reshape(h, w)
+        chans[name] = canvas
+    idx = dither_rgb_np(chans["r"], chans["g"], chans["b"], palette)
+    rows = []
+    for ty in range(spec.tiles_y):
+        for tx in range(spec.tiles_x):
+            h, w = spec.tile_shape(ty, tx)
+            rows.append((ty, tx, idx[ty * t:ty * t + h,
+                                     tx * t:tx * t + w]
+                         .astype(np.float64).ravel().tolist()))
+    return rgb.sparkSession.createDataFrame(rows, G.TILE_SCHEMA)

@@ -74,3 +74,61 @@ def test_tile_index_footprints(spark):
     t2, rings2 = wkb.decode(out[(2, 2)])
     assert abs(geom.ring_area(rings2[0])) == pytest.approx(
         (8 * 0.5) * (3 * 0.5))  # 40-32=8 cols x 35-32=3 rows
+
+
+def test_dither_rgb_kernel_semantics():
+    """gdaldither.cpp error-diffusion rules: trunc-/6 weights, four
+    neighbors, per-row error carry, exact-palette zero error."""
+    import numpy as np
+
+    from gdal_spark.raster.palette import dither_rgb_np
+
+    pal = np.array([[0, 0, 0], [255, 255, 255]])
+    g = np.full((1, 4), 128, np.uint8)
+    assert dither_rgb_np(g, g, g, pal).tolist() == [[1, 0, 1, 0]]
+    exact = np.array([[0, 255], [255, 0]], np.uint8)
+    assert dither_rgb_np(exact, exact, exact, pal).tolist() == \
+        [[0, 1], [1, 0]]
+    # a flat mid-gray field dithers to ~50% coverage
+    g = np.full((48, 48), 128, np.uint8)
+    assert 0.45 < dither_rgb_np(g, g, g, pal).mean() < 0.55
+
+
+def test_rgb_to_pct_dithered_distributed(spark):
+    """Driver-side exact FS (budget-guarded) over the tile relation:
+    tiles round-trip through the canvas and back; index stats match
+    the kernel run directly."""
+    import numpy as np
+    import pytest
+
+    from gdal_spark.raster import grid as G
+    from gdal_spark.raster.palette import (dither_rgb_np,
+                                           rgb_to_pct_dithered)
+
+    rng = np.random.default_rng(5)
+    spec = G.GridSpec(32, 16, (0, 1, 0, 16, 0, -1), tile=8)
+    full = {c: rng.integers(0, 256, (16, 32)).astype(np.uint8)
+            for c in "rgb"}
+    rows = []
+    for ty in range(spec.tiles_y):
+        for tx in range(spec.tiles_x):
+            h, w = spec.tile_shape(ty, tx)
+            rows.append((ty, tx) + tuple(
+                full[c][ty * 8:ty * 8 + h, tx * 8:tx * 8 + w]
+                .astype(float).ravel().tolist() for c in "rgb"))
+    rgb = spark.createDataFrame(
+        rows, "tile_y int, tile_x int, r array<double>, "
+              "g array<double>, b array<double>")
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255],
+                    [255, 255, 255]])
+    got_tiles = rgb_to_pct_dithered(rgb, spec, pal).collect()
+    want = dither_rgb_np(full["r"], full["g"], full["b"], pal)
+    got = np.zeros((16, 32))
+    for r in got_tiles:
+        h, w = spec.tile_shape(r.tile_y, r.tile_x)
+        got[r.tile_y * 8:r.tile_y * 8 + h,
+            r.tile_x * 8:r.tile_x * 8 + w] = \
+            np.asarray(r.px).reshape(h, w)
+    np.testing.assert_array_equal(got, want)
+    with pytest.raises(ValueError, match="sequential"):
+        rgb_to_pct_dithered(rgb, spec, pal, max_pixels=10)
