@@ -61,7 +61,9 @@ def gdal_translate(spark: SparkSession, src_path: str, dst_path: str,
     [-outsize w h] [-scale src_min src_max dst_min dst_max] [-ot type]
     src dst`. Options apply in the reference's order: band selection,
     window, resize, rescale, then type conversion at write."""
-    spec, tiles = GT.read_geotiff(spark, src_path, band=band)
+    from .vrt import open_raster
+
+    spec, tiles = open_raster(spark, src_path, band=band)
     if projwin is not None:
         ulx, uly, lrx, lry = projwin
         px0, py0 = spec.world_to_pixel(np.array([ulx]), np.array([uly]))

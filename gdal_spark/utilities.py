@@ -218,9 +218,14 @@ def gdalinfo(spark: SparkSession, src: str,
     (apps/gdalinfo_lib.cpp fields: size, CRS, geotransform, corner
     coords, band count, overview count; -stats adds distributed
     min/max/mean/std over the tile relation)."""
-    spec, tiles = GT.read_geotiff(spark, src)
-    _, all_tags = GT._parse_ifds(src)
-    n_bands = all_tags[0].get(GT._TAG_SPP, [1])[0]
+    from .raster.vrt import open_raster
+
+    spec, tiles = open_raster(spark, src)
+    if src.lower().endswith(".vrt"):
+        n_bands, all_tags = 1, [{}]
+    else:
+        _, all_tags = GT._parse_ifds(src)
+        n_bands = all_tags[0].get(GT._TAG_SPP, [1])[0]
     ul = (spec.gt[0], spec.gt[3])
     lr = (spec.gt[0] + spec.width * spec.gt[1],
           spec.gt[3] + spec.height * spec.gt[5])
