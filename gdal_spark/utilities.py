@@ -14,6 +14,7 @@ is the operators' plans.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -295,3 +296,98 @@ def gdaldem(spark: SparkSession, mode: str, src: str, dst: str,
     out = RF.focal(tiles, spec, mode, z_factor=z_factor)
     GT.write_geotiff(out, spec, dst, dtype=dtype, nodata=nodata)
     return spec
+
+
+def gdal_grid(spark: SparkSession, src: str, dst: str, spec: G.GridSpec,
+              algorithm: str = "invdist", zfield: str = "z",
+              geom_col: str = "geom", dtype: str = "float64",
+              nodata: float = 0.0, **params) -> G.GridSpec:
+    """`gdal_grid -a <alg>[:params] -zfield f src dst`
+    (apps/gdal_grid_lib.cpp): vector points -> interpolated raster.
+    Algorithms map 1:1 onto raster/gridding.py + geo/delaunay.py:
+
+      invdist               power/radius (unbounded radius broadcasts)
+      invdistnn             radius + max_points/min_points/smoothing
+                            (+ per-quadrant caps)
+      nearest               radius
+      average               radius1/radius2/angle/min_points
+      linear                radius (TIN fallback rule)
+      minimum/maximum/range/count/average_distance/
+      average_distance_pts  data metrics (radius1/radius2/angle)
+    """
+    from .geo import wkb as W
+    from .raster import gridding as GR
+
+    df = REG.open_vector(spark, src)
+
+    @F.pandas_udf("double")
+    def gx(g: pd.Series) -> pd.Series:
+        return pd.Series([W.decode(bytes(b))[1][0] for b in g])
+
+    @F.pandas_udf("double")
+    def gy(g: pd.Series) -> pd.Series:
+        return pd.Series([W.decode(bytes(b))[1][1] for b in g])
+
+    pts = df.select(gx(F.col(geom_col)).alias("x"),
+                    gy(F.col(geom_col)).alias("y"),
+                    F.col(zfield).cast("double").alias("v"))
+    if algorithm == "invdist":
+        tiles = GR.grid_idw(pts, spec, nodata=nodata, **params)
+    elif algorithm == "invdistnn":
+        tiles = GR.grid_invdistnn(pts, spec, nodata=nodata, **params)
+    elif algorithm == "nearest":
+        tiles = GR.grid_nearest(pts, spec, nodata=nodata, **params)
+    elif algorithm == "average":
+        tiles = GR.grid_average(pts, spec, nodata=nodata, **params)
+    elif algorithm == "linear":
+        tiles = GR.grid_linear(pts, spec, nodata=nodata, **params)
+    elif algorithm in GR.DATA_METRICS:
+        tiles = GR.grid_data_metric(pts, spec, algorithm,
+                                    nodata=nodata, **params)
+    else:
+        raise ValueError(f"unknown gridding algorithm {algorithm!r}")
+    GT.write_geotiff(tiles, spec, dst, dtype=dtype, nodata=nodata)
+    return spec
+
+
+def rgb2pct(spark: SparkSession, src: str, dst: str, n_colors: int = 256,
+            dither: bool = False) -> "np.ndarray":
+    """`rgb2pct.py [-n colors] src dst` (the reference's
+    swig/python/gdal-utils rgb2pct): median-cut palette over the RGB
+    bands, nearest-entry mapping (or exact Floyd-Steinberg when
+    dither=True, driver-side under the palette module's pixel budget);
+    writes the index band; returns the palette."""
+    from .raster import palette as PAL
+
+    spec, bands = GT.read_geotiff_bands(spark, src)
+    if len(bands) < 3:
+        raise ValueError("rgb2pct needs a 3-band source")
+    rgb = (bands[0].withColumnRenamed("px", "r")
+           .join(bands[1].withColumnRenamed("px", "g"),
+                 ["tile_y", "tile_x"])
+           .join(bands[2].withColumnRenamed("px", "b"),
+                 ["tile_y", "tile_x"]))
+    pal = PAL.compute_median_cut_pct(rgb, n_colors)
+    idx = (PAL.rgb_to_pct_dithered(rgb, spec, pal) if dither
+           else PAL.rgb_to_pct(rgb, pal))
+    GT.write_geotiff(idx, spec, dst, dtype="uint8")
+    return pal
+
+
+def pct2rgb(spark: SparkSession, src: str, dst: str,
+            palette: "np.ndarray") -> None:
+    """`pct2rgb.py src dst`: expand an index band back to RGB planes
+    through the palette (broadcast lookup, per-tile numpy take)."""
+    import numpy as np
+
+    spec, tiles = GT.read_geotiff(spark, src)
+    pal = np.asarray(palette, np.float64)
+
+    def chan(c):
+        lut = F.array(*[F.lit(float(v)) for v in pal[:, c]])
+        return F.transform("px", lambda x: F.element_at(
+            lut, x.cast("int") + F.lit(1)))
+
+    bands = [tiles.select("tile_y", "tile_x", chan(c).alias("px"))
+             for c in range(3)]
+    GT.write_geotiff_bands(bands, spec, dst, dtype="uint8")

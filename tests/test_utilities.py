@@ -203,3 +203,73 @@ def test_gdaldem_slope(spark, tmp_path):
     assert np.allclose(arr[4:-4, 4:-4], 45.0)
     with pytest.raises(ValueError, match="mode"):
         U.gdaldem(spark, "bogus", tif, out_tif)
+
+
+def test_gdal_grid_utility(spark, tmp_path):
+    """gdal_grid analog end to end: GeoJSONSeq points -> nearest and
+    average surfaces -> GeoTIFF."""
+    import numpy as np
+
+    from gdal_spark.raster import geotiff as GT
+    from gdal_spark.raster import grid as G
+    from gdal_spark.sources import registry as REG
+    from gdal_spark.functions.st_funcs import st_makepoint
+    from gdal_spark.utilities import gdal_grid
+
+    pts = spark.createDataFrame(
+        [(1.5, 14.5, 10.0), (6.5, 9.5, 20.0), (12.5, 3.5, 30.0)],
+        "x double, y double, z double")
+    src = str(tmp_path / "pts.geojsonl")
+    REG.write_vector(pts.select(
+        st_makepoint("x", "y").alias("geom"), "z"), src)
+    spec = G.GridSpec(16, 16, (0.0, 1.0, 0.0, 16.0, 0.0, -1.0), tile=16)
+    dst = str(tmp_path / "near.tif")
+    gdal_grid(spark, src, dst, spec, algorithm="nearest", zfield="z",
+              radius=100.0)
+    _, tiles = GT.read_geotiff(spark, dst)
+    canvas = np.asarray(tiles.collect()[0]["px"]).reshape(16, 16)
+    assert canvas[1, 1] == 10.0 and canvas[12, 12] == 30.0
+    assert set(np.unique(canvas)) == {10.0, 20.0, 30.0}
+    dst2 = str(tmp_path / "cnt.tif")
+    gdal_grid(spark, src, dst2, spec, algorithm="count", zfield="z",
+              radius1=100.0, nodata=-1.0)
+    _, t2 = GT.read_geotiff(spark, dst2)
+    c2 = np.asarray(t2.collect()[0]["px"]).reshape(16, 16)
+    assert (c2 == 3.0).all()
+
+
+def test_rgb2pct_pct2rgb_roundtrip(spark, tmp_path):
+    import numpy as np
+
+    from gdal_spark.raster import geotiff as GT
+    from gdal_spark.raster import grid as G
+    from gdal_spark.utilities import pct2rgb, rgb2pct
+
+    spec = G.GridSpec(16, 16, (0.0, 1.0, 0.0, 16.0, 0.0, -1.0), tile=16)
+    # 4 exact colors -> palette recovers them -> lossless roundtrip
+    colors = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0],
+                       [0, 0, 255]], float)
+    pick = np.random.default_rng(9).integers(0, 4, (16, 16))
+    bands = []
+    for c in range(3):
+        px = colors[pick, c]
+        bands.append(spark.createDataFrame(
+            [(0, 0, px.ravel().tolist())], G.TILE_SCHEMA))
+    src = str(tmp_path / "rgb.tif")
+    GT.write_geotiff_bands(bands, spec, src, dtype="uint8")
+    dst = str(tmp_path / "idx.tif")
+    pal = rgb2pct(spark, src, dst, n_colors=8)
+    back = str(tmp_path / "back.tif")
+    pct2rgb(spark, dst, back, pal)
+    # median-cut palettes are 5-bit histogram BIN CENTERS
+    # (gdalmediancut.cpp), so the roundtrip reproduces each pixel's
+    # nearest palette entry, not the raw color
+    d = ((colors[:, None, :] - pal[None, :, :]) ** 2).sum(-1)
+    expect_idx = d.argmin(axis=1)[pick]
+    _, rb = GT.read_geotiff_bands(spark, back)
+    for c in range(3):
+        got = np.asarray(rb[c].collect()[0]["px"]).reshape(16, 16)
+        np.testing.assert_array_equal(got, pal[expect_idx, c])
+    # and every palette entry stays within the 5-bit bin radius of a
+    # true color
+    assert np.abs(colors[pick] - pal[expect_idx]).max() <= 4
