@@ -391,3 +391,58 @@ def pct2rgb(spark: SparkSession, src: str, dst: str,
     bands = [tiles.select("tile_y", "tile_x", chan(c).alias("px"))
              for c in range(3)]
     GT.write_geotiff_bands(bands, spec, dst, dtype="uint8")
+
+
+def gdal_sieve(spark: SparkSession, src: str, dst: str, threshold: int,
+               connect8: bool = False, dtype: str = "float64") -> None:
+    """`gdal_sieve.py -st threshold [-8] src dst`
+    (apps/gdal_sieve analog over the distributed cascade)."""
+    from .raster import sieve as SV
+    from .raster.vrt import open_raster
+
+    spec, tiles = open_raster(spark, src)
+    GT.write_geotiff(SV.sieve(tiles, spec, threshold, connect8=connect8),
+                     spec, dst, dtype=dtype)
+
+
+def gdal_proximity(spark: SparkSession, src: str, dst: str,
+                   max_dist: float = float("inf"), nodata: float = -1.0,
+                   dtype: str = "float64") -> None:
+    """`gdal_proximity.py [-maxdist d] src dst` — pixel-unit distance
+    to the nearest nonzero pixel (alg/gdalproximity.cpp semantics,
+    broadcast/ring auto strategy)."""
+    from .raster import proximity as PX
+    from .raster.vrt import open_raster
+
+    spec, tiles = open_raster(spark, src)
+    GT.write_geotiff(PX.proximity(tiles, spec, max_dist, nodata),
+                     spec, dst, dtype=dtype, nodata=nodata)
+
+
+def gdal_fillnodata(spark: SparkSession, src: str, dst: str,
+                    nodata: float, iterations: int = 3,
+                    dtype: str = "float64") -> None:
+    """`gdal_fillnodata.py src dst` — iterated neighbour-mean fill of
+    the nodata regions (alg/gdal_fillnodata analog via halo passes)."""
+    from .raster import focal as FO
+    from .raster.vrt import open_raster
+
+    spec, tiles = open_raster(spark, src)
+    GT.write_geotiff(FO.fillnodata(tiles, spec, nodata,
+                                   iterations=iterations),
+                     spec, dst, dtype=dtype)
+
+
+def gdal_viewshed(spark: SparkSession, src: str, dst: str, ox: int,
+                  oy: int, obs_height: float = 2.0,
+                  max_distance: float = float("inf"),
+                  dtype: str = "float64") -> None:
+    """`gdal_viewshed -ox -oy [-oz h] [-md d] src dst`
+    (apps/gdal_viewshed_lib analog; observer in PIXEL coords)."""
+    from .raster import viewshed as VS
+    from .raster.vrt import open_raster
+
+    spec, tiles = open_raster(spark, src)
+    GT.write_geotiff(VS.viewshed(tiles, spec, ox, oy, obs_height,
+                                 max_distance),
+                     spec, dst, dtype=dtype)

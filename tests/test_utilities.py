@@ -273,3 +273,50 @@ def test_rgb2pct_pct2rgb_roundtrip(spark, tmp_path):
     # and every palette entry stays within the 5-bit bin radius of a
     # true color
     assert np.abs(colors[pick] - pal[expect_idx]).max() <= 4
+
+
+def test_sieve_proximity_fillnodata_viewshed_utilities(spark, tmp_path):
+    """The four remaining classic wrappers run file-to-file."""
+    import numpy as np
+
+    from gdal_spark.raster import geotiff as GT
+    from gdal_spark.raster import grid as G
+    from gdal_spark.utilities import (gdal_fillnodata, gdal_proximity,
+                                      gdal_sieve, gdal_viewshed)
+
+    spec = G.GridSpec(16, 16, (0.0, 1.0, 0.0, 16.0, 0.0, -1.0), tile=16)
+    canvas = np.zeros((16, 16))
+    canvas[4:8, 4:8] = 7.0      # 16-px blob survives sieve
+    canvas[8, 4] = 3.0          # 1-px appendage merges into the blob
+    src = str(tmp_path / "s.tif")
+    GT.write_geotiff(spark.createDataFrame(
+        [(0, 0, canvas.ravel().tolist())], G.TILE_SCHEMA), spec, src)
+
+    out = str(tmp_path / "sieved.tif")
+    gdal_sieve(spark, src, out, threshold=2)
+    _, t = GT.read_geotiff(spark, out)
+    got = np.asarray(t.collect()[0]["px"]).reshape(16, 16)
+    assert got[8, 4] == 7.0 and got[5, 5] == 7.0
+
+    out = str(tmp_path / "prox.tif")
+    gdal_proximity(spark, src, out)
+    _, t = GT.read_geotiff(spark, out)
+    got = np.asarray(t.collect()[0]["px"]).reshape(16, 16)
+    assert got[4, 4] == 0.0 and got[4, 3] == 1.0
+
+    holes = canvas.copy()
+    holes[0, 0] = -9.0
+    srch = str(tmp_path / "h.tif")
+    GT.write_geotiff(spark.createDataFrame(
+        [(0, 0, holes.ravel().tolist())], G.TILE_SCHEMA), spec, srch)
+    out = str(tmp_path / "filled.tif")
+    gdal_fillnodata(spark, srch, out, nodata=-9.0)
+    _, t = GT.read_geotiff(spark, out)
+    got = np.asarray(t.collect()[0]["px"]).reshape(16, 16)
+    assert got[0, 0] != -9.0
+
+    out = str(tmp_path / "vs.tif")
+    gdal_viewshed(spark, src, out, ox=0, oy=0, obs_height=50.0)
+    _, t = GT.read_geotiff(spark, out)
+    got = np.asarray(t.collect()[0]["px"]).reshape(16, 16)
+    assert got[0, 0] == 1.0 and set(np.unique(got)) <= {0.0, 1.0}
