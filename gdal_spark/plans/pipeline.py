@@ -78,6 +78,46 @@ def _make_point(df: DataFrame, x: str, y: str,
                                            F.col(y).cast("double")))
 
 
+@step_impl("grid")
+def _grid_step(df: DataFrame, spec, algorithm: str = "invdist",
+               zfield: str = "z", geom_col: str = "geom",
+               nodata: float = 0.0, **params) -> DataFrame:
+    """`gdal vector grid <algorithm>` (apps/gdalalg_vector_grid.cpp
+    and its per-algorithm subcommands): point features -> interpolated
+    raster tiles — the pipeline's vector->raster terminal, same
+    algorithm set as utilities.gdal_grid."""
+    import pandas as pd
+
+    from ..geo import wkb as W
+    from ..raster import gridding as GR
+
+    @F.pandas_udf("double")
+    def gx(g: pd.Series) -> pd.Series:
+        return pd.Series([W.decode(bytes(b))[1][0] for b in g])
+
+    @F.pandas_udf("double")
+    def gy(g: pd.Series) -> pd.Series:
+        return pd.Series([W.decode(bytes(b))[1][1] for b in g])
+
+    pts = df.select(gx(F.col(geom_col)).alias("x"),
+                    gy(F.col(geom_col)).alias("y"),
+                    F.col(zfield).cast("double").alias("v"))
+    if algorithm == "invdist":
+        return GR.grid_idw(pts, spec, nodata=nodata, **params)
+    if algorithm == "invdistnn":
+        return GR.grid_invdistnn(pts, spec, nodata=nodata, **params)
+    if algorithm == "nearest":
+        return GR.grid_nearest(pts, spec, nodata=nodata, **params)
+    if algorithm == "average":
+        return GR.grid_average(pts, spec, nodata=nodata, **params)
+    if algorithm == "linear":
+        return GR.grid_linear(pts, spec, nodata=nodata, **params)
+    if algorithm in GR.DATA_METRICS:
+        return GR.grid_data_metric(pts, spec, algorithm,
+                                   nodata=nodata, **params)
+    raise ValueError(f"unknown gridding algorithm {algorithm!r}")
+
+
 @step_impl("reproject")
 def _reproject(df: DataFrame, dst_crs: str = "EPSG:3857",
                lon: str = "lon", lat: str = "lat") -> DataFrame:

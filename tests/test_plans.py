@@ -222,3 +222,26 @@ def test_execute_sql_ogrsql_first_match_join(spark, sf_dir):
         "ORDER BY c.c_custkey",
         {"c": c, "o": o}, dialect="SQLITE").collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_pipeline_grid_step(spark):
+    """`gdal vector grid` as a pipeline step: point features -> raster
+    tiles, same algorithms as utilities.gdal_grid."""
+    import numpy as np
+
+    from gdal_spark.plans.pipeline import Pipeline
+    from gdal_spark.functions.st_funcs import st_makepoint
+    from gdal_spark.raster import grid as G
+
+    df = spark.createDataFrame(
+        [(2.5, 13.5, 5.0), (12.5, 3.5, 25.0)],
+        "x double, y double, z double").select(
+        st_makepoint("x", "y").alias("geom"), "z")
+    spec = G.GridSpec(16, 16, (0.0, 1.0, 0.0, 16.0, 0.0, -1.0), tile=16)
+    tiles = (Pipeline(spark, df)
+             .step("grid", spec=spec, algorithm="nearest", zfield="z",
+                   radius=100.0)
+             .df())
+    canvas = np.asarray(tiles.collect()[0]["px"]).reshape(16, 16)
+    assert canvas[2, 2] == 5.0 and canvas[12, 12] == 25.0
+    assert set(np.unique(canvas)) == {5.0, 25.0}
