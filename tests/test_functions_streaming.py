@@ -120,3 +120,36 @@ def test_streaming_windowed_tiles(spark, sf_dir, tmp_path):
     want = {(r["win_start"], r["tile_x"], r["tile_y"], r["n_pages"])
             for r in batch.collect()}
     assert got == want
+
+
+def test_streaming_pip_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static spatial join (the north star's streaming shape):
+    the SAME pip_join_broadcast operator runs unchanged over a
+    readStream pages source against the static polygon layer — Spark's
+    stream-static broadcast join — and reproduces the batch rollup."""
+    from gdal_spark.operators import pip_join
+    from gdal_spark.sources import admin
+    from gdal_spark.streaming import pages_stream as PS
+
+    src = str(tmp_path / "pages_src")
+    batch = pages.page_points(spark, sf_dir).drop("cell_id")
+    batch.repartition(4).write.parquet(src)
+    polys = admin.admin_df(spark)
+
+    stream = PS.read_pages_stream(spark, src)
+    stream = stream.withColumn("lon", pages.lon_col(F.col("doc_id"))) \
+                   .withColumn("lat", pages.lat_col(F.col("doc_id")))
+    joined = pip_join.pip_join_broadcast(
+        stream.select("doc_id", "lon", "lat"), polys, how="inner")
+    agg = joined.groupBy("poly_id").agg(F.count(F.lit(1)).alias("n"))
+    q = (agg.writeStream.format("memory").queryName("pipstream")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["poly_id"], r["n"])
+           for r in spark.sql("SELECT * FROM pipstream").collect()}
+    want = {(r["poly_id"], r["n"]) for r in
+            pip_join.pip_join_broadcast(
+                batch.select("doc_id", "lon", "lat"), polys, how="inner")
+            .groupBy("poly_id").agg(F.count(F.lit(1)).alias("n"))
+            .collect()}
+    assert got == want and len(got) > 0
