@@ -51,6 +51,10 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     qs, os_ = E.queries(), E.oracle_sql()
+    # golden literals are per-SF (computed from the data); re-pin for
+    # the directory under test (oracle_sql() pins the driver's sf0.01)
+    from gdal_spark import golden
+    os_.update(golden.golden_oracles(sf_dir))
     failed = []
     for name, fn in qs.items():
         if only and name not in only:
