@@ -157,12 +157,13 @@ def _golden_idw(sf_dir: str) -> str:
 _CACHE: dict[str, dict[str, str]] = {}
 
 
-def golden_oracles(sf_dir: str = GOLDEN_SF_DIR) -> dict[str, str]:
-    """{gate name -> pinned-literal DuckDB SQL} for the parquet at
-    `sf_dir` (default: the driver's sf0.01 gate); {} if data is
-    absent. Literals are a pure function of the input data, so any
-    scale factor can be pinned (tests/test_queries_oracle.py pins
-    sf0.001, the driver sf0.01)."""
+def compute_oracles(sf_dir: str) -> dict[str, str]:
+    """Recompute the three golden SQL texts from the parquet at
+    `sf_dir` via the single-node numpy kernels.  Used by
+    tools/freeze_golden.py to generate the FROZEN pins in
+    golden_pins.py, and by golden_oracles() only as a staleness
+    assert against those pins — never as the served oracle for a
+    pinned scale factor."""
     if sf_dir in _CACHE:
         return dict(_CACHE[sf_dir])
     if not os.path.exists(f"{sf_dir}/documents.parquet"):
@@ -174,3 +175,36 @@ def golden_oracles(sf_dir: str = GOLDEN_SF_DIR) -> dict[str, str]:
         "raster_grid_idw": _golden_idw(sf_dir),
     }
     return dict(_CACHE[sf_dir])
+
+
+def golden_oracles(sf_dir: str = GOLDEN_SF_DIR) -> dict[str, str]:
+    """{gate name -> pinned-literal DuckDB SQL} for the parquet at
+    `sf_dir` (default: the driver's sf0.01 gate); {} if data is
+    absent.
+
+    For scale factors with a FROZEN pin in golden_pins.py (committed
+    source constants, the reference's own discipline —
+    autotest/alg/rasterize.py:71-77 pins the literal 6452) the frozen
+    text is returned; the kernels are re-run only to ASSERT the pin is
+    not stale, and any mismatch hard-fails.  A kernel regression
+    therefore breaks the gate visibly instead of moving oracle and
+    engine together.  Unpinned directories fall back to live
+    recompute (tests at ad-hoc SFs)."""
+    key = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        from . import golden_pins as GP
+        pinned = GP.PINS.get(key)
+    except ImportError:  # pins not generated yet (fresh checkout bootstrap)
+        pinned = None
+    live = compute_oracles(sf_dir)
+    if pinned is None:
+        return live
+    if live and live != pinned:
+        stale = sorted(k for k in pinned if live.get(k) != pinned[k])
+        raise RuntimeError(
+            f"golden pin mismatch for {key} (gates {stale}): either the test "
+            "data was regenerated or a numpy kernel regressed. Diff the "
+            "recomputed text against gdal_spark/golden_pins.py before even "
+            "considering `python tools/freeze_golden.py` — a re-pin without a "
+            "diff review defeats the frozen-oracle gate.")
+    return dict(pinned)

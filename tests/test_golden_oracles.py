@@ -37,11 +37,55 @@ def test_golden_oracles_execute_with_gate_schema():
     assert len(_run(g["raster_grid_idw"]).fetchall()) == 4
 
 
+def test_frozen_pins_are_committed_source_constants():
+    """The served oracle text must BE the frozen literal in
+    golden_pins.py (generated once by tools/freeze_golden.py), not a
+    fresh recomputation — the reference pins literals in test source
+    the same way (autotest/alg/rasterize.py:71-77)."""
+    from gdal_spark import golden_pins as GP
+
+    key = __import__("os").path.basename(golden.GOLDEN_SF_DIR)
+    assert key in GP.PINS and key in GP.DATA_FINGERPRINTS
+    served = golden.golden_oracles()
+    assert served == GP.PINS[key]
+
+
 def test_golden_pins_match_fresh_recomputation():
     pinned = golden.golden_oracles()
     golden._CACHE.clear()  # force regeneration from the parquet
-    fresh = golden.golden_oracles()
+    fresh = golden.compute_oracles(golden.GOLDEN_SF_DIR)
     assert pinned == fresh
+
+
+def test_kernel_regression_breaks_the_gate_loudly():
+    """A divergence between the frozen pin and the recomputed text
+    must hard-fail golden_oracles() — the whole point of freezing."""
+    from gdal_spark import golden_pins as GP
+
+    key = __import__("os").path.basename(golden.GOLDEN_SF_DIR)
+    orig = GP.PINS[key]["raster_sieve_checksum"]
+    golden._CACHE.clear()
+    try:
+        GP.PINS[key]["raster_sieve_checksum"] = orig + " -- tampered"
+        with pytest.raises(RuntimeError, match="golden pin mismatch"):
+            golden.golden_oracles()
+    finally:
+        GP.PINS[key]["raster_sieve_checksum"] = orig
+
+
+def test_pin_fingerprint_matches_live_data():
+    """The committed fingerprint of documents.parquet must match the
+    live file — distinguishes 'data regenerated' from 'kernel bug'."""
+    import sys
+
+    sys.path.insert(0, __import__("os").path.join(
+        __import__("os").path.dirname(__import__("os").path.dirname(
+            __import__("os").path.abspath(__file__)))))
+    from gdal_spark import golden_pins as GP
+    from tools.freeze_golden import fingerprint
+
+    key = __import__("os").path.basename(golden.GOLDEN_SF_DIR)
+    assert fingerprint(golden.GOLDEN_SF_DIR) == GP.DATA_FINGERPRINTS[key]
 
 
 def test_sieve_golden_satisfies_checksum_combine_law():
