@@ -28,12 +28,16 @@ N5 = (1 << ZOOM) * TILE
 _PTS = f"SELECT doc_id, {pages.LON_SQL} AS lon, {pages.LAT_SQL} AS lat FROM documents"
 
 
-def _px_cte(zoom: int, tile: int) -> str:
+def _px_cte(zoom: int, tile: int, mask: str | None = None) -> str:
+    """pts+px CTEs; `mask` (a predicate over gx, gy) drops masked
+    source pixels — masked-to-nodata(0) and absent are the same thing
+    in the sparse relation, which is exactly the cutline semantics."""
     gx, gy = G.pixel_index_sql_3857(zoom, tile, "lon", "lat")
+    having = f"\n       HAVING {mask}" if mask else ""
     return (f"pts AS ({_PTS}),\n"
             f"px AS (SELECT gx, gy, CAST(count(*) AS DOUBLE) AS v\n"
             f"       FROM (SELECT {gx} AS gx, {gy} AS gy FROM pts)\n"
-            f"       GROUP BY gx, gy)")
+            f"       GROUP BY gx, gy{having})")
 
 
 def _tile_checksum_sql(width: int, tile: int) -> str:
@@ -148,7 +152,7 @@ def rasterize_checksum(spark, sf_dir):
 WARP_W, WARP_H, WARP_TILE = 1000, 500, 125
 
 
-def _warp_oracle() -> str:
+def _warp_oracle(mask: str | None = None) -> str:
     src_spec = G.world_3857(ZOOM, TILE)
     res_x = 360.0 / WARP_W
     res_y = 180.0 / WARP_H
@@ -162,7 +166,7 @@ def _warp_oracle() -> str:
     spx = f"((({mx}) - ({src_spec.gt[0]!r})) / {src_spec.gt[1]!r})"
     spy = f"((({my}) - ({src_spec.gt[3]!r})) / ({src_spec.gt[5]!r}))"
     return f"""
-    WITH {_px_cte(ZOOM, TILE)},
+    WITH {_px_cte(ZOOM, TILE, mask)},
     dst AS (
       SELECT x, y, CAST(floor({spx}) AS BIGINT) AS sgx,
                    CAST(floor({spy}) AS BIGINT) AS sgy
@@ -276,7 +280,7 @@ def _warp_cubic_oracle() -> str:
     """
 
 
-def _warp_average_oracle() -> str:
+def _warp_average_oracle(mask: str | None = None) -> str:
     spx_of, spy_of, cx, cy, res_x, res_y = _warp_xform_sql()
     # footprint edges: positions x -+ 0.5 have center-world at the
     # pixel's west/east edge ((gx - 0.5 + 0.5) * res == gx * res, exact)
@@ -287,7 +291,7 @@ def _warp_average_oracle() -> str:
     spx = spx_of(cx)
     spy = spy_of(cy)
     return f"""
-    WITH {_px_cte(ZOOM, TILE)},
+    WITH {_px_cte(ZOOM, TILE, mask)},
     dst AS (
       SELECT x, y,
              CAST(ceil(least({exW}, {exE}) - 0.5) AS BIGINT) AS xlo0,
@@ -1168,6 +1172,88 @@ def warp_kernels_checksum(spark, sf_dir):
     return out.orderBy("kernel", "tile_y", "tile_x")
 
 
+# -------------------------------------------------------------- cutline
+
+
+def _cutline_rings() -> list[np.ndarray]:
+    """Two convex cutline polygons in EPSG:3857 meters (the irrational-
+    ish vertex scaling keeps every z5 pixel center off the edges, the
+    same no-degeneracy discipline as the admin fixture)."""
+    out = []
+    for cx, cy, rx, ry, nv, rot in (
+            (-6.2e6, 3.1e6, 7.3e6, 4.9e6, 7, 0.3737661773),
+            (9.8e6, -2.7e6, 5.1e6, 6.2e6, 5, 1.2183272631)):
+        ang = rot + 2.0 * np.pi * np.arange(nv) / nv
+        ring = np.column_stack([cx + rx * np.cos(ang) * 0.9988776655443,
+                                cy + ry * np.sin(ang) * 1.0011223344556])
+        out.append(np.vstack([ring, ring[:1]]))
+    return out
+
+
+def _cutline_px_pred() -> str:
+    """Cutline containment as half-plane SQL over SOURCE PIXEL CENTERS
+    (gx + 0.5, gy + 0.5): the ring is transformed with the very
+    world_to_pixel floats the engine's rasterize uses, so the oracle
+    tests the same geometry in the same space; scanline fill ==
+    center-in-polygon for convex rings (the rasterize gate's proven
+    equivalence, llrasterize.cpp:41-45 rule)."""
+    from .geo import geom
+
+    spec = G.world_3857(ZOOM, TILE)
+    preds = []
+    for ring in _cutline_rings():
+        px_, py_ = spec.world_to_pixel(ring[:, 0], ring[:, 1])
+        rp = np.column_stack([px_, py_])
+        # interior-on-left for the >= 0 half-plane rule
+        if np.sum(rp[:-1, 0] * rp[1:, 1] - rp[1:, 0] * rp[:-1, 1]) < 0:
+            rp = rp[::-1]
+        preds.append(geom.convex_halfplane_sql(rp, "(gx + 0.5)",
+                                               "(gy + 0.5)"))
+    return "(" + " OR ".join(preds) + ")"
+
+
+def _warp_cutline_oracle() -> str:
+    pred = _cutline_px_pred()
+    return (f"SELECT 'near' AS kernel, tile_y, tile_x, checksum,"
+            f" n_nonzero FROM ({_warp_oracle(mask=pred)})"
+            f"\nUNION ALL\n"
+            f"SELECT 'average' AS kernel, tile_y, tile_x, checksum,"
+            f" n_nonzero FROM ({_warp_average_oracle(mask=pred)})"
+            f"\nORDER BY kernel, tile_y, tile_x")
+
+
+@register("raster_warp_cutline_checksum", oracle=_warp_cutline_oracle())
+def warp_cutline_checksum(spark, sf_dir):
+    """gdalwarp -cutline (GDALWarpCutlineMasker, alg/gdalcutline.cpp:218;
+    options apps/gdalwarp_lib.cpp:188-206): the z5 density raster
+    masked by a two-polygon cutline on the SOURCE grid, then warped
+    3857 -> 4326 with NEAR (1000x500) and AVERAGE (500x250), per-tile
+    checksums. Masked source pixels become nodata(0) — identical to
+    absent pixels in the sparse relation, so the oracle is the plain
+    warp oracle over a cutline-filtered px (half-plane containment in
+    source pixel space, bit-equal ring transform)."""
+    pts = pages.page_points(spark, sf_dir)
+    src_spec = G.world_3857(ZOOM, TILE)
+    src_tiles = D.density_tiles(pts, ZOOM, TILE)
+    cut = spark.createDataFrame(
+        [(i, bytearray(wkb.polygon([r])))
+         for i, r in enumerate(_cutline_rings())],
+        "fid long, geom binary")
+    masked = W.apply_cutline(src_tiles, cut, src_spec).persist()
+    dst_near = G.world_4326(WARP_W, WARP_H, tile=WARP_TILE)
+    near = (R.tiles_checksum(
+                W.warp(masked, src_spec, dst_near, kernel="near"),
+                dst_near)
+            .filter(F.col("n_nonzero") > 0)
+            .select(F.lit("near").alias("kernel"), "tile_y", "tile_x",
+                    "checksum", "n_nonzero"))
+    avg = _warp_kernel_query(spark, sf_dir, "average",
+                             src_tiles=masked).select(
+        F.lit("average").alias("kernel"), "tile_y", "tile_x",
+        "checksum", "n_nonzero")
+    return near.unionByName(avg).orderBy("kernel", "tile_y", "tile_x")
+
+
 # ------------------------------------------------------------ polygonize
 
 PZOOM, PTILE = 4, 64
@@ -1997,6 +2083,245 @@ def contour_segments_q(spark, sf_dir):
             .select("level", "n_segments", "min_x", "max_x",
                     "min_y", "max_y", "sum_x", "sum_y")
             .orderBy("level"))
+
+
+# contour POLYGONIZE gate: coarser grid (counts reach 2) so BOTH
+# levels are active and all three slots get rings
+PGZOOM, PGTILE = 1, 64
+NPG = (1 << PGZOOM) * PGTILE
+PGLEVELS = (0.5, 1.5)
+
+
+def _border_vals_sql() -> str:
+    """(side, vertical, reverse, idx, va) for the four raster-frame
+    sides; absent pixels are 0 (contour._SIDES order/orientation)."""
+    n1 = NPG - 1
+    sides = (("top", "FALSE", "TRUE", "gy = 0", "gx"),
+             ("bottom", "FALSE", "FALSE", f"gy = {n1}", "gx"),
+             ("left", "TRUE", "FALSE", "gx = 0", "gy"),
+             ("right", "TRUE", "TRUE", f"gx = {n1}", "gy"))
+    parts = []
+    for side, vert, rev, cond, axis in sides:
+        parts.append(f"""
+      SELECT '{side}' AS side, {vert} AS vertical, {rev} AS reverse,
+             r.range AS idx, coalesce(px.v, 0.0) AS va
+      FROM range(0, {NPG}) r
+      LEFT JOIN px ON px.{cond.split(' = ')[0]} = {cond.split(' = ')[1]}
+                  AND px.{axis} = r.range""")
+    return " UNION ALL ".join(parts)
+
+
+def _contour_polygons_oracle() -> str:
+    """Iso-polygon ring relation IN SQL (alg/contour.cpp POLYGONIZE;
+    ring chaining segment_merger.h:26, nesting
+    polygon_ring_appender.h:30). The directed per-slot boundary
+    (fixed-saddle contour chords duplicated into both adjacent slots +
+    raster-frame pieces split at crossings) is fully relational with
+    the same float ops as the engine; rings are the cycles of the
+    per-slot functional graph (every vertex has exactly one out-edge),
+    recovered with a recursive min-root closure exactly like the
+    polygonize oracle. Chaining preserves the edge multiset, so every
+    per-ring aggregate (edge count, shoelace area, bbox) matches the
+    assembled engine output bit-for-bit."""
+    lvals = ", ".join(f"({k}, {float(l)})" for k, l in enumerate(PGLEVELS))
+    first_slot = " + ".join(f"CAST(va >= {float(l)} AS INTEGER)"
+                            for l in PGLEVELS)
+    n1 = NPG - 1
+    return f"""
+    WITH RECURSIVE {_px_cte(PGZOOM, PGTILE)},
+    lv(k, l) AS (VALUES {lvals}),
+    sq AS (
+      SELECT DISTINCT gx + dx AS sx, gy + dy AS sy
+      FROM px, (VALUES (0, 0), (-1, 0), (0, -1), (-1, -1)) AS d(dx, dy)
+      WHERE gx + dx BETWEEN 0 AND {NPG - 2}
+        AND gy + dy BETWEEN 0 AND {NPG - 2}
+    ),
+    c AS (
+      SELECT s.sx, s.sy,
+             coalesce(p00.v, 0.0) AS c00, coalesce(p10.v, 0.0) AS c10,
+             coalesce(p01.v, 0.0) AS c01, coalesce(p11.v, 0.0) AS c11
+      FROM sq s
+      LEFT JOIN px p00 ON p00.gx = s.sx     AND p00.gy = s.sy
+      LEFT JOIN px p10 ON p10.gx = s.sx + 1 AND p10.gy = s.sy
+      LEFT JOIN px p01 ON p01.gx = s.sx     AND p01.gy = s.sy + 1
+      LEFT JOIN px p11 ON p11.gx = s.sx + 1 AND p11.gy = s.sy + 1
+    ),
+    cc AS (
+      SELECT c.*, lv.k, lv.l,
+             CAST(c00 >= l AS INTEGER) + 2 * CAST(c10 >= l AS INTEGER)
+             + 4 * CAST(c01 >= l AS INTEGER)
+             + 8 * CAST(c11 >= l AS INTEGER) AS idx
+      FROM c, lv
+    ),
+    -- crossing points of the active squares, same float ops as
+    -- contour._interp (x = (sx + 0.5) + (l - va) / (vb - va))
+    p AS (
+      SELECT k, idx,
+        (CAST(sx AS DOUBLE) + 0.5) + (l - c00) / (c10 - c00) AS tx,
+        CAST(sy AS DOUBLE) + 0.5 AS ty,
+        (CAST(sx AS DOUBLE) + 0.5) + (l - c01) / (c11 - c01) AS bx,
+        CAST(sy AS DOUBLE) + 1.5 AS "by",
+        CAST(sx AS DOUBLE) + 0.5 AS lx,
+        (CAST(sy AS DOUBLE) + 0.5) + (l - c00) / (c01 - c00) AS ly,
+        CAST(sx AS DOUBLE) + 1.5 AS rx,
+        (CAST(sy AS DOUBLE) + 0.5) + (l - c10) / (c11 - c10) AS ry
+      FROM cc WHERE idx NOT IN (0, 15)
+    ),
+    -- directed marching-squares table, HIGH side on the left
+    -- (contour._square_segments), FIXED saddle pairing (square.h:249)
+    seg AS (
+      SELECT k,
+        CASE idx WHEN 1 THEN lx WHEN 3 THEN lx WHEN 9 THEN lx
+                 WHEN 11 THEN lx
+                 WHEN 2 THEN tx WHEN 10 THEN tx WHEN 14 THEN tx
+                 WHEN 4 THEN bx WHEN 5 THEN bx WHEN 6 THEN bx
+                 WHEN 7 THEN bx
+                 WHEN 8 THEN rx WHEN 12 THEN rx WHEN 13 THEN rx END AS ax,
+        CASE idx WHEN 1 THEN ly WHEN 3 THEN ly WHEN 9 THEN ly
+                 WHEN 11 THEN ly
+                 WHEN 2 THEN ty WHEN 10 THEN ty WHEN 14 THEN ty
+                 WHEN 4 THEN "by" WHEN 5 THEN "by" WHEN 6 THEN "by"
+                 WHEN 7 THEN "by"
+                 WHEN 8 THEN ry WHEN 12 THEN ry WHEN 13 THEN ry END AS ay,
+        CASE idx WHEN 1 THEN tx WHEN 5 THEN tx WHEN 13 THEN tx
+                 WHEN 2 THEN rx WHEN 3 THEN rx WHEN 7 THEN rx
+                 WHEN 4 THEN lx WHEN 6 THEN lx WHEN 12 THEN lx
+                 WHEN 14 THEN lx
+                 WHEN 8 THEN bx WHEN 9 THEN bx WHEN 10 THEN bx
+                 WHEN 11 THEN bx END AS bx2,
+        CASE idx WHEN 1 THEN ty WHEN 5 THEN ty WHEN 13 THEN ty
+                 WHEN 2 THEN ry WHEN 3 THEN ry WHEN 7 THEN ry
+                 WHEN 4 THEN ly WHEN 6 THEN ly WHEN 12 THEN ly
+                 WHEN 14 THEN ly
+                 WHEN 8 THEN "by" WHEN 9 THEN "by" WHEN 10 THEN "by"
+                 WHEN 11 THEN "by" END AS by2
+      FROM p
+      UNION ALL  -- second saddle chord: 9 = R->T, 6 = T->R
+      SELECT k,
+        CASE idx WHEN 9 THEN rx ELSE tx END,
+        CASE idx WHEN 9 THEN ry ELSE ty END,
+        CASE idx WHEN 9 THEN tx ELSE rx END,
+        CASE idx WHEN 9 THEN ty ELSE ry END
+      FROM p WHERE idx IN (6, 9)
+    ),
+    -- each contour bounds BOTH adjacent slots (square.h:356): high
+    -- side as emitted, low side reversed
+    chords AS (
+      SELECT k + 1 AS slot, ax AS x1, ay AS y1, bx2 AS x2, by2 AS y2
+      FROM seg
+      UNION ALL
+      SELECT k, bx2, by2, ax, ay FROM seg
+    ),
+    -- raster frame: border values (absent pixels are 0), edges
+    -- between consecutive border pixel centers
+    bval AS ({_border_vals_sql()}),
+    bedge AS (
+      SELECT side, vertical, reverse, idx, va,
+             lead(va) OVER (PARTITION BY side ORDER BY idx) AS vb
+      FROM bval QUALIFY vb IS NOT NULL
+    ),
+    -- breakpoints: edge start (slot of va) + one per level crossing
+    bp AS (
+      SELECT side, vertical, reverse, idx, 0.0 AS t,
+             {first_slot} AS slot
+      FROM bedge
+      UNION ALL
+      SELECT e.side, e.vertical, e.reverse, e.idx,
+             (lv.l - e.va) / (e.vb - e.va) AS t,
+             CASE WHEN e.va < e.vb THEN lv.k + 1 ELSE lv.k END AS slot
+      FROM bedge e JOIN lv ON (e.va >= lv.l) <> (e.vb >= lv.l)
+    ),
+    bpiece AS (
+      SELECT side, vertical, reverse, idx, slot, t AS t1,
+             lead(t, 1, 1.0) OVER (PARTITION BY side, idx ORDER BY t)
+               AS t2
+      FROM bp
+    ),
+    border AS (
+      SELECT CAST(slot AS INTEGER) AS slot,
+        CASE WHEN vertical THEN fixed
+             WHEN reverse THEN c2 ELSE c1 END AS x1,
+        CASE WHEN NOT vertical THEN fixed
+             WHEN reverse THEN c2 ELSE c1 END AS y1,
+        CASE WHEN vertical THEN fixed
+             WHEN reverse THEN c1 ELSE c2 END AS x2,
+        CASE WHEN NOT vertical THEN fixed
+             WHEN reverse THEN c1 ELSE c2 END AS y2
+      FROM (
+        SELECT *, (CAST(idx AS DOUBLE) + 0.5) + t1 AS c1,
+               (CAST(idx AS DOUBLE) + 0.5) + t2 AS c2,
+               CASE side WHEN 'top' THEN 0.5 WHEN 'left' THEN 0.5
+                         ELSE {float(n1)} + 0.5 END AS fixed
+        FROM bpiece)
+    ),
+    boundary AS (
+      SELECT CAST(slot AS INTEGER) AS slot, x1, y1, x2, y2 FROM chords
+      UNION ALL SELECT * FROM border
+    ),
+    -- per-slot functional graph: every vertex has one out-edge, so
+    -- rings = cycles; min-root closure labels them
+    vtx AS (
+      SELECT slot, x1, y1, x2, y2,
+             row_number() OVER (ORDER BY slot, x1, y1) AS vid
+      FROM boundary
+    ),
+    edg AS (
+      SELECT a.vid AS va_id, b.vid AS vb_id
+      FROM vtx a JOIN vtx b
+        ON b.slot = a.slot AND b.x1 = a.x2 AND b.y1 = a.y2
+    ),
+    reach AS (
+      SELECT vid AS pid, vid AS r FROM vtx
+      UNION
+      SELECT re.pid, e.vb_id FROM reach re JOIN edg e ON e.va_id = re.r
+    ),
+    root AS (SELECT pid, min(r) AS ring FROM reach GROUP BY pid)
+    SELECT v.slot, count(*) AS n_edges,
+           {dsum_sql('v.x1 * v.y2 - v.x2 * v.y1')} AS area2,
+           min(v.x1) AS min_x, min(v.y1) AS min_y,
+           max(v.x1) AS max_x, max(v.y1) AS max_y
+    FROM vtx v JOIN root rt ON rt.pid = v.vid
+    GROUP BY v.slot, rt.ring
+    ORDER BY v.slot, min_y, min_x, n_edges
+    """
+
+
+@register("raster_contour_polygons", oracle=_contour_polygons_oracle())
+def contour_polygons_q(spark, sf_dir):
+    """Contour POLYGONIZE (GDALContourGenerateEx POLYGONIZE option,
+    alg/contour.cpp:569): iso-polygon RING relation of the z1 density
+    raster between levels (-inf, 0.5, 1.5, +inf) — the distributed
+    boundary build (oriented fixed-saddle chords duplicated into both
+    adjacent slots + frame pieces, square.h:291-366) chained into
+    closed rings per slot (segment_merger.h:26) with one row per ring:
+    edge count, shoelace area (exteriors negative in the y-down frame,
+    holes positive), bbox. Ring chaining preserves the edge multiset,
+    which is what makes the assembled output SQL-oracle-able; nesting
+    itself (polygon_ring_appender.h) is pytest-gated via
+    contour_polygons_np == distributed contour_polygons."""
+    from .queries import dsum
+    from .raster import contour as CN
+
+    pts = pages.page_points(spark, sf_dir)
+    spec = G.world_3857(PGZOOM, PGTILE)
+    tiles = D.density_tiles(pts, PGZOOM, PGTILE)
+    pxc = D.points_to_pixel_counts(pts, PGZOOM, PGTILE)
+    px = pxc.select(
+        (F.col("tile_x") * PGTILE + F.col("pxi") % PGTILE).alias("gx"),
+        (F.col("tile_y") * PGTILE
+         + (F.col("pxi") / PGTILE).cast("int")).alias("gy"),
+        "v")
+    boundary = CN.contour_polygon_boundary(tiles, px, spec, list(PGLEVELS))
+    edges = CN.contour_ring_edges(boundary)
+    return (edges.groupBy("slot", "ring_id")
+            .agg(F.count(F.lit(1)).alias("n_edges"),
+                 dsum(F.col("x1") * F.col("y2")
+                      - F.col("x2") * F.col("y1")).alias("area2"),
+                 F.min("x1").alias("min_x"), F.min("y1").alias("min_y"),
+                 F.max("x1").alias("max_x"), F.max("y1").alias("max_y"))
+            .select("slot", "n_edges", "area2",
+                    "min_x", "min_y", "max_x", "max_y")
+            .orderBy("slot", "min_y", "min_x", "n_edges"))
 
 
 @register("raster_sieve_checksum")  # rows-only: cascade not SQL-expressible

@@ -71,6 +71,28 @@ def pixel_counts_to_tiles(pixels: DataFrame, spec: G.GridSpec) -> DataFrame:
     return pixels.groupBy("tile_y", "tile_x").applyInPandas(build, G.TILE_SCHEMA)
 
 
+def tiles_to_pixels(tiles: DataFrame, spec: G.GridSpec) -> DataFrame:
+    """Inverse of pixel_counts_to_tiles: dense tile rows -> the sparse
+    NONZERO global-pixel relation (gx, gy, v). Arrow-batched; output
+    is bounded by occupied pixels, not raster size."""
+    import pyarrow  # noqa: F401  (mapInPandas transport)
+
+    t = spec.tile
+
+    def emit(it):
+        for pdf in it:
+            for _, row in pdf.iterrows():
+                ty, tx = int(row["tile_y"]), int(row["tile_x"])
+                h, w = spec.tile_shape(ty, tx)
+                a = np.asarray(row["px"], np.float64).reshape(h, w)
+                iy, ix = np.nonzero(a)
+                yield pd.DataFrame({
+                    "gx": tx * t + ix, "gy": ty * t + iy,
+                    "v": a[iy, ix]})
+
+    return tiles.mapInPandas(emit, "gx long, gy long, v double")
+
+
 def density_tiles(points: DataFrame, zoom: int, tile: int = 256,
                   lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
     """points -> dense density tiles on the world_3857 grid at `zoom`."""

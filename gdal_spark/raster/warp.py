@@ -676,3 +676,36 @@ def warp(src_tiles: DataFrame, src: G.GridSpec, dst: G.GridSpec,
                              "px": [out.tolist()]})
 
     return gathered.groupBy("d_ty", "d_tx").applyInPandas(warp_tile, G.TILE_SCHEMA)
+
+
+def apply_cutline(src_tiles: DataFrame, cutline: DataFrame,
+                  spec: G.GridSpec, nodata: float = 0.0,
+                  all_touched: bool = False) -> DataFrame:
+    """Cutline masking (GDALWarpCutlineMasker, alg/gdalcutline.cpp:218;
+    options apps/gdalwarp_lib.cpp:188-206): burn the cutline polygons
+    into a validity mask on the SOURCE grid and blank source pixels
+    outside it to `nodata` — downstream warp then treats them exactly
+    like absent source (the engine's sparse-raster convention), which
+    is the reference's masked-source semantics under UNIFIED_SRC_NODATA.
+
+    cutline: (fid long, geom WKB-polygon) rows. The mask join is an
+    equi-join on tile keys against the rasterized mask relation —
+    bounded by the tiles the cutline's bbox touches, so tiles fully
+    outside the cutline are PRUNED from the plan (they would be all
+    nodata), and the blank itself is a JVM zip_with (no Python in the
+    per-pixel path). all_touched mirrors CUTLINE_ALL_TOUCHED."""
+    from . import rasterize as _rz
+
+    polys = cutline.select(F.col("fid"), F.lit(1.0).alias("burn"),
+                           F.col("geom"))
+    mask = _rz.rasterize(polys, spec, merge="replace",
+                         all_touched=all_touched)
+    return (src_tiles
+            .join(mask.select("tile_y", "tile_x",
+                              F.col("px").alias("mk")),
+                  ["tile_y", "tile_x"], "inner")
+            .select("tile_y", "tile_x",
+                    F.zip_with("px", "mk",
+                               lambda v, m: F.when(m == 1.0, v)
+                               .otherwise(F.lit(float(nodata))))
+                    .alias("px")))

@@ -109,10 +109,14 @@ def gdal_polygonize(spark: SparkSession, src: str, dst: str,
 
 def gdal_contour(spark: SparkSession, src: str, dst: str,
                  levels: list[float] | None = None,
-                 interval: float | None = None) -> DataFrame:
-    """`gdal_contour [-fl levels | -i interval] src dst`
+                 interval: float | None = None,
+                 polygonize: bool = False) -> DataFrame:
+    """`gdal_contour [-fl levels | -i interval] [-p] src dst`
     (apps/gdal_contour_bin.cpp). Interval mode derives the fixed
-    levels from the raster's min/max, like ContourGenerate."""
+    levels from the raster's min/max, like ContourGenerate.
+    polygonize=True is the `-p` POLYGONIZE mode (alg/contour.cpp:569):
+    iso-POLYGON features between consecutive levels with ELEV_MIN /
+    ELEV_MAX attributes, holes nested by winding containment."""
     spec, tiles = GT.read_geotiff(spark, src)
     if levels is None:
         if interval is None:
@@ -126,7 +130,23 @@ def gdal_contour(spark: SparkSession, src: str, dst: str,
             raise ValueError(
                 f"interval {interval} yields no levels in "
                 f"[{mm.lo}, {mm.hi}]")
-    lines = RC.contour_polylines(tiles, spec, [float(l) for l in levels])
+    lv = sorted(float(l) for l in levels)
+    if polygonize:
+        from .raster import density as D
+
+        px = D.tiles_to_pixels(tiles, spec)
+        boundary = RC.contour_polygon_boundary(tiles, px, spec, lv)
+        polys = RC.contour_polygons(boundary)
+        bounds = [float("-inf")] + lv + [float("inf")]
+        lo_arr = F.array(*[F.lit(b) for b in bounds[:-1]])
+        hi_arr = F.array(*[F.lit(b) for b in bounds[1:]])
+        out = polys.select(
+            F.element_at(lo_arr, F.col("slot") + 1).alias("ELEV_MIN"),
+            F.element_at(hi_arr, F.col("slot") + 1).alias("ELEV_MAX"),
+            "n_holes", "n_points", "area", "geom")
+        REG.write_vector(out, dst)
+        return out
+    lines = RC.contour_polylines(tiles, spec, lv)
     out = lines.select(F.col("level").alias("ELEV"), "n_points",
                        "closed", "length", "geom")
     REG.write_vector(out, dst)

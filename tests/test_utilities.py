@@ -320,3 +320,26 @@ def test_sieve_proximity_fillnodata_viewshed_utilities(spark, tmp_path):
     _, t = GT.read_geotiff(spark, out)
     got = np.asarray(t.collect()[0]["px"]).reshape(16, 16)
     assert got[0, 0] == 1.0 and set(np.unique(got)) <= {0.0, 1.0}
+
+
+def test_contour_polygonize_mode(spark, tmp_path):
+    """gdal_contour -p: iso-POLYGON features partition the frame; the
+    cone's middle band is an annulus (one hole)."""
+    spec = G.GridSpec(width=TS, height=TS,
+                      gt=(0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+                      crs="EPSG:4326", tile=TS)
+    gy, gx = np.mgrid[0:TS, 0:TS]
+    c = (TS / 2.0 - np.hypot(gx - TS / 2 + 0.5, gy - TS / 2 + 0.5)).clip(0)
+    tiles = spark.createDataFrame(
+        [(0, 0, c.ravel().tolist())], G.TILE_SCHEMA)
+    tif = str(tmp_path / "cone.tif")
+    GT.write_geotiff(tiles, spec, tif)
+    vec = str(tmp_path / "isopoly.geojsonl")
+    out = U.gdal_contour(spark, tif, vec, levels=[TS / 4.0],
+                         polygonize=True).collect()
+    assert len(out) == 2
+    by_min = {r.ELEV_MIN: r for r in out}
+    lo, hi = by_min[float("-inf")], by_min[TS / 4.0]
+    assert hi.ELEV_MAX == float("inf") and hi.n_holes == 0
+    assert lo.ELEV_MAX == TS / 4.0 and lo.n_holes == 1
+    assert abs(lo.area + hi.area - (TS - 1) ** 2) < 1e-9
