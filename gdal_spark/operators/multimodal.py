@@ -98,11 +98,11 @@ def _box_resize(plane: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 def decode_image(df: DataFrame, id_col: str = "doc_id",
                  bin_col: str = "payload") -> DataFrame:
-    """Decode PNG (raster/png.py) or baseline JPEG (raster/jpeg.py)
-    payloads -> typed image features: (doc_id, width, height,
-    channels, per-channel mean, 8x8 luma fingerprint). Other formats
-    (WebP/AVIF/progressive JPEG) raise NotImplementedError naming the
-    missing codec — loud, not silent."""
+    """Decode PNG (raster/png.py) or JPEG — baseline AND progressive
+    SOF2 (raster/jpeg.py) — payloads -> typed image features:
+    (doc_id, width, height, channels, per-channel mean, 8x8 luma
+    fingerprint). Other formats (WebP/AVIF) raise NotImplementedError
+    naming the missing codec — loud, not silent."""
     from ..raster import jpeg as JPG
     from ..raster import png as PNG
 

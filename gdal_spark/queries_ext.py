@@ -1226,6 +1226,8 @@ def _mm_mean_sql() -> str:
       SELECT 'png', doc_id, 16, 16, 1, {_mm_mean_sql()} FROM documents
       UNION ALL
       SELECT 'jpeg', doc_id, 16, 16, 1, {_mm_mean_sql()} FROM documents
+      UNION ALL
+      SELECT 'jpeg_prog', doc_id, 16, 16, 1, {_mm_mean_sql()} FROM documents
     ) ORDER BY part, doc_id
     """,
 )
@@ -1246,7 +1248,14 @@ def multimodal_meta(spark, sf_dir):
                  exactly 8, so an 8x8-block-constant grayscale image
                  reconstructs EXACTLY (DC = 8*(v-128), AC = 0) — any
                  defect in the Huffman tables, bit reader, zig-zag,
-                 dequantizer, or IDCT breaks the value hash."""
+                 dequantizer, or IDCT breaks the value hash;
+    part='jpeg_prog'  the SAME image encoded PROGRESSIVE (SOF2, IJG
+                 10-scan script: spectral selection + successive
+                 approximation, per-scan optimal Huffman) — exercises
+                 multi-scan coefficient accumulation, DC/AC point
+                 transforms, EOB runs, and refinement correction bits
+                 end-to-end under the same exact-reconstruction
+                 oracle."""
     from pyspark.sql import types as T
 
     from .raster import jpeg as JPG
@@ -1276,7 +1285,9 @@ def multimodal_meta(spark, sf_dir):
                           for bx in (0, 1)] for by in (0, 1)], np.uint8)
                     img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
                     buf = (PNG.encode(img) if codec == "png"
-                           else JPG.encode_jpeg(img, quality=75))
+                           else JPG.encode_jpeg(
+                               img, quality=75,
+                               progressive=codec == "jpeg_prog"))
                     rows.append((i, bytearray(buf)))
                 yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
@@ -1284,7 +1295,7 @@ def multimodal_meta(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
     parts = [meta]
-    for codec in ("png", "jpeg"):
+    for codec in ("png", "jpeg", "jpeg_prog"):
         pay = d.mapInPandas(payloads(codec), pay_schema)
         dec = multimodal.decode_image(pay)
         parts.append(dec.select(

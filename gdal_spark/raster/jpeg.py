@@ -1,21 +1,36 @@
-"""Baseline JPEG codec (ITU-T T.81 / ISO 10918-1), pure numpy.
+"""Baseline + progressive JPEG codec (ITU-T T.81 / ISO 10918-1),
+pure numpy.
 
 Reference: the JPEG driver (frmts/jpeg/, via libjpeg). Implemented
 from the public T.81 spec: SOI/APPn/DQT/SOF0/DHT/DRI/SOS/EOI marker
 walk, Huffman entropy decoding with 0xFF00 unstuffing and RSTn
 restart handling, DC prediction, dequantization, zig-zag, exact
 float64 2-D IDCT (orthonormal DCT-III via matrix product), box chroma
-upsampling, and JFIF YCbCr->RGB. The encoder (used for fixtures and
-round-trip gates) writes baseline 4:4:4 or 4:2:0 with the Annex-K
-example quantization (quality-scaled, the IJG rule) and Huffman
-tables.
+upsampling, and JFIF YCbCr->RGB.
 
-Scope fences (loud): progressive (SOF2), arithmetic coding, 12-bit,
-and hierarchical profiles raise NotImplementedError — same fence
-style as the PNG codec. Pixel output may differ from libjpeg by +/-1
-(we use the exact float IDCT; libjpeg's fixed-point jpeg_idct_islow
-differs in final rounding — the reference's own autotest accepts
-multiple checksums per libjpeg build, autotest/gdrivers/jpeg.py:43-47).
+Progressive (SOF2) decode follows T.81 Annex G / the public libjpeg
+jdphuff.c algorithms: multi-scan coefficient accumulation with
+spectral selection (Ss..Se bands), successive approximation (DC
+arithmetic-shift point transform, AC toward-zero point transform with
++-1<<Al refinement), EOB-run decoding, and interleaved-DC /
+non-interleaved-AC scan geometry over each component's useful block
+dims. The reference gets all of this from libjpeg
+(frmts/jpeg/jpgdataset.cpp); here it is reimplemented from the spec.
+
+The encoder (fixtures and round-trip gates) writes baseline 4:4:4 or
+4:2:0 with the Annex-K example quantization (quality-scaled, the IJG
+rule) and Huffman tables; progressive=True writes the classic IJG
+10-scan script (jcparam.c jpeg_simple_progression's public shape)
+with per-scan optimal Huffman tables (T.81 Annex K.2) — progressive
+re-codes the SAME quantized coefficients, so decode(progressive) ==
+decode(baseline) bit-for-bit, which is what the round-trip tests pin.
+
+Scope fences (loud): arithmetic coding, 12-bit, lossless and
+hierarchical profiles raise NotImplementedError — same fence style as
+the PNG codec. Pixel output may differ from libjpeg by +/-1 (we use
+the exact float IDCT; libjpeg's fixed-point jpeg_idct_islow differs
+in final rounding — the reference's own autotest accepts multiple
+checksums per libjpeg build, autotest/gdrivers/jpeg.py:43-47).
 """
 
 from __future__ import annotations
@@ -211,6 +226,8 @@ def decode_jpeg(data: bytes):
     huff_ac: dict[int, dict] = {}
     restart = 0
     frame = None
+    progressive = False
+    state = None
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"JPEG: expected marker at {pos}")
@@ -234,10 +251,11 @@ def decode_jpeg(data: bytes):
                     q = np.frombuffer(seg, "u1", 64, p).astype(np.int64)
                     p += 64
                 qt[tid] = q
-        elif marker in (0xC0, 0xC1):            # SOF0/1 baseline-huffman
+        elif marker in (0xC0, 0xC1, 0xC2):      # SOF0/1 baseline, SOF2 prog
             prec = seg[0]
             if prec != 8:
                 raise NotImplementedError(f"JPEG {prec}-bit not supported")
+            progressive = marker == 0xC2
             h, w = struct.unpack_from(">HH", seg, 1)
             ncomp = seg[5]
             comps = []
@@ -246,12 +264,13 @@ def decode_jpeg(data: bytes):
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG profile SOF{marker - 0xC0} (progressive/"
+                f"JPEG profile SOF{marker - 0xC0} (lossless/"
                 f"arithmetic/hierarchical) not supported — baseline "
-                f"(SOF0/SOF1) only, like the PNG codec's scope fence")
+                f"(SOF0/SOF1) and progressive (SOF2) only, like the "
+                f"PNG codec's scope fence")
         elif marker == 0xC4:                    # DHT
             p = 0
             while p < len(seg):
@@ -270,11 +289,189 @@ def decode_jpeg(data: bytes):
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan.append((cs, tt >> 4, tt & 15))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
             pos += seglen
-            return _decode_scan(data, pos, frame, scan, qt, huff_dc,
-                                huff_ac, restart)
+            if not progressive:
+                return _decode_scan(data, pos, frame, scan, qt, huff_dc,
+                                    huff_ac, restart)
+            if state is None:
+                state = _init_progressive(frame)
+            pos = _decode_prog_scan(data, pos, state, scan, ss, se,
+                                    ahal >> 4, ahal & 15, huff_dc,
+                                    huff_ac, restart)
+            continue
         pos += seglen
+    if progressive and state is not None:
+        h, w, _ = frame
+        return _reconstruct(h, w, state["comps"], qt,
+                            state["hmax"], state["vmax"])
     raise ValueError("JPEG: no SOS marker found")
+
+
+def _init_progressive(frame):
+    """Coefficient accumulators + scan geometry (T.81 A.2.2/A.2.3):
+    full block dims (bw, bh) cover whole MCUs for interleaved DC
+    scans; useful dims (ubw, ubh) bound non-interleaved scans."""
+    h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+        cw = -(-(w * c["h"]) // hmax)
+        ch = -(-(h * c["v"]) // vmax)
+        c["ubw"] = -(-cw // 8)
+        c["ubh"] = -(-ch // 8)
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.int64)
+        c["pred"] = 0
+    return {"comps": comps, "mcux": mcux, "mcuy": mcuy,
+            "hmax": hmax, "vmax": vmax}
+
+
+def _next_marker(data, pos):
+    """Skip past entropy padding to the next real (non-stuffing,
+    non-restart) marker's 0xFF."""
+    while pos + 1 < len(data):
+        if data[pos] == 0xFF and data[pos + 1] != 0x00 \
+                and not (0xD0 <= data[pos + 1] <= 0xD7):
+            return pos
+        pos += 1
+    return len(data)
+
+
+def _decode_prog_scan(data, pos, state, scan, ss, se, ah, al,
+                      huff_dc, huff_ac, restart):
+    """One progressive scan into the coefficient accumulators; returns
+    the position of the next marker. T.81 G.2: DC scans may be
+    interleaved (MCU order); AC scans are single-component over the
+    component's useful blocks."""
+    comps, mcux, mcuy = state["comps"], state["mcux"], state["mcuy"]
+    byid = {c["id"]: c for c in comps}
+    sel = [(byid[cs], td, ta) for cs, td, ta in scan]
+    for c, _, _ in sel:
+        c["pred"] = 0
+    br = _BitReader(data, pos)
+    eobrun = 0
+    if len(sel) > 1:
+        if ss != 0 or se != 0:
+            raise ValueError("JPEG: interleaved progressive scan "
+                             "must be DC-only")
+        for m in range(mcux * mcuy):
+            if restart and m and m % restart == 0:
+                br.align_restart()
+                for c, _, _ in sel:
+                    c["pred"] = 0
+            my, mx = divmod(m, mcux)
+            for c, td, _ in sel:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        i = (my * c["v"] + by) * c["bw"] \
+                            + mx * c["h"] + bx
+                        _dc_prog(br, c, i, huff_dc.get(td), ah, al)
+    else:
+        c, td, ta = sel[0]
+        coef = c["coef"]
+        for u in range(c["ubh"] * c["ubw"]):
+            if restart and u and u % restart == 0:
+                br.align_restart()
+                c["pred"] = 0
+                eobrun = 0
+            row, col = divmod(u, c["ubw"])
+            i = row * c["bw"] + col
+            if ss == 0:
+                _dc_prog(br, c, i, huff_dc.get(td), ah, al)
+            elif ah == 0:
+                eobrun = _ac_first_block(br, coef[i], huff_ac[ta],
+                                         ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine_block(br, coef[i], huff_ac[ta],
+                                          ss, se, al, eobrun)
+    return _next_marker(data, br.pos)
+
+
+def _dc_prog(br, c, i, dc_table, ah, al):
+    """DC coefficient, first scan (Huffman diff << Al) or refinement
+    (one raw bit into bit Al — two's-complement |= works for negatives
+    because the first scan stored pred << Al)."""
+    if ah == 0:
+        t = br.huff(dc_table)
+        diff = _extend(br.bits(t), t) if t else 0
+        c["pred"] += diff
+        c["coef"][i, 0] = c["pred"] << al
+    elif br.bits(1):
+        c["coef"][i, 0] |= 1 << al
+
+
+def _ac_first_block(br, blk, ac, ss, se, al, eobrun):
+    """AC band, first scan (T.81 G.1.2.2 / jdphuff decode_mcu_AC_first):
+    values arrive point-transformed (<< Al on reconstruction); EOBn
+    symbols (r<<4, r<15) start a run of (1<<r)-1+ext further all-zero
+    bands."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.huff(ac)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:
+                return (1 << r) - 1 + (br.bits(r) if r else 0)
+            k += 16
+            continue
+        k += r
+        if k > se:
+            raise ValueError("JPEG: progressive AC run overflow")
+        blk[k] = _extend(br.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(br, blk, ac, ss, se, al, eobrun):
+    """AC band, refinement scan (T.81 G.1.2.3 / jdphuff
+    decode_mcu_AC_refine): newly-nonzero coefficients are +-1<<Al with
+    an explicit sign bit; every nonzero-history coefficient passed
+    over consumes a correction bit; EOB runs still carry correction
+    bits for the rest of the band."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.huff(ac)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r) + (br.bits(r) if r else 0)
+                    break
+                # r == 15 (ZRL): skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("JPEG: bad refinement magnitude")
+                val = p1 if br.bits(1) else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if br.bits(1) and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                if br.bits(1) and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart):
@@ -323,7 +520,12 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart):
                     row = my * c["v"] + by
                     col = mx * c["h"] + bx
                     c["coef"][row * c["bw"] + col] = blk
-    # dequantize + IDCT, vectorized per component
+    return _reconstruct(h, w, comps, qt, hmax, vmax)
+
+
+def _reconstruct(h, w, comps, qt, hmax, vmax):
+    """Dequantize + IDCT + upsample + color transform, vectorized per
+    component (shared by the baseline and progressive paths)."""
     planes = []
     for c in comps:
         deq = c["coef"] * qt[c["tq"]][None, :]
@@ -394,10 +596,276 @@ def _mag(v: int):
     return t
 
 
+def _optimal_table(freq):
+    """Optimal Huffman (bits[16], values) per T.81 Annex K.2: merge
+    least-frequent pairs (largest symbol wins ties), track code sizes
+    through the `others` chain, adjust lengths >16 down, and reserve
+    the 256 sentinel so no real symbol gets the all-ones code."""
+    freq = dict(freq)
+    freq[256] = 1
+    codesize = {s: 0 for s in freq}
+    others = {s: -1 for s in freq}
+    while True:
+        live = sorted((s for s, f in freq.items() if f > 0),
+                      key=lambda s: (freq[s], -s))
+        if len(live) < 2:
+            break
+        v1, v2 = live[0], live[1]
+        freq[v1] += freq[v2]
+        freq[v2] = 0
+        codesize[v1] += 1
+        while others[v1] != -1:
+            v1 = others[v1]
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] != -1:
+            v2 = others[v2]
+            codesize[v2] += 1
+    bits = [0] * 33
+    for s, sz in codesize.items():
+        if sz:
+            bits[sz] += 1
+    i = 32
+    while i > 16:                      # Annex K.2 adjust_bits
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    i = 16
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1                       # drop the sentinel's slot
+    values = [s for s in sorted(codesize,
+                                key=lambda s: (codesize[s], s))
+              if codesize[s] and s != 256]
+    return bits[1:17], values
+
+
+class _ScanEncoder:
+    """Progressive scan emitter: counting pass (table=None) gathers
+    symbol frequencies for _optimal_table; emit pass writes bits.
+    Carries the EOB run and its buffered correction bits across
+    blocks (jcphuff.c discipline)."""
+
+    _MAX_CORR = 937
+
+    def __init__(self, table=None, writer=None):
+        self.freq = {} if table is None else None
+        self.table = table
+        self.w = writer
+        self.eobrun = 0
+        self.corr = []
+
+    def sym(self, s):
+        if self.freq is not None:
+            self.freq[s] = self.freq.get(s, 0) + 1
+        else:
+            ln, code = self.table[s]
+            self.w.bits(code, ln)
+
+    def bits(self, v, n):
+        if n and self.freq is None:
+            self.w.bits(v, n)
+
+    def flush_eob(self):
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            self.sym(r << 4)
+            self.bits(self.eobrun & ((1 << r) - 1), r)
+            self.eobrun = 0
+        for b in self.corr:
+            self.bits(b, 1)
+        self.corr = []
+
+    def end_block_eob(self, corr_bits=()):
+        self.eobrun += 1
+        self.corr.extend(corr_bits)
+        if self.eobrun == 0x7FFF or len(self.corr) > self._MAX_CORR:
+            self.flush_eob()
+
+
+def _enc_dc_first(enc, prev, coef0, al):
+    """DC first scan: Huffman-coded diff of the arithmetic-shift point
+    transform (T.81 G.1.2.1). Returns the new predictor."""
+    v = int(coef0) >> al
+    diff = v - prev
+    t = _mag(diff)
+    enc.sym(t)
+    if t:
+        enc.bits(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    return v
+
+
+def _enc_ac_first(enc, blk, ss, se, al):
+    """AC band first scan (jcphuff encode_mcu_AC_first): toward-zero
+    point transform, run/size symbols, EOB-run accumulation."""
+    r = 0
+    for k in range(ss, se + 1):
+        t = int(blk[k])
+        if t < 0:
+            a = (-t) >> al
+            t2 = ~a
+        else:
+            a = t >> al
+            t2 = a
+        if a == 0:
+            r += 1
+            continue
+        enc.flush_eob()
+        while r > 15:
+            enc.sym(0xF0)
+            r -= 16
+        s = a.bit_length()
+        enc.sym((r << 4) | s)
+        enc.bits(t2 & ((1 << s) - 1), s)
+        r = 0
+    if r > 0:
+        enc.end_block_eob()
+
+
+def _enc_ac_refine(enc, blk, ss, se, al):
+    """AC band refinement scan (jcphuff encode_mcu_AC_refine):
+    newly-nonzero (abs>>Al == 1) coefficients get (run<<4)|1 + sign;
+    previously-nonzero ones queue their next-lower bit as correction
+    bits emitted after the following symbol."""
+    absv = []
+    eob = -1
+    for k in range(ss, se + 1):
+        a = abs(int(blk[k])) >> al
+        absv.append(a)
+        if a == 1:
+            eob = k
+    r = 0
+    pend = []
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            enc.flush_eob()
+            enc.sym(0xF0)
+            r -= 16
+            for b in pend:
+                enc.bits(b, 1)
+            pend = []
+        if t > 1:
+            pend.append(t & 1)
+            continue
+        enc.flush_eob()
+        enc.sym((r << 4) | 1)
+        enc.bits(0 if int(blk[k]) < 0 else 1, 1)
+        for b in pend:
+            enc.bits(b, 1)
+        pend = []
+        r = 0
+    if r > 0 or pend:
+        enc.end_block_eob(pend)
+
+
+def _prog_script(nb):
+    """(comp_indices, Ss, Se, Ah, Al) scan list — the classic IJG
+    progression (jcparam.c jpeg_simple_progression's public shape)."""
+    if nb == 1:
+        return [([0], 0, 0, 0, 1), ([0], 1, 5, 0, 2),
+                ([0], 6, 63, 0, 2), ([0], 0, 0, 1, 0),
+                ([0], 1, 63, 2, 1), ([0], 1, 63, 1, 0)]
+    return [([0, 1, 2], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2), ([2], 1, 63, 0, 1), ([1], 1, 63, 0, 1),
+            ([0, 1, 2], 0, 0, 1, 0),
+            ([0], 6, 63, 0, 2), ([0], 1, 63, 2, 1),
+            ([2], 1, 63, 1, 0), ([1], 1, 63, 1, 0), ([0], 1, 63, 1, 0)]
+
+
+def _encode_prog_scans(comps, nb, h, w, hmax, vmax, mcux, mcuy):
+    """All progressive scans -> bytes (per-scan DHT + SOS + entropy).
+    Each scan is encoded twice: a counting pass feeds _optimal_table,
+    then the emit pass writes the stream with that table (ids 0/0,
+    redefined per scan — legal per T.81 B.2.4.2)."""
+    for c in comps:
+        cw = -(-(w * c["h"]) // hmax)
+        ch = -(-(h * c["v"]) // vmax)
+        c["ubw"] = -(-cw // 8)
+        c["ubh"] = -(-ch // 8)
+    out = bytearray()
+    for comp_ids, ss, se, ah, al in _prog_script(nb):
+        sel = [comps[i] for i in comp_ids]
+
+        def run(enc):
+            if ss == 0:
+                preds = dict.fromkeys(comp_ids, 0)
+                if len(sel) > 1:
+                    for m in range(mcux * mcuy):
+                        my, mx = divmod(m, mcux)
+                        for ci, c in zip(comp_ids, sel):
+                            for by in range(c["v"]):
+                                for bx in range(c["h"]):
+                                    i = ((my * c["v"] + by) * c["bw_"]
+                                         + mx * c["h"] + bx)
+                                    v0 = c["qz"][i, 0]
+                                    if ah == 0:
+                                        preds[ci] = _enc_dc_first(
+                                            enc, preds[ci], v0, al)
+                                    else:
+                                        enc.bits((int(v0) >> al) & 1, 1)
+                else:
+                    c = sel[0]
+                    ci = comp_ids[0]
+                    for u in range(c["ubh"] * c["ubw"]):
+                        row, col = divmod(u, c["ubw"])
+                        v0 = c["qz"][row * c["bw_"] + col, 0]
+                        if ah == 0:
+                            preds[ci] = _enc_dc_first(
+                                enc, preds[ci], v0, al)
+                        else:
+                            enc.bits((int(v0) >> al) & 1, 1)
+            else:
+                c = sel[0]
+                for u in range(c["ubh"] * c["ubw"]):
+                    row, col = divmod(u, c["ubw"])
+                    blk = c["qz"][row * c["bw_"] + col]
+                    if ah == 0:
+                        _enc_ac_first(enc, blk, ss, se, al)
+                    else:
+                        _enc_ac_refine(enc, blk, ss, se, al)
+            enc.flush_eob()
+
+        counter = _ScanEncoder()
+        run(counter)
+        needs_table = bool(counter.freq) and not (ss == 0 and ah != 0)
+        if needs_table:
+            bits, values = _optimal_table(counter.freq)
+            cls = 0 if ss == 0 else 1
+            out += (b"\xFF\xC4"
+                    + struct.pack(">HB", 19 + len(values), cls << 4)
+                    + bytes(bits) + bytes(values))
+            table = _build_encode_table(bits, values)
+        else:
+            table = {}
+        writer = _BitWriter()
+        run(_ScanEncoder(table=table, writer=writer))
+        writer.flush()
+        sos = struct.pack(">HB", 6 + 2 * len(sel), len(sel))
+        for ci in comp_ids:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xFF\xDA" + sos + writer.out
+    return out
+
+
 def encode_jpeg(img: np.ndarray, quality: int = 85,
-                subsample: bool = False) -> bytes:
-    """(h, w[, bands]) uint8 -> baseline JFIF bytes. bands 1 or 3;
-    subsample=True writes 4:2:0 chroma."""
+                subsample: bool = False,
+                progressive: bool = False) -> bytes:
+    """(h, w[, bands]) uint8 -> JFIF bytes. bands 1 or 3;
+    subsample=True writes 4:2:0 chroma; progressive=True writes SOF2
+    multi-scan (same quantized coefficients as baseline, so the two
+    decode bit-identically)."""
     img = np.asarray(img)
     if img.ndim == 2:
         img = img[:, :, None]
@@ -454,6 +922,23 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
         c["qz"] = qnat[:, _ZIGZAG]
         c["bw_"] = bw
         c["bh_"] = bh
+    out = bytearray(b"\xFF\xD8")
+    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01" \
+        + b"\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tid, q in enumerate(qts):
+        out += b"\xFF\xDB" + struct.pack(">HB", 67, tid) \
+            + bytes(int(v) for v in q[_ZIGZAG])
+    sof = struct.pack(">HBHHB", 8 + 3 * nb, 8, h, w, nb)
+    for i, c in enumerate(comps):
+        sof += bytes([i + 1, (c["h"] << 4) | c["v"],
+                      0 if i == 0 else 1 if nb == 3 else 0])
+    if progressive:
+        out += b"\xFF\xC2" + sof
+        out += _encode_prog_scans(comps, nb, h, w, hmax, vmax,
+                                  mcux, mcuy)
+        out += b"\xFF\xD9"
+        return bytes(out)
+
     bwri = _BitWriter()
     preds = [0] * len(comps)
     for m in range(mcux * mcuy):
@@ -494,13 +979,6 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
                         bwri.bits(code, ln)
     bwri.flush()
 
-    out = bytearray(b"\xFF\xD8")
-    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01" \
-        + b"\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
-    for tid, q in enumerate(qts):
-        out += b"\xFF\xDB" + struct.pack(">HB", 67, tid) \
-            + bytes(int(v) for v in q[_ZIGZAG])
-
     def dht(cls, tid, spec):
         bits, values = spec
         return (b"\xFF\xC4"
@@ -510,10 +988,6 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
     out += dht(0, 0, _DC_LUMA) + dht(1, 0, _AC_LUMA)
     if nb == 3:
         out += dht(0, 1, _DC_CHROMA) + dht(1, 1, _AC_CHROMA)
-    sof = struct.pack(">HBHHB", 8 + 3 * nb, 8, h, w, nb)
-    for i, c in enumerate(comps):
-        sof += bytes([i + 1, (c["h"] << 4) | c["v"],
-                      0 if i == 0 else 1 if nb == 3 else 0])
     out += b"\xFF\xC0" + sof
     sos = struct.pack(">HB", 6 + 2 * nb, nb)
     for i in range(nb):

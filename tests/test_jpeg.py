@@ -82,15 +82,53 @@ def test_block_constant_exact_reconstruction_q75():
     np.testing.assert_array_equal(dec[:, :, 0], img)
 
 
-def test_progressive_and_12bit_fenced():
+def test_arithmetic_and_12bit_fenced():
     img = _smooth((16, 16), 5)
     enc = bytearray(J.encode_jpeg(img))
     sof = enc.find(b"\xFF\xC0")
-    enc[sof + 1] = 0xC2          # pretend SOF2 progressive
-    with pytest.raises(NotImplementedError, match="progressive"):
+    enc[sof + 1] = 0xC9          # pretend SOF9 arithmetic
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         J.decode_jpeg(bytes(enc))
     with pytest.raises(ValueError, match="SOI"):
         J.decode_jpeg(b"not a jpeg")
+
+
+def test_progressive_roundtrip_bit_identical_to_baseline():
+    """progressive=True re-codes the SAME quantized coefficients
+    through the IJG 10-scan script (DC/AC spectral selection +
+    successive approximation, per-scan optimal Huffman), so decoding
+    the progressive stream must reproduce the baseline decode
+    BIT-FOR-BIT — any defect in EOB runs, correction bits, point
+    transforms, or scan geometry breaks equality."""
+    rng = np.random.default_rng(31)
+    for shape, rgb, sub, q in (((48, 40), False, False, 85),
+                               ((17, 23), False, False, 90),
+                               ((40, 56), True, False, 90),
+                               ((41, 57), True, True, 75),
+                               ((64, 64), True, True, 40)):
+        img = _smooth(shape, int(rng.integers(1, 99)))
+        if rgb:
+            img = np.stack([img, np.roll(img, 3, 0), 255 - img], axis=2)
+        base = J.decode_jpeg(J.encode_jpeg(img, quality=q, subsample=sub))
+        prog = J.decode_jpeg(J.encode_jpeg(img, quality=q, subsample=sub,
+                                           progressive=True))
+        np.testing.assert_array_equal(base, prog)
+
+
+_REF_PROG = ("/root/reference/autotest/gdrivers/data/jpeg/"
+             "arcgis_geodataxform_gcp.jpg")
+
+
+@pytest.mark.skipif(not os.path.exists(_REF_PROG),
+                    reason="reference fixtures not present")
+def test_decodes_reference_progressive_fixture():
+    """A real foreign-encoder SOF2 file (six scans: DC first/refine,
+    AC first at two Al levels, AC refine twice) must decode. The
+    fixture is a solid-black 30x30 grayscale image (its 6 KB are
+    ArcGIS XML metadata), so the pixel truth is exact."""
+    arr = J.decode_jpeg(open(_REF_PROG, "rb").read())
+    assert arr.shape == (30, 30, 1)
+    np.testing.assert_array_equal(arr, np.zeros((30, 30, 1), np.uint8))
 
 
 _REF_JPEG = "/root/reference/autotest/gdrivers/data/jpeg/albania.jpg"
