@@ -168,8 +168,9 @@ def utm_to_lonlat_np(E: np.ndarray, Nn: np.ndarray, zone: int,
 #: named Transverse Mercator CRSes beyond UTM (ellipsoid, lon0, lat0,
 #: k0, false easting/northing — EPSG registry parameters)
 TM_REGISTRY: dict[str, _TM] = {
-    # OSGB36 / British National Grid (Airy 1830; datum shift to WGS84
-    # needs OSTN15 — native-datum hub, documented above)
+    # OSGB36 / British National Grid (Airy 1830; Helmert datum step
+    # to WGS84 in DATUM_REGISTRY below — OSTN15 grid shifts, ~±3.5 m
+    # better, are documented out of scope)
     "27700": _TM(6377563.396, 1.0 / 299.3249646, -2.0, 49.0,
                  0.9996012717, 400000.0, -100000.0),
     # NZGD2000 / New Zealand Transverse Mercator (GRS80)
@@ -178,6 +179,85 @@ TM_REGISTRY: dict[str, _TM] = {
     # ETRS89 / Poland CS92 (GRS80)
     "2180": _TM(6378137.0, 1.0 / 298.257222101, 19.0, 0.0, 0.9993,
                 500000.0, -5300000.0),
+}
+
+
+# --------------------------------------------------- datum (Helmert)
+#
+# 7-parameter Helmert shift to/from WGS84 in geocentric cartesian
+# space (EPSG method 9606, position-vector convention) — the step the
+# reference delegates to PROJ's +towgs84= pipeline (ogr/ogrct.cpp:2263).
+# NZGD2000/ETRS89-class datums are zero-shift vs WGS84 at this
+# accuracy tier and stay unregistered; grid-shift files (OSTN15,
+# NTv2) are out of scope, so EPSG:27700 lands within the published
+# ±3.5 m Helmert envelope instead of ~100 m off.
+
+#: fixed-point iterations for ECEF -> geodetic latitude (error factor
+#: ~e2/2 per pass: < 1e-13 rad after 6 for h ~= 0); the SQL oracle
+#: mirrors this count exactly
+ECEF_ITERS = 6
+
+
+def geodetic_to_ecef(lon, lat, a, e2):
+    """(lon, lat) deg at h=0 on ellipsoid (a, e2) -> ECEF (3, n)."""
+    lam = np.radians(np.asarray(lon, np.float64))
+    phi = np.radians(np.asarray(lat, np.float64))
+    sphi = np.sin(phi)
+    cphi = np.cos(phi)
+    nu = a / np.sqrt(1.0 - e2 * sphi * sphi)
+    return np.stack([nu * cphi * np.cos(lam), nu * cphi * np.sin(lam),
+                     nu * (1.0 - e2) * sphi])
+
+
+def ecef_to_geodetic(v, a, e2):
+    """ECEF (3, n) -> (lon, lat) deg on ellipsoid (a, e2); the height
+    is discarded (lon/lat are invariant along the ellipsoid normal)."""
+    x, y, z = v
+    p = np.hypot(x, y)
+    phi = np.arctan2(z, p * (1.0 - e2))
+    for _ in range(ECEF_ITERS):
+        sphi = np.sin(phi)
+        nu = a / np.sqrt(1.0 - e2 * sphi * sphi)
+        phi = np.arctan2(z + e2 * nu * sphi, p)
+    return np.degrees(np.arctan2(y, x)), np.degrees(phi)
+
+
+class _Helmert:
+    """source-datum <-> WGS84: forward is the linearized
+    position-vector map X' = (1+s)R X + t; the inverse uses the EXACT
+    algebraic inverse of that same matrix (not negated parameters), so
+    roundtrips close to float precision (the residual is the dropped
+    WGS84 height re-entering through the ~4e-6 rad rotation — sub-mm)."""
+
+    def __init__(self, a: float, f: float, tx: float, ty: float,
+                 tz: float, rx: float, ry: float, rz: float,
+                 s_ppm: float):
+        self.a = a
+        self.e2 = f * (2.0 - f)
+        rx, ry, rz = (np.radians(r / 3600.0) for r in (rx, ry, rz))
+        self.m = (1.0 + s_ppm * 1e-6) * np.array(
+            [[1.0, -rz, ry], [rz, 1.0, -rx], [-ry, rx, 1.0]])
+        self.mi = np.linalg.inv(self.m)
+        self.t = np.array([tx, ty, tz])
+
+    def to_wgs84(self, lon, lat):
+        v = geodetic_to_ecef(lon, lat, self.a, self.e2)
+        w = self.m @ v + self.t[:, None]
+        return ecef_to_geodetic(w, _A, _E * _E)
+
+    def from_wgs84(self, lon, lat):
+        w = geodetic_to_ecef(lon, lat, _A, _E * _E)
+        v = self.mi @ (w - self.t[:, None])
+        return ecef_to_geodetic(v, self.a, self.e2)
+
+
+#: datum steps keyed by the TM_REGISTRY code they refine
+DATUM_REGISTRY: dict[str, _Helmert] = {
+    # OSGB36 -> WGS84, EPSG transformation 1314 (the OS "Guide to
+    # coordinate systems in Great Britain" Annex values, reversed)
+    "27700": _Helmert(6377563.396, 1.0 / 299.3249646,
+                      446.448, -125.157, 542.060,
+                      0.1502, 0.2470, 0.8421, -20.4894),
 }
 
 
@@ -501,7 +581,9 @@ def to_lonlat_np(crs: str, x: np.ndarray, y: np.ndarray):
     if c in ALBERS_REGISTRY:
         return ALBERS_REGISTRY[c].inverse(x, y)
     if c in TM_REGISTRY:
-        return TM_REGISTRY[c].inverse(x, y)
+        lon, lat = TM_REGISTRY[c].inverse(x, y)
+        d = DATUM_REGISTRY.get(c)
+        return d.to_wgs84(lon, lat) if d else (lon, lat)
     raise NotImplementedError(f"CRS {crs} not registered (geo/crs.py)")
 
 
@@ -524,6 +606,9 @@ def from_lonlat_np(crs: str, lon: np.ndarray, lat: np.ndarray):
     if c in ALBERS_REGISTRY:
         return ALBERS_REGISTRY[c].forward(lon, lat)
     if c in TM_REGISTRY:
+        d = DATUM_REGISTRY.get(c)
+        if d:
+            lon, lat = d.from_wgs84(lon, lat)
         return TM_REGISTRY[c].forward(lon, lat)
     raise NotImplementedError(f"CRS {crs} not registered (geo/crs.py)")
 

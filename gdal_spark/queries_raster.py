@@ -951,15 +951,68 @@ def _warp_albers_oracle() -> str:
 # full National Grid square with the same irrational-origin margin
 # discipline as the LCC/Albers/stereo grids.
 TM_W, TM_H, TM_TILE = 512, 512, 128
-TM_GT = (-298830.3320783105, 2713.1415926535897, 0.0,
-         1307303.1463427285, 0.0, -2714.271828182846)
+# origin re-searched after the r5 Helmert datum step (the ~100 m shift
+# moved one dst center to 4.6e-8 px of a source boundary); margin now
+# 6.0e-6 px, re-audited by tests/test_crs.py::test_tm_gate_routing_margin
+TM_GT = (-298518.57383676164, 2713.1415926535897, 0.0,
+         1308045.859535753, 0.0, -2714.271828182846)
+
+
+def _tm_datum_cte() -> str:
+    """OSGB36 -> WGS84 Helmert step in SQL, mirroring
+    crs._Helmert.to_wgs84 exactly: Airy geodetic -> ECEF, the
+    position-vector matrix (9 literal constants from the very numpy
+    matrix the engine applies), then the fixed ECEF_ITERS-pass
+    latitude iteration on the WGS84 ellipsoid."""
+    from .geo import crs as _crs
+
+    d = _crs.DATUM_REGISTRY["27700"]
+    m, t = d.m, d.t
+    e2s = float(d.e2)
+    e2w = float(_crs._E * _crs._E)
+
+    def D(v):
+        return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+    nu_w = (f"({D(_crs._A)} / sqrt(1.0 - {D(e2w)}"
+            f" * sin(phi) * sin(phi)))")
+    iters = "".join(
+        f""",
+    g{k + 1} AS (SELECT x, y, wx, wy, wz, pr,
+        atan2(wz + {D(e2w)} * {nu_w} * sin(phi), pr) AS phi
+      FROM g{k})""" for k in range(_crs.ECEF_ITERS))
+    return f"""ec AS (
+      SELECT x, y, nu * cp * cos(lam) AS vx, nu * cp * sin(lam) AS vy,
+             nu * {D(1.0 - e2s)} * sp_ AS vz
+      FROM (SELECT x, y, radians(lon) AS lam,
+                   sin(radians(lat)) AS sp_, cos(radians(lat)) AS cp,
+                   {D(d.a)} / sqrt(1.0 - {D(e2s)} * sin(radians(lat))
+                                   * sin(radians(lat))) AS nu
+            FROM ll)),
+    hel AS (
+      SELECT x, y,
+        {D(m[0, 0])} * vx + {D(m[0, 1])} * vy + {D(m[0, 2])} * vz
+          + {D(t[0])} AS wx,
+        {D(m[1, 0])} * vx + {D(m[1, 1])} * vy + {D(m[1, 2])} * vz
+          + {D(t[1])} AS wy,
+        {D(m[2, 0])} * vx + {D(m[2, 1])} * vy + {D(m[2, 2])} * vz
+          + {D(t[2])} AS wz
+      FROM ec),
+    g0 AS (
+      SELECT x, y, wx, wy, wz, sqrt(wx * wx + wy * wy) AS pr,
+             atan2(wz, sqrt(wx * wx + wy * wy) * {D(1.0 - e2w)}) AS phi
+      FROM hel){iters},
+    llw AS (SELECT x, y, degrees(atan2(wy, wx)) AS lon,
+                   degrees(phi) AS lat
+            FROM g{_crs.ECEF_ITERS})"""
 
 
 def _warp_tm_oracle() -> str:
     """Karney inverse TM in SQL: the beta series then the 6-step tau'
     Newton inversion (crs.py _TM.inverse), hyperbolics via exp/ln
     (DuckDB has none built in; the <=1e-15 rel cross-form noise is
-    absorbed by the gate grids' >= 1e-6 px routing margins)."""
+    absorbed by the gate grids' >= 1e-6 px routing margins), followed
+    by the OSGB36 -> WGS84 Helmert datum step (_tm_datum_cte)."""
     from .geo import crs as _crs
 
     p = _crs.TM_REGISTRY["27700"]
@@ -1028,8 +1081,9 @@ def _warp_tm_oracle() -> str:
       FROM ser){newton},
     ll AS (SELECT x, y, (degrees(lam) + {D(p.lon0)}) AS lon,
                   degrees(atan(tau)) AS lat FROM t6),
+    {_tm_datum_cte()},
     sp AS (SELECT x, y, CAST(floor({spx}) AS BIGINT) AS sgx,
-                  CAST(floor({spy}) AS BIGINT) AS sgy FROM ll),
+                  CAST(floor({spy}) AS BIGINT) AS sgy FROM llw),
     warped AS (
       SELECT s.x AS gx, s.y AS gy,
              CASE WHEN s.sgx BETWEEN 0 AND {N5 - 1}

@@ -355,24 +355,27 @@ def test_albers_gate_routing_margin():
 
 
 def test_tm_osgb_true_origin_and_roundtrip():
-    """EPSG:27700 (generic Transverse Mercator): the true origin
-    (2W, 49N) maps to the false origin (400000, -100000) exactly
-    (EPSG registry definition), and forward/inverse round-trips to
-    sub-nanometer over the National Grid domain."""
-    E, N = crs.from_lonlat_np("EPSG:27700", np.array([-2.0]),
-                              np.array([49.0]))
+    """EPSG:27700 projection-level invariants, on the raw _TM object
+    (the public from/to_lonlat_np surface now applies the OSGB36
+    Helmert datum step first, so its inputs are WGS84, not native
+    Airy): the true origin (2W, 49N) maps to the false origin
+    (400000, -100000) exactly (EPSG registry definition), and
+    forward/inverse round-trips to sub-nanometer over the National
+    Grid domain."""
+    p = crs.TM_REGISTRY["27700"]
+    E, N = p.forward(np.array([-2.0]), np.array([49.0]))
     assert abs(E[0] - 400000.0) < 1e-6 and abs(N[0] + 100000.0) < 1e-6
     rng = np.random.default_rng(41)
     lon = rng.uniform(-8.0, 2.0, 2000)
     lat = rng.uniform(49.5, 61.0, 2000)
-    E, N = crs.from_lonlat_np("27700", lon, lat)
-    lon2, lat2 = crs.to_lonlat_np("27700", E, N)
+    E, N = p.forward(lon, lat)
+    lon2, lat2 = p.inverse(E, N)
     assert np.abs(lon2 - lon).max() < 1e-11
     assert np.abs(lat2 - lat).max() < 1e-11
     # scale at the central meridian is k0 (tmerc invariant)
     dlat = 1e-6
-    E1, N1 = crs.from_lonlat_np("27700", np.array([-2.0, -2.0]),
-                                np.array([52.0, 52.0 + dlat]))
+    E1, N1 = p.forward(np.array([-2.0, -2.0]),
+                       np.array([52.0, 52.0 + dlat]))
     # meridian arc per radian on Airy 1830 at 52N
     a, f = 6377563.396, 1.0 / 299.3249646
     e2 = f * (2 - f)
@@ -384,15 +387,42 @@ def test_tm_osgb_true_origin_and_roundtrip():
 
 def test_tm_registry_members_roundtrip():
     rng = np.random.default_rng(43)
-    for code, lon_rng, lat_rng in [
-            ("2193", (166.0, 179.0), (-47.5, -34.0)),   # NZTM
-            ("2180", (14.0, 24.5), (49.0, 55.0))]:      # Poland CS92
+    for code, lon_rng, lat_rng, tol in [
+            ("2193", (166.0, 179.0), (-47.5, -34.0), 1e-11),  # NZTM
+            ("2180", (14.0, 24.5), (49.0, 55.0), 1e-11),  # Poland CS92
+            # BNG: WGS84 hub -> Helmert -> Airy TM and back; the
+            # residual is the dropped-height second-order term (<1e-8
+            # deg ~= 1 mm << the cm bar)
+            ("27700", (-7.5, 2.0), (49.8, 60.8), 2e-8)]:
         lon = rng.uniform(*lon_rng, 500)
         lat = rng.uniform(*lat_rng, 500)
         E, N = crs.from_lonlat_np(code, lon, lat)
         lon2, lat2 = crs.to_lonlat_np(code, E, N)
-        assert np.abs(lon2 - lon).max() < 1e-11
-        assert np.abs(lat2 - lat).max() < 1e-11
+        assert np.abs(lon2 - lon).max() < tol
+        assert np.abs(lat2 - lat).max() < tol
+
+
+def test_osgb36_helmert_datum_step():
+    """The EPSG:1314 Helmert vs the OS guide's OSTN-truth worked
+    point (Caister water tower): must land inside the published
+    ~3.5 m Helmert envelope — and far off the ~0 m a no-datum hub
+    would claim (the shift itself is >100 m here)."""
+    d = crs.DATUM_REGISTRY["27700"]
+    o_lon = 1 + 43 / 60 + 4.5177 / 3600     # OSGB36
+    o_lat = 52 + 39 / 60 + 27.2531 / 3600
+    t_lon = 1 + 42 / 60 + 57.8663 / 3600    # ETRS89 (OSTN truth)
+    t_lat = 52 + 39 / 60 + 28.8282 / 3600
+    lon, lat = d.to_wgs84(np.array([o_lon]), np.array([o_lat]))
+    dm = np.hypot((lon[0] - t_lon) * np.cos(np.radians(t_lat)) * 111320,
+                  (lat[0] - t_lat) * 111320)
+    assert dm < 4.0
+    shift = np.hypot((lon[0] - o_lon) * np.cos(np.radians(o_lat)) * 111320,
+                     (lat[0] - o_lat) * 111320)
+    assert shift > 100.0
+    # exact-matrix inverse closes to the dropped-height second-order
+    # residual (~1.5 mm here) — well inside the cm bar
+    lon2, lat2 = d.from_wgs84(lon, lat)
+    assert abs(lon2[0] - o_lon) < 1e-7 and abs(lat2[0] - o_lat) < 1e-7
 
 
 def test_utm_delegation_bit_identical_to_series_constants():
