@@ -23,9 +23,11 @@ Multi-band rasters store separate planes (PlanarConfiguration=2,
 band-major tile order) — write_geotiff_bands / read_geotiff(band=k).
 Reads also cover STRIP-organized files (re-tiled into the square tile
 model by a distributed strip->tile shuffle, `_read_strips`) and
-BigTIFF (8-byte offsets, LONG8 types). Scope fences (loud raises):
-north-up geotransform on write; writes stay classic tiled TIFF.
-Both byte orders read; writes are little-endian (II).
+BigTIFF (8-byte offsets, LONG8 types). Writes are tiled, classic or
+BigTIFF (bigtiff="auto" switches past 4 GB like BIGTIFF=IF_NEEDED);
+compression none/deflate/LZW/PackBits both ways. Scope fences (loud
+raises): north-up geotransform on write. Both byte orders read;
+writes are little-endian (II).
 """
 
 from __future__ import annotations
@@ -53,7 +55,7 @@ _TAG_SUBFILE = 254
 _TAG_W, _TAG_H = 256, 257
 _TAG_BITS, _TAG_COMP, _TAG_PHOTO = 258, 259, 262
 _TAG_PRED = 317
-_COMP_CODES = {"none": 1, "lzw": 5, "deflate": 8}
+_COMP_CODES = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
 _TAG_SPP, _TAG_PLANAR, _TAG_SFMT = 277, 284, 339
 _TAG_TW, _TAG_TH, _TAG_TOFF, _TAG_TCNT = 322, 323, 324, 325
 _TAG_STRIP_OFF = 273
@@ -85,7 +87,8 @@ def _geokeys_crs(shorts: list[int]) -> str:
 def write_geotiff(tiles: DataFrame, spec: G.GridSpec, path: str,
                   dtype: str = "float64", compression: str = "deflate",
                   nodata: float | None = None,
-                  max_tiles: int = 65536, cog: bool = False) -> None:
+                  max_tiles: int = 65536, cog: bool = False,
+                  bigtiff: bool | str = "auto") -> None:
     """Tile relation + GridSpec -> one tiled GeoTIFF. Compression is
     distributed (per-tile deflate in the UDF); the driver only
     concatenates compressed blocks — guarded by max_tiles, since one
@@ -110,7 +113,7 @@ def write_geotiff(tiles: DataFrame, spec: G.GridSpec, path: str,
 
     ordered = _pack_blocks(tiles, spec, dtype, compression, fill)
     _write_container(path, [(spec, dtype, compression, nodata, ordered,
-                             False)], cog=cog)
+                             False)], cog=cog, bigtiff=bigtiff)
 
 
 def _image_entries(spec, dtype, compression, nodata, offsets, counts,
@@ -144,7 +147,13 @@ def _image_entries(spec, dtype, compression, nodata, offsets, counts,
     return entries
 
 
-def _write_container(path: str, images: list, cog: bool = False) -> None:
+#: switch to BigTIFF when the classic 4-byte offsets would get within
+#: one IFD of wrapping
+_BIGTIFF_THRESHOLD = (1 << 32) - (1 << 25)
+
+
+def _write_container(path: str, images: list, cog: bool = False,
+                     bigtiff: bool | str = "auto") -> None:
     """images: [(spec, dtype, compression, nodata, ordered_blocks,
     reduced[, n_bands])] -> one TIFF with a chained IFD per image (the
     overview chain layout gdaladdo produces inside the GTiff driver).
@@ -154,18 +163,13 @@ def _write_container(path: str, images: list, cog: bool = False) -> None:
     the FRONT of the file so one small initial range-read captures all
     metadata, and pixel data follows with overview blocks FIRST and
     the full-resolution blocks LAST — the order an overview-first
-    renderer streams them."""
-    _FMT = {2: "B", 3: "H", 4: "I", 12: "d"}
+    renderer streams them.
 
-    def entry_bytes(entries):
-        """(ifd_size, external_payload_size) for a built entry list."""
-        ext = 0
-        for tag, typ, cnt, vals in entries:
-            payload_len = len(vals) * {2: 1, 3: 2, 4: 4, 12: 8}[typ]
-            if payload_len > 4:
-                ext += payload_len
-        return 2 + 12 * len(entries) + 4, ext
-
+    bigtiff=True (or "auto" past 4 GB of block data) writes the
+    BigTIFF layout (the public BigTIFF spec libtiff 4 implements:
+    magic 43, 8-byte offsets, 20-byte IFD entries, LONG8 offset
+    tags); "auto" mirrors gdal's BIGTIFF=IF_NEEDED creation option
+    (frmts/gtiff/geotiff.cpp)."""
     parsed = []
     for img in images:
         spec, dtype, compression, nodata, ordered, reduced = img[:6]
@@ -173,14 +177,43 @@ def _write_container(path: str, images: list, cog: bool = False) -> None:
         parsed.append((spec, dtype, compression, nodata, ordered,
                        reduced, n_bands))
 
+    if bigtiff == "auto":
+        total = sum(len(b) for p in parsed for b in p[4])
+        bigtiff = total >= _BIGTIFF_THRESHOLD
+    big = bool(bigtiff)
+    _FMT = {2: "B", 3: "H", 4: "I", 12: "d", 16: "Q"}
+    _UNIT = {2: 1, 3: 2, 4: 4, 12: 8, 16: 8}
+    inline = 8 if big else 4
+    head = 16 if big else 8
+    ent = 20 if big else 12
+    pro = 8 if big else 2          # entry-count field
+    nxt_sz = 8 if big else 4
+
+    def build_entries(i, offsets, counts):
+        s, dt, cp, nd, ordered, rd, nb = parsed[i]
+        entries = _image_entries(s, dt, cp, nd, offsets, counts, rd, nb)
+        if big:
+            # offsets/counts go LONG8 so they can exceed 4 GB
+            entries = [(tag, 16 if tag in (_TAG_TOFF, _TAG_TCNT) else typ,
+                        cnt, vals) for tag, typ, cnt, vals in entries]
+        return entries
+
+    def entry_bytes(entries):
+        """(ifd_size, external_payload_size) for a built entry list."""
+        ext = 0
+        for tag, typ, cnt, vals in entries:
+            payload_len = len(vals) * _UNIT[typ]
+            if payload_len > inline:
+                ext += payload_len
+        return pro + ent * len(entries) + nxt_sz, ext
+
     if cog:
         # IFD chain first: sizes are offset-independent, so build a
-        # dummy pass to measure, lay out IFDs from byte 8, then data
-        # (overviews first, full-res last)
-        dummy = [_image_entries(s, dt, cp, nd, [0] * len(od),
-                                [0] * len(od), rd, nb)
-                 for s, dt, cp, nd, od, rd, nb in parsed]
-        ifd_offs, cursor = [], 8
+        # dummy pass to measure, lay out IFDs from the header, then
+        # data (overviews first, full-res last)
+        dummy = [build_entries(i, [0] * len(p[4]), [0] * len(p[4]))
+                 for i, p in enumerate(parsed)]
+        ifd_offs, cursor = [], head
         for entries in dummy:
             ifd_offs.append(cursor)
             sz, ext = entry_bytes(entries)
@@ -194,8 +227,8 @@ def _write_container(path: str, images: list, cog: bool = False) -> None:
                 cursor += len(b)
             block_offs[i] = offs
     else:
-        # classic layout: data from byte 8, IFD chain at the end
-        pos = 8
+        # classic layout: data after the header, IFD chain at the end
+        pos = head
         block_offs = {}
         for i, (s, dt, cp, nd, ordered, rd, nb) in enumerate(parsed):
             offs = []
@@ -208,9 +241,8 @@ def _write_container(path: str, images: list, cog: bool = False) -> None:
 
     per_img = []
     for i, (s, dt, cp, nd, ordered, rd, nb) in enumerate(parsed):
-        per_img.append(_image_entries(
-            s, dt, cp, nd, block_offs[i],
-            [len(b) for b in ordered], rd, nb))
+        per_img.append(build_entries(i, block_offs[i],
+                                     [len(b) for b in ordered]))
     if not cog:
         for entries in per_img:
             ifd_offs.append(cursor)
@@ -218,29 +250,35 @@ def _write_container(path: str, images: list, cog: bool = False) -> None:
             cursor += sz + ext
 
     with open(path, "wb") as f:
-        f.write(b"II*\x00" + struct.pack("<I", ifd_offs[0]))
+        if big:
+            f.write(b"II+\x00" + struct.pack("<HHQ", 8, 0, ifd_offs[0]))
+        else:
+            f.write(b"II*\x00" + struct.pack("<I", ifd_offs[0]))
         if not cog:
             for i in data_order:
                 for b in parsed[i][4]:
                     f.write(b)
         for i, entries in enumerate(per_img):
-            data_off = ifd_offs[i] + 2 + 12 * len(entries) + 4
+            data_off = ifd_offs[i] + pro + ent * len(entries) + nxt_sz
             nxt = ifd_offs[i + 1] if i + 1 < len(per_img) else 0
             ifd, extra = [], []
             for tag, typ, cnt, vals in entries:
                 if cnt is None:
                     cnt = len(vals)
                 payload = struct.pack(f"<{len(vals)}{_FMT[typ]}", *vals)
-                if len(payload) <= 4:
-                    ifd.append(struct.pack("<HHI", tag, typ, cnt)
-                               + payload.ljust(4, b"\x00"))
+                if len(payload) <= inline:
+                    hdr = struct.pack("<HHQ" if big else "<HHI",
+                                      tag, typ, cnt)
+                    ifd.append(hdr + payload.ljust(inline, b"\x00"))
                 else:
-                    ifd.append(struct.pack("<HHII", tag, typ, cnt,
-                                           data_off))
+                    ifd.append(struct.pack("<HHQQ" if big else "<HHII",
+                                           tag, typ, cnt, data_off))
                     extra.append(payload)
                     data_off += len(payload)
-            f.write(struct.pack("<H", len(entries)) + b"".join(ifd)
-                    + struct.pack("<I", nxt) + b"".join(extra))
+            f.write(struct.pack("<Q" if big else "<H", len(entries))
+                    + b"".join(ifd)
+                    + struct.pack("<Q" if big else "<I", nxt)
+                    + b"".join(extra))
         if cog:
             for i in data_order:
                 for b in parsed[i][4]:
@@ -345,9 +383,9 @@ def read_geotiff(spark: SparkSession, path: str,
     if band >= n_bands:
         raise ValueError(f"band {band}: file has {n_bands} band(s)")
     comp = tags.get(_TAG_COMP, [1])[0]
-    if comp not in (1, 5, 8):
+    if comp not in (1, 5, 8, 32773):
         raise NotImplementedError(f"compression {comp}: support none(1)/"
-                                  "LZW(5)/deflate(8)")
+                                  "LZW(5)/deflate(8)/PackBits(32773)")
     predictor = tags.get(_TAG_PRED, [1])[0]
     if predictor not in (1, 2):
         raise NotImplementedError(
@@ -365,12 +403,16 @@ def read_geotiff(spark: SparkSession, path: str,
     dtype = _BACK.get((bits, sfmt))
     if dtype is None:
         raise NotImplementedError(f"sample type bits={bits} fmt={sfmt}")
-    sx0, sy0 = tags0[_TAG_SCALE][0], tags0[_TAG_SCALE][1]
-    # overview pixel size = full extent / overview size
-    sx = sx0 * tags0[_TAG_W][0] / width
-    sy = sy0 * tags0[_TAG_H][0] / height
-    tp = tags0[_TAG_TIEPOINT]
-    gt = (tp[3] - tp[0] * sx0, sx, 0.0, tp[4] + tp[1] * sy0, 0.0, -sy)
+    if _TAG_SCALE in tags0 and _TAG_TIEPOINT in tags0:
+        sx0, sy0 = tags0[_TAG_SCALE][0], tags0[_TAG_SCALE][1]
+        # overview pixel size = full extent / overview size
+        sx = sx0 * tags0[_TAG_W][0] / width
+        sy = sy0 * tags0[_TAG_H][0] / height
+        tp = tags0[_TAG_TIEPOINT]
+        gt = (tp[3] - tp[0] * sx0, sx, 0.0, tp[4] + tp[1] * sy0, 0.0, -sy)
+    else:
+        # ungeoreferenced TIFF: identity pixel grid, the GDAL default
+        gt = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
     crs = _geokeys_crs([int(v) for v in tags0[_TAG_GEOKEYS]]) \
         if _TAG_GEOKEYS in tags0 else "EPSG:4326"
     spec = G.GridSpec(width=width, height=height, gt=gt, crs=crs, tile=ts)
@@ -407,7 +449,16 @@ def read_geotiff(spark: SparkSession, path: str,
                     elif comp == 5:
                         from . import lzw as _lzw
                         b = _lzw.decode(b)
-                    a = np.frombuffer(b, np_dtype).reshape(ts, ts)
+                    elif comp == 32773:
+                        from . import packbits as _pb
+                        b = _pb.decode(b)
+                    need = ts * ts * np_dtype.itemsize
+                    if comp != 1 and len(b) < need:
+                        # short block: libtiff tolerates truncated
+                        # final rows and zero-fills (tif_read.c)
+                        b = b + b"\x00" * (need - len(b))
+                    a = np.frombuffer(b, np_dtype,
+                                      count=ts * ts).reshape(ts, ts)
                     if predictor == 2:
                         from . import lzw as _lzw
                         a = _lzw.undo_horizontal_predictor(a)
@@ -549,6 +600,9 @@ def _pack_blocks(tiles: DataFrame, spec: G.GridSpec, dtype: str,
             elif compression == "lzw":
                 from . import lzw as _lzw
                 raw = _lzw.encode(raw)
+            elif compression == "packbits":
+                from . import packbits as _pb
+                raw = _pb.encode(raw)
             out.append(raw)
         return pd.Series(out)
 
@@ -562,6 +616,9 @@ def _pack_blocks(tiles: DataFrame, spec: G.GridSpec, dtype: str,
     elif compression == "lzw":
         from . import lzw as _lzw
         empty = _lzw.encode(empty_raw)
+    elif compression == "packbits":
+        from . import packbits as _pb
+        empty = _pb.encode(empty_raw)
     else:
         empty = empty_raw
     return [blocks.get((ty, tx), empty)
@@ -659,6 +716,9 @@ def _read_strips(spark: SparkSession, path: str, spec: G.GridSpec,
                         b = zlib.decompress(b)
                     elif comp == 5:
                         b = _lzw.decode(b)
+                    elif comp == 32773:
+                        from . import packbits as _pb
+                        b = _pb.decode(b)
                     r0 = int(sid) * rps
                     nr = min(rps, h - r0)
                     a = np.frombuffer(b, np_dtype, count=nr * w) \
