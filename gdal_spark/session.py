@@ -28,7 +28,8 @@ def _worker_env_defaults() -> None:
 
 
 def get_spark(app: str = "gdal_spark", master: str | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
     """Build (or reuse) a session.
 
     Defaults chosen for correctness-critical comparison with DuckDB
@@ -57,4 +58,6 @@ def get_spark(app: str = "gdal_spark", master: str | None = None,
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
     return b.getOrCreate()

@@ -12,8 +12,17 @@ spark-submit would. Timing excludes session startup and input
 materialization (the input is persisted and counted before the clock
 starts).
 
-Usage:  python tools/scaling_bench.py            # run both + report
-        python tools/scaling_bench.py --child N  # internal: one level
+Usage:  python tools/scaling_bench.py                 # thread mode
+        python tools/scaling_bench.py --mode cluster  # executor mode
+        python tools/scaling_bench.py --child N [mode]  # internal
+
+--mode cluster varies EXECUTOR COUNT — the quantity the north rule
+names — instead of thread count: the same job on local-cluster[1,8,m]
+vs local-cluster[4,8,m] (1 vs 4 separate 8-core executor JVMs, same
+per-executor heap, real netty shuffle between them). Both modes share
+the host's memory system, so the documented machine-wide Arrow-IPC /
+bandwidth ceiling applies to both; cluster mode at least measures the
+right topology.
 """
 
 from __future__ import annotations
@@ -31,7 +40,7 @@ PAGES_N = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "120000000"))
 LEVELS = (8, 32)
 
 
-def run_child(cpus: int) -> None:
+def run_child(cpus: int, mode: str = "threads") -> None:
     from pyspark.sql import functions as F
 
     from gdal_spark.geo import mercator
@@ -39,8 +48,18 @@ def run_child(cpus: int) -> None:
     from gdal_spark.session import get_spark
     from gdal_spark.sources import admin, pages
 
-    spark = get_spark(f"scale{cpus}", master=f"local[{cpus}]",
-                      shuffle_partitions=2 * cpus)
+    if mode == "cluster":
+        # cpus//8 separate 8-core executor JVMs, equal heap each —
+        # executor-count scaling, the deployment shape spark-submit
+        # --num-executors produces
+        n_exec = max(1, cpus // 8)
+        spark = get_spark(
+            f"scale{cpus}x", master=f"local-cluster[{n_exec},8,13312]",
+            shuffle_partitions=2 * cpus,
+            extra_conf={"spark.executor.memory": "12g"})
+    else:
+        spark = get_spark(f"scale{cpus}", master=f"local[{cpus}]",
+                          shuffle_partitions=2 * cpus)
     spark.sparkContext.setLogLevel("ERROR")
     pts = pages.synth_pages(spark, PAGES_N, skew_hot_fraction=0.2).select(
         "doc_id", "lon", "lat", "cell_id").persist()
@@ -86,7 +105,8 @@ def run_child(cpus: int) -> None:
             .groupBy("cell_id", "tile_x", "tile_y")
             .agg(F.count(F.lit(1)).alias("n")).count())
         wall_jvm = min(wall_jvm, time.time() - t0)
-    print(json.dumps({"cpus": cpus, "pages": n, "groups": n_groups,
+    print(json.dumps({"cpus": cpus, "mode": mode,
+                      "pages": n, "groups": n_groups,
                       "wall_s": round(wall, 3),
                       "pages_per_sec": round(n / wall, 1),
                       "jvm_wall_s": round(wall_jvm, 3),
@@ -110,8 +130,11 @@ def _wait_idle(max_load: float = 2.0, timeout_s: float = 300.0) -> float:
 
 def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--child":
-        run_child(int(sys.argv[2]))
+        run_child(int(sys.argv[2]),
+                  sys.argv[3] if len(sys.argv) > 3 else "threads")
         return
+    mode = "cluster" if "--mode" in sys.argv and \
+        sys.argv[sys.argv.index("--mode") + 1] == "cluster" else "threads"
     results = {}
     loads = {}
     for cpus in LEVELS:
@@ -129,9 +152,10 @@ def main() -> None:
         # slots, so "local[8]" would really use ~2N cores and the
         # N-vs-4N comparison would be meaningless.
         cpu_list = f"0-{cpus - 1}"
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
         out = subprocess.run(
             ["taskset", "-c", cpu_list, sys.executable,
-             os.path.abspath(__file__), "--child", str(cpus)],
+             os.path.abspath(__file__), "--child", str(cpus), mode],
             capture_output=True, text=True, env=env, cwd=REPO)
         lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
         if not lines:
@@ -145,9 +169,12 @@ def main() -> None:
         (hi / lo) * results[lo]["pages_per_sec"])
     eff_jvm = results[hi]["jvm_pages_per_sec"] / (
         (hi / lo) * results[lo]["jvm_pages_per_sec"])
+    topo = (f"local-cluster[1,8] vs local-cluster[{hi // 8},8] "
+            f"(1 vs {hi // 8} executor JVMs)") if mode == "cluster" \
+        else f"local[{lo}] vs local[{hi}] (N vs 4N proxy)"
     report = {
-        "metric": "scaling efficiency, spatial-join+tile-assign, "
-                  f"local[{lo}] vs local[{hi}] (N vs 4N proxy)",
+        "metric": "scaling efficiency, spatial-join+tile-assign, " + topo,
+        "mode": mode,
         "pages": PAGES_N,
         f"pages_per_sec_local{lo}": results[lo]["pages_per_sec"],
         f"pages_per_sec_local{hi}": results[hi]["pages_per_sec"],
