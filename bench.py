@@ -155,7 +155,9 @@ def main():
                   "raster_warp_kernels_checksum", "geo_overlay_ops",
                   "raster_grid_metrics", "geo_dissolve_union",
                   "raster_color_relief_checksum",
-                  "raster_warp_crs_checksum", "geo_s2_cell_rollup"]:
+                  "raster_warp_crs_checksum", "geo_s2_cell_rollup",
+                  "raster_warp_cutline_checksum",
+                  "raster_contour_polygons"]:
         fn = Q.QUERIES[qname]
         timed_min(qname, lambda f=fn: f(spark, SF_DIR).count())
 

@@ -156,6 +156,68 @@ def main() -> None:
     check("overlay join cell equi-join", plan_of(ov),
           must=[r"MapInPandas"], must_not=[r"CartesianProduct"])
 
+    # ---- round-4 gates ----
+
+    # 11. grid metrics default to the scatter path: per-point tile
+    #     fan-out is a JVM Generate; no cross join, no broadcast of
+    #     the point cloud
+    gm = Q.QUERIES["raster_grid_metrics"](spark, SF_DIR)
+    check("grid_metrics scatter fan-out", plan_of(gm),
+          must=[r"Generate", r"FlatMapGroupsInPandas"],
+          must_not=[r"CartesianProduct|BroadcastNestedLoopJoin"])
+
+    # 12. warp CRS gate (incl. the r5 datum-shifted tm branch): the
+    #     source-tile gather stays an equi-join on tile keys
+    wc = Q.QUERIES["raster_warp_crs_checksum"](spark, SF_DIR)
+    check("warp_crs gather equi-join", plan_of(wc),
+          must=[r"AdaptiveSparkPlan", r"FlatMapGroupsInPandas"],
+          must_not=[r"CartesianProduct|BroadcastNestedLoopJoin"])
+
+    # 13. VRT composed read: per-source byte-range tasks are MapInPandas
+    #     over the block relation — no driver pixel loop
+    import tempfile
+
+    from gdal_spark.raster import geotiff as GT
+    from gdal_spark.raster import vrt as VRT
+    with tempfile.TemporaryDirectory() as td:
+        vspec = G.GridSpec(32, 32, (0.0, 1.0, 0.0, 32.0, 0.0, -1.0),
+                           tile=16)
+        vt = spark.createDataFrame(
+            [(ty, tx, np.full(256, 1.0).tolist())
+             for ty in range(2) for tx in range(2)],
+            "tile_y int, tile_x int, px array<double>")
+        GT.write_geotiff(vt, vspec, os.path.join(td, "a.tif"))
+        vpath = os.path.join(td, "ab.vrt")
+        VRT.build_vrt(vpath, [os.path.join(td, "a.tif")])
+        _, vtiles = VRT.read_vrt(spark, vpath)
+        check("vrt composed read MapInPandas", plan_of(vtiles),
+              must=[r"MapInPandas|FlatMapGroupsInPandas"],
+              must_not=[r"CartesianProduct"])
+
+    # ---- round-5 gates ----
+
+    # 14. warp cutline: the mask join is a tile-key equi-join (prunes
+    #     fully-outside tiles from the plan); the blank is JVM zip_with
+    #     — no Python node AFTER the rasterized mask is joined
+    cl = Q.QUERIES["raster_warp_cutline_checksum"](spark, SF_DIR)
+    check("warp_cutline mask equi-join", plan_of(cl),
+          must=[r"FlatMapGroupsInPandas", r"zip_with"],
+          must_not=[r"CartesianProduct|BroadcastNestedLoopJoin"])
+
+    # 15. contour iso-polygons: boundary build + ring chaining stay
+    #     equi-joins (cross-tile stitch = polygonize merge pattern)
+    cp = Q.QUERIES["raster_contour_polygons"](spark, SF_DIR)
+    check("contour_polygons no-cartesian", plan_of(cp),
+          must=[r"AdaptiveSparkPlan"],
+          must_not=[r"CartesianProduct|BroadcastNestedLoopJoin"])
+
+    # 16. minhash near-dup: banded self-join is an equi-join on
+    #     (band, signature), never all-pairs
+    mh = Q.QUERIES["dedup_minhash_pairs"](spark, SF_DIR)
+    check("minhash banded equi-join", plan_of(mh),
+          must=[r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+          must_not=[r"CartesianProduct|BroadcastNestedLoopJoin"])
+
     header = (
         "# PLANS — physical-plan audit evidence\n\n"
         f"Generated by tools/plan_audit.py at sf dir {SF_DIR}.\n"
