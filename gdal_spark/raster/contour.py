@@ -450,11 +450,19 @@ def border_pieces(px: DataFrame, spec: G.GridSpec,
     border_pieces_np whenever no border value equals a level exactly
     (half-integer levels on count rasters guarantee this; the np
     reference additionally implements the on-level fudge)."""
-    spark = px.sparkSession
     edges = _border_edges(px, spec)
-    slot_df = spark.createDataFrame(_slot_bounds(levels),
-                                    "slot int, lo double, hi double")
-    e = edges.crossJoin(F.broadcast(slot_df))
+    # constant slot fan-out as a JVM Generate (explode over a literal
+    # array) — same pattern as the halo-offset fan, no join node
+    slots = F.array(*[
+        F.struct(F.lit(int(s)).alias("slot"),
+                 F.lit(float(lo)).alias("lo"),
+                 F.lit(float(hi)).alias("hi"))
+        for s, lo, hi in _slot_bounds(levels)])
+    e = (edges.withColumn("sl", F.explode(slots))
+         .select("*", F.col("sl.slot").alias("slot"),
+                 F.col("sl.lo").alias("lo"),
+                 F.col("sl.hi").alias("hi"))
+         .drop("sl"))
     va, vb, lo, hi = F.col("va"), F.col("vb"), F.col("lo"), F.col("hi")
     flat, asc = va == vb, va < vb
     dead = (F.when(flat, (va < lo) | (va >= hi))
@@ -594,11 +602,14 @@ def contour(tiles: DataFrame, spec: G.GridSpec,
 
     t = spec.tile
     tiles_x, tiles_y = spec.tiles_x, spec.tiles_y
-    offsets = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
-    off_df = tiles.sparkSession.createDataFrame(offsets, "dy int, dx int")
-    fan = (tiles.crossJoin(F.broadcast(off_df))
-           .withColumn("t_ty", F.col("tile_y") + F.col("dy"))
-           .withColumn("t_tx", F.col("tile_x") + F.col("dx"))
+    # 9-way halo fan as a JVM Generate (explode over a literal array)
+    # — no join node, no broadcast exchange
+    off_arr = F.array(*[
+        F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+        for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
+    fan = (tiles.withColumn("off", F.explode(off_arr))
+           .withColumn("t_ty", F.col("tile_y") + F.col("off.dy"))
+           .withColumn("t_tx", F.col("tile_x") + F.col("off.dx"))
            .filter((F.col("t_ty") >= 0) & (F.col("t_ty") < tiles_y)
                    & (F.col("t_tx") >= 0) & (F.col("t_tx") < tiles_x))
            .select("t_ty", "t_tx", "tile_y", "tile_x", "px"))
