@@ -430,6 +430,68 @@ def s2_cell_rollup(spark, sf_dir):
             .orderBy("s2_parent"))
 
 
+_HILBERT_RES = 8
+
+
+def _hilbert_sort_oracle() -> str:
+    """The Hilbert d-code as an unrolled CTE chain — one stage per
+    bit, each mirroring geo/hilbert.hilbert_d_np's rotate/reflect
+    step exactly (rx/ry flags, d += s^2 * ((3*rx) XOR ry), reflected
+    swap) — the same discipline as the S2 gate's bit-walk oracle."""
+    tx = mercator.tile_x_sql("lon", _HILBERT_RES)
+    ty = mercator.tile_y_sql("lat", _HILBERT_RES)
+    stages = [f"""
+    h0 AS (SELECT doc_id, CAST({tx} AS BIGINT) AS x,
+                  CAST({ty} AS BIGINT) AS y, CAST(0 AS BIGINT) AS d
+           FROM pts)"""]
+    for k, i in enumerate(range(_HILBERT_RES - 1, -1, -1)):
+        s = 1 << i
+        stages.append(f"""
+    h{k + 1} AS (
+      SELECT doc_id,
+             CASE WHEN ry = 1 THEN x WHEN rx = 0 THEN y
+                  ELSE {s - 1} - y END AS x,
+             CASE WHEN ry = 1 THEN y WHEN rx = 0 THEN x
+                  ELSE {s - 1} - x END AS y,
+             d + {s * s} * xor(3 * rx, ry) AS d
+      FROM (SELECT doc_id, x, y, d,
+                   CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+                   CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END AS ry
+            FROM h{k}))""")
+    return f"""
+    WITH pts AS (SELECT doc_id, {pages.LON_SQL} AS lon,
+                        {pages.LAT_SQL} AS lat FROM documents),
+    {','.join(stages)}
+    SELECT d // 64 AS hk_bucket, count(*) AS n_docs,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+           CAST(sum(d) AS BIGINT) AS sum_hk
+    FROM h{_HILBERT_RES} GROUP BY hk_bucket ORDER BY hk_bucket
+    """
+
+
+@register("geo_hilbert_sort", oracle=_hilbert_sort_oracle())
+def hilbert_sort(spark, sf_dir):
+    """Hilbert spatial-sort key (geo/hilbert.py — the spatial sort the
+    reference's gdal vector sort/gdaltindex ordering uses for
+    locality; ogr sqlite's ST spatial ordering analog): the res-8
+    web-mercator Hilbert d-code of every page point as pure JVM bit
+    math (whole-stage codegen, no Python), rolled up into 64-code
+    buckets with per-bucket count/min/max/sum — any defect in the
+    rotate/reflect walk moves a point across buckets and breaks the
+    hash."""
+    from .geo import hilbert as _hb
+
+    p = pages.page_points(spark, sf_dir).select("doc_id", "lon", "lat")
+    hk = _hb.with_hilbert_key(p, res=_HILBERT_RES)
+    return (hk.groupBy((F.col("__hk") / F.lit(64)).cast("long")
+                       .alias("hk_bucket"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("min_doc"),
+                 F.max("doc_id").alias("max_doc"),
+                 F.sum("__hk").cast("long").alias("sum_hk"))
+            .orderBy("hk_bucket"))
+
+
 def _pip_oracle() -> str:
     subqs = []
     for pid, _name, ring in admin.admin_rings():

@@ -1314,6 +1314,138 @@ PZOOM, PTILE = 4, 64
 NP4 = (1 << PZOOM) * PTILE
 
 
+# ------------------------------------------------------ overview kernels
+
+
+def _overview_kernels_oracle() -> str:
+    """One 2x reduction of the z4 density raster under 4 kernels
+    (gcore/overview.cpp semantics as restated by
+    geotiff._reduce_2x2_masked). The 4 children of a parent pixel
+    always share one child TILE (2px and 2px+1 can't straddle an
+    even tile width), so a parent enumerated from any nonzero child
+    has all 4 children valid (n=4) and absent-tile parents are zero
+    on both sides — the masked reduction collapses to plain
+    arithmetic over the sparse px relation, in numpy's exact
+    accumulation order c00+c10+c01+c11."""
+    half = NP4 // 2
+    ssum = "(((c00 + c10) + c01) + c11)"
+    ssq = ("(((c00 * c00 + c10 * c10) + c01 * c01) + c11 * c11)")
+    kernels = {"near": "c00", "average": f"({ssum} / 4.0)",
+               "sum": ssum, "rms": f"sqrt({ssq} / 4.0)"}
+    parts = []
+    for k, expr in kernels.items():
+        parts.append(f"""
+      SELECT '{k}' AS kernel, tile_y, tile_x, checksum, n_nonzero FROM (
+        SELECT CAST(gy // {PTILE} AS INTEGER) AS tile_y,
+               CAST(gx // {PTILE} AS INTEGER) AS tile_x,
+               {CK.checksum_sql('fv', 'gx', 'gy', half)} AS checksum,
+               count(*) FILTER (WHERE fv <> 0) AS n_nonzero
+        FROM (SELECT gx, gy, {expr} AS fv FROM ch)
+        GROUP BY tile_y, tile_x
+        HAVING count(*) FILTER (WHERE fv <> 0) > 0)""")
+    return f"""
+    WITH {_px_cte(PZOOM, PTILE)},
+    par AS (SELECT DISTINCT gx // 2 AS px_, gy // 2 AS py_ FROM px),
+    ch AS (
+      SELECT p.px_ AS gx, p.py_ AS gy,
+             coalesce(v00.v, 0.0) AS c00, coalesce(v10.v, 0.0) AS c10,
+             coalesce(v01.v, 0.0) AS c01, coalesce(v11.v, 0.0) AS c11
+      FROM par p
+      LEFT JOIN px v00 ON v00.gx = 2 * p.px_     AND v00.gy = 2 * p.py_
+      LEFT JOIN px v10 ON v10.gx = 2 * p.px_ + 1 AND v10.gy = 2 * p.py_
+      LEFT JOIN px v01 ON v01.gx = 2 * p.px_     AND v01.gy = 2 * p.py_ + 1
+      LEFT JOIN px v11 ON v11.gx = 2 * p.px_ + 1 AND v11.gy = 2 * p.py_ + 1
+    )
+    SELECT * FROM ({' UNION ALL '.join(parts)})
+    ORDER BY kernel, tile_y, tile_x
+    """
+
+
+@register("raster_overview_kernels_checksum",
+          oracle=_overview_kernels_oracle())
+def overview_kernels_checksum(spark, sf_dir):
+    """Overview 2x reduction kernels (gcore/overview.cpp: Near :165,
+    Average, Sum, RMS — the gdaladdo -r set minus the tie-broken
+    mode): geotiff.overview_once on the z4 density raster, one
+    tagged checksum branch per kernel. The parent-tile gather is one
+    shuffle (groupBy p_ty/p_tx); the nodata-aware mask collapses to
+    n=4 on this raster (see oracle), making every kernel exact SQL
+    arithmetic."""
+    from .raster import geotiff as GT
+
+    pts = pages.page_points(spark, sf_dir)
+    spec = G.world_3857(PZOOM, PTILE)
+    tiles = D.density_tiles(pts, PZOOM, PTILE).persist()
+    out = None
+    for k in ("near", "average", "sum", "rms"):
+        red, ospec = GT.overview_once(tiles, spec, kernel=k)
+        one = (R.tiles_checksum(red, ospec)
+               .filter(F.col("n_nonzero") > 0)
+               .select(F.lit(k).alias("kernel"), "tile_y", "tile_x",
+                       "checksum", "n_nonzero"))
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("kernel", "tile_y", "tile_x")
+
+
+# ----------------------------------------------------------- pansharpen
+
+
+def _pansharpen_oracle() -> str:
+    """Brovey fusion is per-pixel arithmetic (frmts/vrt/pansharpen:
+    GDALPansharpenOperation's weighted-pseudo-panchromatic ratio), so
+    the whole pipeline — band derivation, pseudo = w0*b0 + w1*b1,
+    ratio guard, fused = b * ratio — is one SQL expression over the
+    SAME float ops as pansharpen_np. Bands derive from the density
+    raster sparsity-preservingly (v^2, 2v) so the nonzero px relation
+    stays the whole story."""
+    pseudo = "(0.5 * (v * v) + 0.5 * (2.0 * v))"
+    ratio = f"(CASE WHEN {pseudo} <> 0 THEN v / {pseudo} ELSE 0.0 END)"
+    parts = []
+    for b, bx in ((0, "(v * v)"), (1, "(2.0 * v)")):
+        parts.append(f"""
+      SELECT {b} AS band, tile_y, tile_x, checksum, n_nonzero FROM (
+        SELECT CAST(gy // {PTILE} AS INTEGER) AS tile_y,
+               CAST(gx // {PTILE} AS INTEGER) AS tile_x,
+               {CK.checksum_sql('fv', 'gx', 'gy', NP4)} AS checksum,
+               count(*) FILTER (WHERE fv <> 0) AS n_nonzero
+        FROM (SELECT gx, gy, {bx} * {ratio} AS fv FROM px)
+        GROUP BY tile_y, tile_x
+        HAVING count(*) FILTER (WHERE fv <> 0) > 0)""")
+    return (f"WITH {_px_cte(PZOOM, PTILE)}\n"
+            "SELECT * FROM (" + "\nUNION ALL\n".join(parts)
+            + ") ORDER BY band, tile_y, tile_x")
+
+
+@register("raster_pansharpen_checksum", oracle=_pansharpen_oracle())
+def pansharpen_checksum(spark, sf_dir):
+    """Brovey pansharpening (the reference's VRT pansharpened dataset,
+    frmts/vrt/vrtpansharpened.cpp / alg pansharpen operation): the z4
+    density raster as pan, two JVM-derived spectral bands (v^2 and
+    2v), fused through raster/pansharpen.py's distributed per-tile
+    kernel, per-(band, tile) checksums. The ratio guard (pseudo == 0
+    -> 0) and weight fold are bit-identical between numpy and SQL."""
+    from .raster import pansharpen as PS
+
+    pts = pages.page_points(spark, sf_dir)
+    spec = G.world_3857(PZOOM, PTILE)
+    pan = D.density_tiles(pts, PZOOM, PTILE)
+    b0 = pan.select("tile_y", "tile_x",
+                    F.transform("px", lambda v: v * v).alias("px"))
+    b1 = pan.select("tile_y", "tile_x",
+                    F.transform("px", lambda v: F.lit(2.0) * v).alias("px"))
+    fused = PS.pansharpen(pan, [b0, b1])
+    out = None
+    for b in (0, 1):
+        one = (R.tiles_checksum(
+                   fused.filter(F.col("band") == b)
+                   .select("tile_y", "tile_x", "px"), spec)
+               .filter(F.col("n_nonzero") > 0)
+               .select(F.lit(b).alias("band"), "tile_y", "tile_x",
+                       "checksum", "n_nonzero"))
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("band", "tile_y", "tile_x")
+
+
 def _polygonize_oracle() -> str:
     return f"""
     WITH RECURSIVE {_px_cte(PZOOM, PTILE)},
