@@ -1529,6 +1529,123 @@ def focal_sum_checksum(spark, sf_dir):
             .orderBy("tile_y", "tile_x"))
 
 
+def _dem_oracle() -> str:
+    """The six gdaldem derivatives as SQL over the nine clamped
+    neighbor lookups (focal-sum oracle pattern). Float discipline:
+    every constant (1/(8*res), the degree/radian factors, cos/sin of
+    the fixed sun angles) is embedded as the exact double the numpy
+    kernel uses, so the only cross-libm noise is per-pixel
+    atan/atan2/cos — <= 1-2 ulp on values that sit far from the
+    checksum's half-integer rounding boundaries except where the
+    input is an IEEE special case (flat cells: atan2(+0, -0) = pi on
+    both sides, bit-exact)."""
+    spec = G.world_3857(FZOOM, FTILE)
+    ew8 = float(8.0 * abs(spec.gt[1]))
+    ns8 = float(8.0 * abs(spec.gt[5]))
+    degc = float(np.degrees(1.0))
+    cz = float(np.cos(np.radians(90.0 - 45.0)))
+    sz = float(np.sin(np.radians(90.0 - 45.0)))
+    az = float(np.radians(315.0))
+
+    def D(v):
+        return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+    names = {}
+    for nm, (dy, dx) in (("a", (-1, -1)), ("b", (-1, 0)), ("c", (-1, 1)),
+                         ("d", (0, -1)), ("e", (0, 0)), ("f", (0, 1)),
+                         ("g2", (1, -1)), ("h2", (1, 0)), ("i2", (1, 1))):
+        cx = f"least(greatest(g.x + ({dx}), 0), {NF - 1})"
+        cy = f"least(greatest(g.y + ({dy}), 0), {NF - 1})"
+        names[nm] = (f"coalesce((SELECT v FROM px p WHERE p.gx = {cx}"
+                     f" AND p.gy = {cy}), 0.0) AS {nm}")
+    a, b, c = "a", "b", "c"
+    d, e, f_, g_, h_, i_ = "d", "e", "f", "g2", "h2", "i2"
+    dzdx = f"((({c} + 2.0 * {f_} + {i_}) - ({a} + 2.0 * {d} + {g_})) / {D(ew8)})"
+    dzdy = f"((({g_} + 2.0 * {h_} + {i_}) - ({a} + 2.0 * {b} + {c})) / {D(ns8)})"
+    grad = f"sqrt({dzdx} * {dzdx} + {dzdy} * {dzdy})"
+    aspr = f"atan2({dzdy}, -{dzdx})"
+    adeg = f"(90.0 - ({aspr} * {D(degc)}))"
+    nsum = f"(((((((({a} + {b}) + {c}) + {d}) + {f_}) + {g_}) + {h_}) + {i_}))"
+    tri = (f"(((((((abs({e} - {a}) + abs({e} - {b})) + abs({e} - {c}))"
+           f" + abs({e} - {d})) + abs({e} - {f_})) + abs({e} - {g_}))"
+           f" + abs({e} - {h_})) + abs({e} - {i_})) / 8.0")
+    slope_r = f"atan({grad})"
+    shade = (f"({D(cz)} * cos({slope_r}) + {D(sz)} * sin({slope_r})"
+             f" * cos({D(az)} - {aspr}))")
+    ops = {
+        "slope": f"(atan({grad}) * {D(degc)})",
+        "aspect": (f"CASE WHEN {adeg} < 0 THEN {adeg} + 360.0 "
+                   f"WHEN {adeg} >= 360.0 THEN {adeg} - 360.0 "
+                   f"ELSE {adeg} END"),
+        "hillshade": f"least(greatest(255.0 * {shade}, 0.0), 255.0)",
+        "tpi": f"({e} - {nsum} / 8.0)",
+        "tri": tri,
+        "roughness": (f"greatest({a},{b},{c},{d},{e},{f_},{g_},{h_},{i_})"
+                      f" - least({a},{b},{c},{d},{e},{f_},{g_},{h_},{i_})"),
+    }
+    parts = []
+    for k, expr in ops.items():
+        parts.append(f"""
+      SELECT '{k}' AS op, tile_y, tile_x, checksum, n_nonzero FROM (
+        SELECT CAST(gy // {FTILE} AS INTEGER) AS tile_y,
+               CAST(gx // {FTILE} AS INTEGER) AS tile_x,
+               {CK.checksum_sql('fv', 'gx', 'gy', NF)} AS checksum,
+               count(*) FILTER (WHERE fv <> 0) AS n_nonzero
+        FROM (SELECT gx, gy, ({expr}) AS fv FROM nb)
+        GROUP BY tile_y, tile_x)""")
+    nt = NF // FTILE
+    return f"""
+    WITH {_px_cte(FZOOM, FTILE)},
+    -- the engine emits a tile iff its 9-neighborhood holds an
+    -- OCCUPIED input tile (the halo fan's group keys) — aspect and
+    -- hillshade are nonzero on flat ground, so mirror that set
+    occ AS (SELECT DISTINCT CAST(gy // {FTILE} AS INTEGER) AS ty,
+                   CAST(gx // {FTILE} AS INTEGER) AS tx FROM px),
+    gset AS (SELECT DISTINCT o.ty + d.dy AS ty, o.tx + d.dx AS tx
+             FROM occ o, (VALUES (-1,-1), (-1,0), (-1,1), (0,-1),
+                          (0,0), (0,1), (1,-1), (1,0), (1,1)) d(dy, dx)
+             WHERE o.ty + d.dy BETWEEN 0 AND {nt - 1}
+               AND o.tx + d.dx BETWEEN 0 AND {nt - 1}),
+    grid AS (
+      SELECT x, y
+      FROM (SELECT range AS x FROM range({NF})),
+           (SELECT range AS y FROM range({NF}))
+      WHERE EXISTS (SELECT 1 FROM gset
+                    WHERE gset.ty = CAST(y // {FTILE} AS INTEGER)
+                      AND gset.tx = CAST(x // {FTILE} AS INTEGER))
+    ),
+    nb AS (SELECT g.x AS gx, g.y AS gy, {', '.join(names.values())}
+           FROM grid g)
+    SELECT * FROM ({' UNION ALL '.join(parts)})
+    ORDER BY op, tile_y, tile_x
+    """
+
+
+@register("raster_dem_derivatives_checksum", oracle=_dem_oracle())
+def dem_derivatives_checksum(spark, sf_dir):
+    """The gdaldem derivative family (apps/gdaldem_lib.cpp — Horn
+    slope/aspect/hillshade, Wilson TPI, Riley TRI, roughness) over
+    the z3 density raster treated as a DEM: one tagged checksum
+    branch per mode, all six computed by the SAME halo-exchange focal
+    kernel the gdaldem utility wrapper uses. Flat (all-zero) regions
+    exercise the IEEE special cases (atan2(+0, -0) = pi) identically
+    on both sides; no nonzero-tile filter because aspect/hillshade
+    are nonzero even on flat ground."""
+    from .raster import focal as FO
+
+    pts = pages.page_points(spark, sf_dir)
+    spec = G.world_3857(FZOOM, FTILE)
+    tiles = D.density_tiles(pts, FZOOM, FTILE).persist()
+    out = None
+    for op in ("slope", "aspect", "hillshade", "tpi", "tri",
+               "roughness"):
+        one = (R.tiles_checksum(FO.focal(tiles, spec, op), spec)
+               .select(F.lit(op).alias("op"), "tile_y", "tile_x",
+                       "checksum", "n_nonzero"))
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("op", "tile_y", "tile_x")
+
+
 _RECLASSIFY_ORACLE = f"""
     WITH {_px_cte(ZOOM, TILE)},
     px2 AS (SELECT gx, gy,

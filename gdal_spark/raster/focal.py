@@ -87,8 +87,11 @@ def _kernel_np(win: np.ndarray, op: str, ewres: float, nsres: float,
     if op in ("slope", "aspect", "hillshade"):
         dzdx = ((c + 2 * f + i) - (a + 2 * d + g)) / (8.0 * ewres)
         dzdy = ((g + 2 * h + i) - (a + 2 * b + c)) / (8.0 * nsres)
+        # sqrt(x^2+y^2), not hypot: the reference's own Horn form
+        # (apps/gdaldem_lib.cpp GDALSlopeHornAlg) and SQL-mirrorable
+        grad = np.sqrt(dzdx * dzdx + dzdy * dzdy)
         if op == "slope":
-            return np.degrees(np.arctan(z_factor * np.hypot(dzdx, dzdy)))
+            return np.degrees(np.arctan(z_factor * grad))
         aspect = np.arctan2(dzdy, -dzdx)
         if op == "aspect":
             deg = np.degrees(aspect)
@@ -97,7 +100,7 @@ def _kernel_np(win: np.ndarray, op: str, ewres: float, nsres: float,
             return np.where(deg >= 360.0, deg - 360.0, deg)
         zen = np.radians(90.0 - zenith)
         az = np.radians(azimuth)
-        slope_r = np.arctan(z_factor * np.hypot(dzdx, dzdy))
+        slope_r = np.arctan(z_factor * grad)
         asp = np.arctan2(dzdy, -dzdx)
         shade = (np.cos(zen) * np.cos(slope_r)
                  + np.sin(zen) * np.sin(slope_r) * np.cos(az - asp))
