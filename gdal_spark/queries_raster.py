@@ -1621,6 +1621,76 @@ def _dem_oracle() -> str:
     """
 
 
+def _fillnodata_oracle() -> str:
+    """One neighbor-mean fill pass in SQL: with nodata = 0 over the
+    sparse px relation, invalid neighbors contribute exactly 0 to the
+    sum, so fill = sum(8 neighbors)/count(nonzero neighbors) in
+    focal._kernel_np's stack order; nodata pixels take the fill,
+    valid pixels pass through. Tile set mirrors the engine's
+    occupied-9-neighborhood groups (DEM-gate rule)."""
+    nbs = []
+    for nm, (dy, dx) in (("a", (-1, -1)), ("b", (-1, 0)), ("c", (-1, 1)),
+                         ("d", (0, -1)), ("e", (0, 0)), ("f", (0, 1)),
+                         ("g2", (1, -1)), ("h2", (1, 0)), ("i2", (1, 1))):
+        cx = f"least(greatest(g.x + ({dx}), 0), {NF - 1})"
+        cy = f"least(greatest(g.y + ({dy}), 0), {NF - 1})"
+        nbs.append(f"coalesce((SELECT v FROM px p WHERE p.gx = {cx}"
+                   f" AND p.gy = {cy}), 0.0) AS {nm}")
+    ring = ["a", "b", "c", "d", "f", "g2", "h2", "i2"]
+    s = " + ".join(ring)
+    cnt = " + ".join(f"CAST({n} <> 0 AS INTEGER)" for n in ring)
+    nt = NF // FTILE
+    return f"""
+    WITH {_px_cte(FZOOM, FTILE)},
+    occ AS (SELECT DISTINCT CAST(gy // {FTILE} AS INTEGER) AS ty,
+                   CAST(gx // {FTILE} AS INTEGER) AS tx FROM px),
+    gset AS (SELECT DISTINCT o.ty + d.dy AS ty, o.tx + d.dx AS tx
+             FROM occ o, (VALUES (-1,-1), (-1,0), (-1,1), (0,-1),
+                          (0,0), (0,1), (1,-1), (1,0), (1,1)) d(dy, dx)
+             WHERE o.ty + d.dy BETWEEN 0 AND {nt - 1}
+               AND o.tx + d.dx BETWEEN 0 AND {nt - 1}),
+    grid AS (
+      SELECT x, y
+      FROM (SELECT range AS x FROM range({NF})),
+           (SELECT range AS y FROM range({NF}))
+      WHERE EXISTS (SELECT 1 FROM gset
+                    WHERE gset.ty = CAST(y // {FTILE} AS INTEGER)
+                      AND gset.tx = CAST(x // {FTILE} AS INTEGER))
+    ),
+    nb AS (SELECT g.x AS gx, g.y AS gy, {', '.join(nbs)} FROM grid g),
+    f2 AS (
+      SELECT gx, gy,
+        CASE WHEN e = 0 THEN
+          (CASE WHEN ({cnt}) > 0 THEN ({s}) / ({cnt}) ELSE 0.0 END)
+        ELSE e END AS fv
+      FROM nb)
+    SELECT CAST(gy // {FTILE} AS INTEGER) AS tile_y,
+           CAST(gx // {FTILE} AS INTEGER) AS tile_x,
+           {CK.checksum_sql('fv', 'gx', 'gy', NF)} AS checksum,
+           count(*) FILTER (WHERE fv <> 0) AS n_nonzero
+    FROM f2 GROUP BY tile_y, tile_x
+    ORDER BY tile_y, tile_x
+    """
+
+
+@register("raster_fillnodata_checksum", oracle=_fillnodata_oracle())
+def fillnodata_checksum(spark, sf_dir):
+    """Fill-nodata (alg/rasterfill.cpp interpolation family, the
+    gdal_fillnodata utility's kernel): one neighbor-mean pass over
+    the z3 density raster with nodata=0 — every hole pixel adjacent
+    to data takes the mean of its valid 8-neighbors, data passes
+    through. One halo shuffle; checksum per tile over the engine's
+    occupied-9-neighborhood groups."""
+    from .raster import focal as FO
+
+    pts = pages.page_points(spark, sf_dir)
+    spec = G.world_3857(FZOOM, FTILE)
+    tiles = D.density_tiles(pts, FZOOM, FTILE)
+    out = FO.fillnodata(tiles, spec, nodata=0.0, iterations=1)
+    return (R.tiles_checksum(out, spec)
+            .orderBy("tile_y", "tile_x"))
+
+
 @register("raster_dem_derivatives_checksum", oracle=_dem_oracle())
 def dem_derivatives_checksum(spark, sf_dir):
     """The gdaldem derivative family (apps/gdaldem_lib.cpp — Horn
