@@ -793,6 +793,55 @@ def _emb_cosine_oracle(threshold: float = 0.35, dim: int = 64) -> str:
     """
 
 
+_NGJ_ORACLE = """
+    WITH pairs AS (
+      SELECT a.doc_id AS a_id, a.doc_id + 1 AS b_id
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 10 = 0),
+    grams AS (
+      SELECT DISTINCT doc_id AS gid, substring(text, i, 3) AS gram
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(
+                       1, greatest(length(text) - 2, 1))) AS i
+            FROM documents)),
+    sizes AS (SELECT gid, count(*) AS n_grams FROM grams GROUP BY gid),
+    inter AS (
+      SELECT p.a_id, p.b_id, count(*) AS n_inter
+      FROM pairs p
+      JOIN grams ga ON ga.gid = p.a_id
+      JOIN grams gb ON gb.gid = p.b_id AND gb.gram = ga.gram
+      GROUP BY p.a_id, p.b_id)
+    SELECT i.a_id, i.b_id,
+           CAST(i.n_inter AS DOUBLE)
+             / (sa.n_grams + sb.n_grams - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.gid = i.a_id
+    JOIN sizes sb ON sb.gid = i.b_id
+    ORDER BY a_id, b_id
+    """
+
+
+@register("dedup_ngram_jaccard", oracle=_NGJ_ORACLE)
+def ngram_jaccard_q(spark, sf_dir):
+    """Exact character-3-gram Jaccard for candidate pairs (the verify
+    stage after minhash/simhash candidates, operators/dedup.py
+    ngram_jaccard): a deterministic consecutive-doc pair relation
+    (doc_id % 10 == 0 with its successor) scored by the distributed
+    shape — distinct-gram explode once, two semi-joins, gram
+    equi-join + pair rollup. Jaccard floats are one exact
+    int-arithmetic division, so the value hash is exact."""
+    from .operators import dedup as DD
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = (d.filter(F.col("doc_id") % 10 == 0)
+             .select(F.col("doc_id").alias("a_id"),
+                     (F.col("doc_id") + 1).alias("b_id"))
+             .join(d.select(F.col("doc_id").alias("b_id")),
+                   "b_id", "left_semi"))
+    return (DD.ngram_jaccard(d, pairs, "doc_id", "text", n=3)
+            .orderBy("a_id", "b_id"))
+
+
 @register("dedup_embedding_cosine", oracle=_emb_cosine_oracle())
 def embedding_cosine_pairs(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (the last dedup modality
