@@ -3,22 +3,25 @@
 entry()      — flagship query: pages -> geo point derivation ->
                broadcast point-in-polygon join vs admin polygons ->
                z8 tile assignment -> per (polygon, tile) rollup.
-queries()    — 50 entries (exactly the driver's 50-entry correctness
-               window) covering SURVEY §2 (see COVERAGE.md for the
+queries()    — 58 entries (the driver's correctness window)
+               covering SURVEY §2 (see COVERAGE.md for the
                line-by-line operator map): relational/OGR-SQL
-               semantics, spatial joins + kNN, the raster surface
-               (density/rasterize/warp/pyramid/polygonize/focal/
-               calc/mosaic/proximity/footprint/contour/sieve/
-               gridding/interpolate, gated by per-tile GDAL
-               checksums), dedup/similarity/text/multimodal ops,
-               and window/sessionization.
+               semantics, spatial joins + kNN + Hilbert sort, the
+               raster surface (density/rasterize/warp incl. cutline +
+               datum-shifted CRSs/pyramid/overview kernels/
+               polygonize/focal/DEM derivatives/fill-nodata/calc/
+               mosaic/proximity/footprint/contour segments AND
+               iso-polygons/sieve/gridding/pansharpen/interpolate,
+               gated by per-tile GDAL checksums), dedup/similarity/
+               text/multimodal ops (PNG + baseline + progressive
+               JPEG), and window/sessionization.
 oracle_sql() — DuckDB-equivalent SQL per query (bit-exact by design;
                see gdal_spark/queries.py docstring for the
-               cross-engine exactness rules). ALL 50 queries have
+               cross-engine exactness rules). ALL 58 queries have
                oracles: three non-relational ones (viewshed ray walk,
                IDW float-sum order, sieve cascade — proofs in their
-               docstrings) pin golden VALUES literals computed by the
-               single-node numpy kernels (gdal_spark/golden.py — the
+               docstrings) pin golden VALUES literals FROZEN as source
+               constants (gdal_spark/golden_pins_sf001.py — the
                reference's own autotest checksum-pinning discipline),
                each additionally backed by an exact
                distributed==single-node pytest oracle.
