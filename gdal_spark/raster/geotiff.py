@@ -25,7 +25,8 @@ Reads also cover STRIP-organized files (re-tiled into the square tile
 model by a distributed strip->tile shuffle, `_read_strips`) and
 BigTIFF (8-byte offsets, LONG8 types). Writes are tiled, classic or
 BigTIFF (bigtiff="auto" switches past 4 GB like BIGTIFF=IF_NEEDED);
-compression none/deflate/LZW/PackBits both ways. Scope fences (loud
+compression none/deflate/LZW/PackBits/ZSTD both ways (ZSTD via
+the system libzstd, raster/zstdcodec.py). Scope fences (loud
 raises): north-up geotransform on write. Both byte orders read;
 writes are little-endian (II).
 """
@@ -55,7 +56,8 @@ _TAG_SUBFILE = 254
 _TAG_W, _TAG_H = 256, 257
 _TAG_BITS, _TAG_COMP, _TAG_PHOTO = 258, 259, 262
 _TAG_PRED = 317
-_COMP_CODES = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
+_COMP_CODES = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773,
+               "zstd": 50000}
 _TAG_SPP, _TAG_PLANAR, _TAG_SFMT = 277, 284, 339
 _TAG_TW, _TAG_TH, _TAG_TOFF, _TAG_TCNT = 322, 323, 324, 325
 _TAG_STRIP_OFF = 273
@@ -383,9 +385,10 @@ def read_geotiff(spark: SparkSession, path: str,
     if band >= n_bands:
         raise ValueError(f"band {band}: file has {n_bands} band(s)")
     comp = tags.get(_TAG_COMP, [1])[0]
-    if comp not in (1, 5, 8, 32773):
+    if comp not in (1, 5, 8, 32773, 50000):
         raise NotImplementedError(f"compression {comp}: support none(1)/"
-                                  "LZW(5)/deflate(8)/PackBits(32773)")
+                                  "LZW(5)/deflate(8)/PackBits(32773)/"
+                                  "ZSTD(50000)")
     predictor = tags.get(_TAG_PRED, [1])[0]
     if predictor not in (1, 2):
         raise NotImplementedError(
@@ -444,6 +447,7 @@ def read_geotiff(spark: SparkSession, path: str,
                                             pdf["off"], pdf["cnt"]):
                     f.seek(int(off))
                     b = f.read(int(cnt))
+                    need = ts * ts * np_dtype.itemsize
                     if comp == 8:
                         b = zlib.decompress(b)
                     elif comp == 5:
@@ -452,7 +456,9 @@ def read_geotiff(spark: SparkSession, path: str,
                     elif comp == 32773:
                         from . import packbits as _pb
                         b = _pb.decode(b)
-                    need = ts * ts * np_dtype.itemsize
+                    elif comp == 50000:
+                        from . import zstdcodec as _zs
+                        b = _zs.decode(b, need)
                     if comp != 1 and len(b) < need:
                         # short block: libtiff tolerates truncated
                         # final rows and zero-fills (tif_read.c)
@@ -603,6 +609,9 @@ def _pack_blocks(tiles: DataFrame, spec: G.GridSpec, dtype: str,
             elif compression == "packbits":
                 from . import packbits as _pb
                 raw = _pb.encode(raw)
+            elif compression == "zstd":
+                from . import zstdcodec as _zs
+                raw = _zs.encode(raw)
             out.append(raw)
         return pd.Series(out)
 
@@ -619,6 +628,9 @@ def _pack_blocks(tiles: DataFrame, spec: G.GridSpec, dtype: str,
     elif compression == "packbits":
         from . import packbits as _pb
         empty = _pb.encode(empty_raw)
+    elif compression == "zstd":
+        from . import zstdcodec as _zs
+        empty = _zs.encode(empty_raw)
     else:
         empty = empty_raw
     return [blocks.get((ty, tx), empty)
@@ -712,6 +724,8 @@ def _read_strips(spark: SparkSession, path: str, spec: G.GridSpec,
                                          pdf["cnt"]):
                     f.seek(int(off))
                     b = f.read(int(cnt))
+                    r0 = int(sid) * rps
+                    nr_ = min(rps, h - r0)
                     if comp == 8:
                         b = zlib.decompress(b)
                     elif comp == 5:
@@ -719,7 +733,9 @@ def _read_strips(spark: SparkSession, path: str, spec: G.GridSpec,
                     elif comp == 32773:
                         from . import packbits as _pb
                         b = _pb.decode(b)
-                    r0 = int(sid) * rps
+                    elif comp == 50000:
+                        from . import zstdcodec as _zs
+                        b = _zs.decode(b, nr_ * w * np_dtype.itemsize)
                     nr = min(rps, h - r0)
                     a = np.frombuffer(b, np_dtype, count=nr * w) \
                         .reshape(nr, w)
