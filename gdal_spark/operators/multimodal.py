@@ -98,11 +98,12 @@ def _box_resize(plane: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 def decode_image(df: DataFrame, id_col: str = "doc_id",
                  bin_col: str = "payload") -> DataFrame:
-    """Decode PNG (raster/png.py) or JPEG — baseline AND progressive
-    SOF2 (raster/jpeg.py) — payloads -> typed image features:
-    (doc_id, width, height, channels, per-channel mean, 8x8 luma
-    fingerprint). Other formats (WebP/AVIF) raise NotImplementedError
-    naming the missing codec — loud, not silent."""
+    """Decode PNG (raster/png.py), JPEG — baseline AND progressive
+    SOF2 (raster/jpeg.py) — or WebP (raster/webp.py, system libwebp;
+    VP8/VP8L/VP8X) payloads -> typed image features: (doc_id, width,
+    height, channels, per-channel mean, 8x8 luma fingerprint). Other
+    formats (AVIF/HEIF) raise NotImplementedError naming the missing
+    codec — loud, not silent."""
     from ..raster import jpeg as JPG
     from ..raster import png as PNG
 
@@ -115,11 +116,14 @@ def decode_image(df: DataFrame, id_col: str = "doc_id",
                     arr = _to_hwc(PNG.decode(b))
                 elif b[:2] == b"\xFF\xD8":
                     arr = JPG.decode_jpeg(b)
+                elif b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+                    from ..raster import webp as WEBP
+                    arr = WEBP.decode(b)
                 else:
                     sig = b[:4].hex()
                     raise NotImplementedError(
-                        f"payload {int(i)} (magic {sig}) is neither "
-                        "PNG nor JPEG; WebP/AVIF codecs are "
+                        f"payload {int(i)} (magic {sig}) is none of "
+                        "PNG/JPEG/WebP; AVIF/HEIF codecs are "
                         "unavailable in this environment — plug a "
                         "decoder into operators.multimodal.decode_image")
                 h, w, c = arr.shape

@@ -1277,6 +1277,8 @@ def _mm_mean_sql() -> str:
       SELECT 'jpeg', doc_id, 16, 16, 1, {_mm_mean_sql()} FROM documents
       UNION ALL
       SELECT 'jpeg_prog', doc_id, 16, 16, 1, {_mm_mean_sql()} FROM documents
+      UNION ALL
+      SELECT 'webp', doc_id, 16, 16, 3, {_mm_mean_sql()} FROM documents
     ) ORDER BY part, doc_id
     """,
 )
@@ -1304,11 +1306,18 @@ def multimodal_meta(spark, sf_dir):
                  multi-scan coefficient accumulation, DC/AC point
                  transforms, EOB runs, and refinement correction bits
                  end-to-end under the same exact-reconstruction
-                 oracle."""
+                 oracle;
+    part='webp'  the image as LOSSLESS WebP (VP8L via the system
+                 libwebp, raster/webp.py — the reference's own
+                 delegation, frmts/webp/) decoded back through
+                 decode_image: 3 channels (gray replicated to RGB,
+                 opaque alpha dropped), channel-1 mean exact under
+                 losslessness."""
     from pyspark.sql import types as T
 
     from .raster import jpeg as JPG
     from .raster import png as PNG
+    from .raster import webp as WP
 
     p = pages.pages_from_documents(spark, sf_dir)
     zero = F.lit(0).cast("long")
@@ -1333,10 +1342,14 @@ def multimodal_meta(spark, sf_dir):
                         [[(i * 37 + by * 101 + bx * 53) % 256
                           for bx in (0, 1)] for by in (0, 1)], np.uint8)
                     img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
-                    buf = (PNG.encode(img) if codec == "png"
-                           else JPG.encode_jpeg(
-                               img, quality=75,
-                               progressive=codec == "jpeg_prog"))
+                    if codec == "png":
+                        buf = PNG.encode(img)
+                    elif codec == "webp":
+                        buf = WP.encode(img)  # lossless VP8L
+                    else:
+                        buf = JPG.encode_jpeg(
+                            img, quality=75,
+                            progressive=codec == "jpeg_prog")
                     rows.append((i, bytearray(buf)))
                 yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
@@ -1344,7 +1357,7 @@ def multimodal_meta(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
     parts = [meta]
-    for codec in ("png", "jpeg", "jpeg_prog"):
+    for codec in ("png", "jpeg", "jpeg_prog", "webp"):
         pay = d.mapInPandas(payloads(codec), pay_schema)
         dec = multimodal.decode_image(pay)
         parts.append(dec.select(

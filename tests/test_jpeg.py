@@ -156,9 +156,12 @@ def test_decode_image_routes_jpeg(spark):
 
     img = _smooth((24, 24), 21)
     payloads = [(1, bytearray(J.encode_jpeg(img, quality=90))),
-                (2, bytearray(b"RIFFxxxxWEBP"))]
+                (2, bytearray(b"\x00\x00\x00 ftypavif....")),
+                (3, bytearray(b"RIFFxxxxWEBP"))]  # truncated WebP
     df = spark.createDataFrame(payloads, "doc_id long, payload binary")
     ok = MM.decode_image(df.filter("doc_id = 1")).collect()
     assert ok[0]["width"] == 24 and ok[0]["channels"] == 1
-    with pytest.raises(Exception, match="neither PNG nor JPEG"):
+    with pytest.raises(Exception, match="none of PNG/JPEG/WebP"):
         MM.decode_image(df.filter("doc_id = 2")).collect()
+    with pytest.raises(Exception, match="WebP"):
+        MM.decode_image(df.filter("doc_id = 3")).collect()
