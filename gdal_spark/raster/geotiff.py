@@ -25,8 +25,9 @@ Reads also cover STRIP-organized files (re-tiled into the square tile
 model by a distributed strip->tile shuffle, `_read_strips`) and
 BigTIFF (8-byte offsets, LONG8 types). Writes are tiled, classic or
 BigTIFF (bigtiff="auto" switches past 4 GB like BIGTIFF=IF_NEEDED);
-compression none/deflate/LZW/PackBits/ZSTD both ways (ZSTD via
-the system libzstd, raster/zstdcodec.py). Scope fences (loud
+compression none/deflate/LZW/PackBits/ZSTD/LERC both ways (ZSTD
+and lossless LERC via the system libzstd/libLerc — raster/
+zstdcodec.py, raster/lerc.py). Scope fences (loud
 raises): north-up geotransform on write. Both byte orders read;
 writes are little-endian (II).
 """
@@ -57,11 +58,12 @@ _TAG_W, _TAG_H = 256, 257
 _TAG_BITS, _TAG_COMP, _TAG_PHOTO = 258, 259, 262
 _TAG_PRED = 317
 _COMP_CODES = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773,
-               "zstd": 50000}
+               "zstd": 50000, "lerc": 34887}
 _TAG_SPP, _TAG_PLANAR, _TAG_SFMT = 277, 284, 339
 _TAG_TW, _TAG_TH, _TAG_TOFF, _TAG_TCNT = 322, 323, 324, 325
 _TAG_STRIP_OFF = 273
 _TAG_SCALE, _TAG_TIEPOINT, _TAG_GEOKEYS = 33550, 33922, 34735
+_TAG_LERC_PARAMS = 50674
 _TAG_NODATA = 42113
 
 
@@ -142,6 +144,8 @@ def _image_entries(spec, dtype, compression, nodata, offsets, counts,
              [0.0, 0.0, 0.0, spec.gt[0], spec.gt[3], 0.0]),
             (_TAG_GEOKEYS, 3, None, _crs_geokeys(spec.crs)),
         ])
+    if compression == "lerc":
+        entries.append((_TAG_LERC_PARAMS, 4, 2, [4, 0]))
     if nodata is not None:
         nd = (repr(float(nodata)) + "\x00").encode()
         entries.append((_TAG_NODATA, 2, len(nd), list(nd)))
@@ -385,10 +389,14 @@ def read_geotiff(spark: SparkSession, path: str,
     if band >= n_bands:
         raise ValueError(f"band {band}: file has {n_bands} band(s)")
     comp = tags.get(_TAG_COMP, [1])[0]
-    if comp not in (1, 5, 8, 32773, 50000):
+    if comp not in (1, 5, 8, 32773, 50000, 34887):
         raise NotImplementedError(f"compression {comp}: support none(1)/"
                                   "LZW(5)/deflate(8)/PackBits(32773)/"
-                                  "ZSTD(50000)")
+                                  "LERC(34887)/ZSTD(50000)")
+    if comp == 34887 and tags.get(_TAG_LERC_PARAMS, [4, 0])[1] != 0:
+        raise NotImplementedError(
+            "LERC with additional deflate/zstd wrapping "
+            "(LERC_PARAMETERS[1] != 0) not supported — plain LERC only")
     predictor = tags.get(_TAG_PRED, [1])[0]
     if predictor not in (1, 2):
         raise NotImplementedError(
@@ -459,6 +467,9 @@ def read_geotiff(spark: SparkSession, path: str,
                     elif comp == 50000:
                         from . import zstdcodec as _zs
                         b = _zs.decode(b, need)
+                    elif comp == 34887:
+                        from . import lerc as _lerc
+                        b = _lerc.decode(b, np_dtype)
                     if comp != 1 and len(b) < need:
                         # short block: libtiff tolerates truncated
                         # final rows and zero-fills (tif_read.c)
@@ -612,6 +623,9 @@ def _pack_blocks(tiles: DataFrame, spec: G.GridSpec, dtype: str,
             elif compression == "zstd":
                 from . import zstdcodec as _zs
                 raw = _zs.encode(raw)
+            elif compression == "lerc":
+                from . import lerc as _lerc
+                raw = _lerc.encode(raw, np.dtype(dtype), ts, ts)
             out.append(raw)
         return pd.Series(out)
 
@@ -631,6 +645,9 @@ def _pack_blocks(tiles: DataFrame, spec: G.GridSpec, dtype: str,
     elif compression == "zstd":
         from . import zstdcodec as _zs
         empty = _zs.encode(empty_raw)
+    elif compression == "lerc":
+        from . import lerc as _lerc
+        empty = _lerc.encode(empty_raw, np.dtype(dtype), ts, ts)
     else:
         empty = empty_raw
     return [blocks.get((ty, tx), empty)
@@ -736,6 +753,9 @@ def _read_strips(spark: SparkSession, path: str, spec: G.GridSpec,
                     elif comp == 50000:
                         from . import zstdcodec as _zs
                         b = _zs.decode(b, nr_ * w * np_dtype.itemsize)
+                    elif comp == 34887:
+                        from . import lerc as _lerc
+                        b = _lerc.decode(b, np_dtype)
                     nr = min(rps, h - r0)
                     a = np.frombuffer(b, np_dtype, count=nr * w) \
                         .reshape(nr, w)

@@ -577,3 +577,37 @@ def test_zstd_roundtrip(spark, tmp_path):
     want, got = _collect(tiles), _collect(back)
     for k in want:
         np.testing.assert_array_equal(want[k], got[k])
+
+
+_REF_LERC = "/root/reference/autotest/gcore/data/byte_lerc.tif"
+
+
+@pytest.mark.skipif(not os.path.exists(_REF_LERC),
+                    reason="reference fixtures not present")
+def test_lerc_reference_fixture(spark):
+    """A real libtiff-written LERC file (compression 34887, raw Lerc2
+    blobs): band 1 must reproduce the checksum the reference's
+    autotest pins (autotest/gcore/tiff_read.py:4082 expects 4672)."""
+    from gdal_spark.raster import checksum as CK
+
+    spec, tiles = GT.read_geotiff(spark, _REF_LERC)
+    full = np.zeros((spec.height, spec.width))
+    for r in tiles.collect():
+        h, w = spec.tile_shape(r.tile_y, r.tile_x)
+        full[r.tile_y * spec.tile:r.tile_y * spec.tile + h,
+             r.tile_x * spec.tile:r.tile_x * spec.tile + w] = \
+            np.asarray(r.px).reshape(h, w)
+    assert CK.checksum_np(full) == 4672
+
+
+def test_lerc_roundtrip(spark, tmp_path):
+    """maxZErr=0 LERC is lossless for every band type, incl. float64."""
+    spec = _spec()
+    tiles = _tiles(spark, spec)
+    p = str(tmp_path / "lerc.tif")
+    GT.write_geotiff(tiles, spec, p, compression="lerc")
+    spec2, back = GT.read_geotiff(spark, p)
+    assert spec2 == spec
+    want, got = _collect(tiles), _collect(back)
+    for k in want:
+        np.testing.assert_array_equal(want[k], got[k])
