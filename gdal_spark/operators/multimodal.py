@@ -8,13 +8,13 @@ The training-data pipeline treats images/audio/video as opaque
    returns (id, n_bytes, is_html, feat): byte length, a magic-prefix
    probe, and a deterministic feature derived from the real bytes —
    the stand-in for an embedding/feature vector.
- - `decode_image` REALLY decodes PNG payloads (the engine's own
-   pure-Python codec, raster/png.py — no external imaging libs in
-   this container) and emits typed image features: dimensions,
-   channel count, per-channel means, a downsampled 8x8 luma
-   fingerprint (the perceptual-hash front half). Non-PNG payloads
-   fail loudly per-format (JPEG/WebP codecs genuinely absent —
-   that remaining stub is explicit, not silent).
+ - `decode_image` REALLY decodes PNG (raster/png.py), JPEG incl.
+   progressive (raster/jpeg.py — both pure-Python codecs), WebP
+   (raster/webp.py, system libwebp) and AVIF/HEIC (raster/heif.py,
+   system libheif) payloads and emits typed image features:
+   dimensions, channel count, per-channel means, a downsampled 8x8
+   luma fingerprint (the perceptual-hash front half). Unknown magics
+   fail loudly per payload.
  - `resize_image` / `sample_frames`-style ops compose from the same
    decoded arrays; `thumbnail8` below is the canonical example.
 """
@@ -99,11 +99,12 @@ def _box_resize(plane: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 def decode_image(df: DataFrame, id_col: str = "doc_id",
                  bin_col: str = "payload") -> DataFrame:
     """Decode PNG (raster/png.py), JPEG — baseline AND progressive
-    SOF2 (raster/jpeg.py) — or WebP (raster/webp.py, system libwebp;
-    VP8/VP8L/VP8X) payloads -> typed image features: (doc_id, width,
-    height, channels, per-channel mean, 8x8 luma fingerprint). Other
-    formats (AVIF/HEIF) raise NotImplementedError naming the missing
-    codec — loud, not silent."""
+    SOF2 (raster/jpeg.py) — WebP (raster/webp.py, system libwebp;
+    VP8/VP8L/VP8X), or AVIF/HEIC (raster/heif.py, system libheif)
+    payloads -> typed image features: (doc_id, width, height,
+    channels, per-channel mean, 8x8 luma fingerprint). Unknown magics
+    raise NotImplementedError naming the payload — loud, not
+    silent."""
     from ..raster import jpeg as JPG
     from ..raster import png as PNG
 
@@ -119,13 +120,17 @@ def decode_image(df: DataFrame, id_col: str = "doc_id",
                 elif b[:4] == b"RIFF" and b[8:12] == b"WEBP":
                     from ..raster import webp as WEBP
                     arr = WEBP.decode(b)
+                elif b[4:8] == b"ftyp" and b[8:12] in (
+                        b"avif", b"avis", b"heic", b"heix",
+                        b"mif1", b"msf1"):
+                    from ..raster import heif as HEIF
+                    arr = HEIF.decode(b)
                 else:
                     sig = b[:4].hex()
                     raise NotImplementedError(
                         f"payload {int(i)} (magic {sig}) is none of "
-                        "PNG/JPEG/WebP; AVIF/HEIF codecs are "
-                        "unavailable in this environment — plug a "
-                        "decoder into operators.multimodal.decode_image")
+                        "PNG/JPEG/WebP/AVIF/HEIC — plug a decoder "
+                        "into operators.multimodal.decode_image")
                 h, w, c = arr.shape
                 means = [float(arr[:, :, k].mean()) for k in range(c)]
                 luma8 = _box_resize(_luma(arr), 8, 8).ravel().tolist()

@@ -156,8 +156,9 @@ def test_decode_image_routes_jpeg(spark):
 
     img = _smooth((24, 24), 21)
     payloads = [(1, bytearray(J.encode_jpeg(img, quality=90))),
-                (2, bytearray(b"\x00\x00\x00 ftypavif....")),
-                (3, bytearray(b"RIFFxxxxWEBP"))]  # truncated WebP
+                (2, bytearray(b"\x1a\x45\xdf\xa3matroska....")),  # unknown
+                (3, bytearray(b"RIFFxxxxWEBP")),       # truncated WebP
+                (4, bytearray(b"\x00\x00\x00 ftypavif...."))]  # trunc AVIF
     df = spark.createDataFrame(payloads, "doc_id long, payload binary")
     ok = MM.decode_image(df.filter("doc_id = 1")).collect()
     assert ok[0]["width"] == 24 and ok[0]["channels"] == 1
@@ -165,3 +166,5 @@ def test_decode_image_routes_jpeg(spark):
         MM.decode_image(df.filter("doc_id = 2")).collect()
     with pytest.raises(Exception, match="WebP"):
         MM.decode_image(df.filter("doc_id = 3")).collect()
+    with pytest.raises(Exception, match="HEIF"):
+        MM.decode_image(df.filter("doc_id = 4")).collect()
